@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — per-operator Spark/DuckDB pairs, keyed by
+SURVEY.md §2 operator ids. The driver hash-compares both sides at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +10,226 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from panoptes_spark.dsl.resource_filter import ResourceFilter
+from panoptes_spark.model import resource_serialization_key
+from panoptes_spark.operators.rate import rate_oracle_sql, rate_transform
+from panoptes_spark.sources import tpch_fixtures as fx
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# DSL query corpus (FIXTURES.md §7 shapes, targeting the derived resources)
+# ---------------------------------------------------------------------------
+
+_DSL_QUERIES = {
+    "p1_dsl_field_filter": 'resource_class = "network" AND resource_subclass = "machinery"',
+    "p1_dsl_metadata_like": 'resource_metadata.make NOT LIKE "Arista%" AND resource_metadata.os_version LIKE "2%"',
+    "p1_dsl_in_or": 'resource_site NOT IN ("AFRICA", "EUROPE") OR resource_metadata.model IN ("model-3", "model-5")',
+    "p1_dsl_mixed": 'resource_type ne "generic" AND resource_metadata.os_version LIKE "4%" OR resource_class = "system"',
+}
+
+
+def _dsl_query(dsl: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rf = ResourceFilter(dsl)
+        res = fx.resources(spark, sf_dir)
+        return fx.flat_view(res.where(F.expr(rf.to_spark_sql())))
+
+    return run
+
+
+def _dsl_oracle(dsl: str) -> str:
+    rf = ResourceFilter(dsl)
+    return (
+        f"WITH {fx.RESOURCES_CTE} "
+        f"SELECT * FROM resources_flat WHERE {rf.to_flat_sql()}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 + P10: prefix-pushdown store scan with serialization key
+# ---------------------------------------------------------------------------
+
+def _store_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = fx.resources(spark, sf_dir).where(
+        (F.col("resource_plugin") == "discovery_tpch")
+        & (F.col("resource_site") == "AMERICA")
+    )
+    return resource_serialization_key(res).select("resource_id", "resource_key")
+
+
+_STORE_SCAN_ORACLE = f"""
+WITH {fx.RESOURCES_CTE}
+SELECT resource_id,
+  'plugin|' || resource_plugin || '|site|' || resource_site ||
+  '|class|' || resource_class || '|subclass|' || resource_subclass ||
+  '|type|' || resource_type || '|id|' || resource_id ||
+  '|endpoint|' || resource_endpoint AS resource_key
+FROM resources_flat
+WHERE resource_plugin = 'discovery_tpch' AND resource_site = 'AMERICA'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P11: site grouping projection
+# ---------------------------------------------------------------------------
+
+def _site_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fx.resources(spark, sf_dir)
+        .groupBy("resource_site", "resource_class")
+        .agg(F.count("*").alias("n_resources"))
+    )
+
+
+_SITE_GROUPING_ORACLE = f"""
+WITH {fx.RESOURCES_CTE}
+SELECT resource_site, resource_class, count(*) AS n_resources
+FROM resources_flat GROUP BY resource_site, resource_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: enrichment lookup join (broadcast) + aggregation
+# ---------------------------------------------------------------------------
+
+def _enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = fx.metric_points_from_events(spark, sf_dir)
+    enr = fx.enrichment_flat(spark, sf_dir)
+    joined = points.join(F.broadcast(enr), "resource_id", "inner")
+    return joined.groupBy("segment", "metrics_group_type").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.sum("metric_value"), 2).alias("sum_value"),
+        F.max("configured_speed").alias("max_speed"),
+    )
+
+
+_ENRICHMENT_JOIN_ORACLE = f"""
+WITH {fx.EVENTS_POINTS_CTE}, {fx.ENRICHMENT_CTE}
+SELECT e.segment, p.metrics_group_type,
+  count(*) AS n_points,
+  round(sum(p.metric_value), 2) AS sum_value,
+  max(e.configured_speed) AS max_speed
+FROM metric_points p JOIN enrichment_flat e USING (resource_id)
+GROUP BY e.segment, p.metrics_group_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6/W1/W2: counter→gauge rate transform (batch lag form)
+# ---------------------------------------------------------------------------
+
+_RATE_INTERVAL = 86400  # events inter-arrival ~ hours; 3×interval guard active
+
+
+def _rate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = fx.metric_points_from_events(spark, sf_dir)
+    return rate_transform(
+        points,
+        series_cols=["resource_id", "metrics_group_type"],
+        ts_col="ts_ms",
+        value_col="metric_value",
+        interval_sec=_RATE_INTERVAL,
+    )
+
+
+_RATE_ORACLE = rate_oracle_sql(
+    "SELECT 'user-' || CAST(user_id AS VARCHAR) AS resource_id,"
+    " event_type AS metrics_group_type, epoch_ms(ts) AS ts_ms,"
+    " value AS metric_value, event_id FROM events",
+    series_cols=["resource_id", "metrics_group_type"],
+    interval_sec=_RATE_INTERVAL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation showcase (A-family): pricing summary over lineitem.
+# Decimal-exact sums, cast to double at the end → engine-stable hashes.
+# ---------------------------------------------------------------------------
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(28,6)"
+    li = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc = F.col("l_discount").cast(dec)
+    tax = F.col("l_tax").cast(dec)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(dec) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(dec) - disc) * (F.lit(1).cast(dec) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6))) * (1 + CAST(l_tax AS DECIMAL(28,6)))) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DSL-filtered resources ⋈ enrichment-style metric rollup."""
+    rf = ResourceFilter('resource_class = "network" AND resource_metadata.make NOT LIKE "Generic%"')
+    res = fx.resources(spark, SF_SMOKE).where(F.expr(rf.to_spark_sql()))
+    points = fx.metric_points_from_events(spark, SF_SMOKE)
+    rates = rate_transform(
+        points, ["resource_id", "metrics_group_type"], interval_sec=_RATE_INTERVAL
+    )
+    per_site = res.groupBy("resource_site").agg(
+        F.count("*").alias("n_resources")
+    )
+    rollup = rates.groupBy("metrics_group_type").agg(
+        F.count("*").alias("n_rates"), F.round(F.avg("rate"), 4).alias("avg_rate")
+    )
+    return per_site.crossJoin(rollup)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _dsl_query(dsl) for name, dsl in _DSL_QUERIES.items()
+    }
+    out.update(
+        {
+            "s6_store_scan_pushdown": _store_scan,
+            "p11_site_grouping": _site_grouping,
+            "j1_enrichment_join": _enrichment_join,
+            "j6_rate_batch": _rate_batch,
+            "a_pricing_summary": _pricing_summary,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: _dsl_oracle(dsl) for name, dsl in _DSL_QUERIES.items()}
+    out.update(
+        {
+            "s6_store_scan_pushdown": _STORE_SCAN_ORACLE,
+            "p11_site_grouping": _SITE_GROUPING_ORACLE,
+            "j1_enrichment_join": _ENRICHMENT_JOIN_ORACLE,
+            "j6_rate_batch": _RATE_ORACLE,
+            "a_pricing_summary": _PRICING_SUMMARY_ORACLE,
+        }
+    )
+    return out

@@ -1,0 +1,156 @@
+"""Wire-format schemas for the telemetry data model.
+
+Reference semantics (yahoo/panoptes, cited file:line relative to the
+reference repo):
+
+- Resource envelope: ``yahoo_panoptes/framework/resources.py:105-118`` —
+  fixed string fields + open string->string metadata map.
+- Metrics-group wire JSON Schema (draft-04):
+  ``yahoo_panoptes/framework/utilities/consumer.py:48-98``.
+- Resource-set wire schema: ``consumer.py:100-134``.
+- Enrichment group: ``yahoo_panoptes/framework/enrichment.py:178-350`` with
+  per-namespace Cerberus schemas (e.g. ``enrichment/schema/interface.py``).
+
+The reference is row-oriented JSON; here the same shapes are typed Spark
+StructTypes so Catalyst/Tungsten get a columnar layout, and ``from_json`` /
+``to_json`` reproduce the wire format exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Resource (reference resources.py:105-118; equality identity :284-292)
+# ---------------------------------------------------------------------------
+
+RESOURCE_IDENTITY_COLS = [
+    "resource_site",
+    "resource_class",
+    "resource_subclass",
+    "resource_type",
+    "resource_id",
+]
+
+RESOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_site", T.StringType(), False),
+        T.StructField("resource_class", T.StringType(), False),
+        T.StructField("resource_subclass", T.StringType(), False),
+        T.StructField("resource_type", T.StringType(), False),
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("resource_endpoint", T.StringType(), True),
+        # epoch seconds, ms precision (reference metrics.py:21)
+        T.StructField("resource_creation_timestamp", T.DoubleType(), True),
+        T.StructField("resource_plugin", T.StringType(), True),
+        T.StructField(
+            "resource_metadata", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Metrics group (wire shape per consumer.py:48-98)
+# ---------------------------------------------------------------------------
+
+DIMENSION_SCHEMA = T.StructType(
+    [
+        T.StructField("dimension_name", T.StringType(), False),
+        T.StructField("dimension_value", T.StringType(), False),
+    ]
+)
+
+METRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), False),
+        T.StructField("metric_value", T.DoubleType(), False),
+        # 'gauge' | 'counter' (reference metrics.py:33-37)
+        T.StructField("metric_type", T.StringType(), False),
+        T.StructField("metric_creation_timestamp", T.DoubleType(), False),
+    ]
+)
+
+METRICS_GROUP_SCHEMA_VERSION = "0.2"  # reference metrics.py:22
+
+METRICS_GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("metrics_group_type", T.StringType(), False),
+        T.StructField("metrics_group_interval", T.LongType(), False),
+        T.StructField("metrics_group_creation_timestamp", T.DoubleType(), False),
+        T.StructField("metrics_group_schema_version", T.StringType(), False),
+        T.StructField("resource", RESOURCE_SCHEMA, False),
+        T.StructField("metrics", T.ArrayType(METRIC_SCHEMA), False),
+        T.StructField("dimensions", T.ArrayType(DIMENSION_SCHEMA), False),
+    ]
+)
+
+# Flattened analytic view: one row per metric point, dims as a map
+# (mirrors flatten_dimensions/flatten_metrics, reference metrics.py:315-344).
+METRIC_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("metrics_group_type", T.StringType(), False),
+        T.StructField("metrics_group_interval", T.LongType(), False),
+        T.StructField("dimensions", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("metric_name", T.StringType(), False),
+        T.StructField("metric_value", T.DoubleType(), False),
+        T.StructField("metric_type", T.StringType(), False),
+        T.StructField("metric_creation_timestamp", T.DoubleType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Enrichment (reference enrichment.py:89-350; storage key {resource}:{ns})
+# ---------------------------------------------------------------------------
+
+ENRICHMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("namespace", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("enrichment_ttl", T.LongType(), True),
+        T.StructField("enrichment_creation_timestamp", T.DoubleType(), True),
+    ]
+)
+
+# interface namespace value struct (enrichment/schema/interface.py:14-37)
+INTERFACE_ENRICHMENT_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("description", T.StringType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("interface_name", T.StringType(), True),
+        T.StructField("alias", T.StringType(), True),
+        T.StructField("configured_speed", T.LongType(), True),
+        T.StructField("port_speed", T.LongType(), True),
+        T.StructField("parent_interface_name", T.StringType(), True),
+        T.StructField("parent_interface_media_type", T.StringType(), True),
+        T.StructField("parent_interface_configured_speed", T.LongType(), True),
+        T.StructField("parent_interface_port_speed", T.LongType(), True),
+        T.StructField("physical_address", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Long-format OID tables for the metric-computation DSL
+# (docs/Generic_SNMP_Polling_DSL.md:52-91 — tables are {index: value} maps)
+# ---------------------------------------------------------------------------
+
+OID_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("index", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+# Metric / metric-type enums (reference metrics.py:33-37)
+METRIC_TYPE_GAUGE = "gauge"
+METRIC_TYPE_COUNTER = "counter"
+
+# Operational constants mirrored from the reference (BASELINE.md)
+METRICS_KV_STORE_TTL_MULTIPLE = 3  # framework/const.py:109
+METRICS_CONFIDENCE_THRESHOLD = 0.33  # framework/const.py:107
+RESOURCE_TTL_DEFAULT = 604800  # framework/const.py:71
+METRICS_TIMESTAMP_PRECISION = 3  # framework/metrics.py:21
