@@ -112,6 +112,10 @@ def main():
             print(f"PASS {name}: {len(s_canon)} rows ({dt:.1f}s)")
             n_pass += 1
 
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
