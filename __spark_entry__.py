@@ -145,6 +145,73 @@ _RATE_ORACLE = rate_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# §2.9: the Generic metric-computation DSL program end-to-end (J2 $index
+# joins, P6 indices_from, F1 casts, F2 transform lambda, A1 conditional
+# count, v0.2 top-level merge)
+# ---------------------------------------------------------------------------
+
+_DSL_PROGRAM = {
+    "oids": {
+        "sensor_value": {"method": "bulk_walk", "oid": ".1.3.6.1.4.1.2636.3.1.13.1.7"},
+        "sensor_scale": {"method": "bulk_walk", "oid": ".1.3.6.1.4.1.2636.3.1.13.1.6"},
+    },
+    "metrics_groups": [
+        {
+            "group_name": "environment",
+            "dimensions": {
+                "sensor": {"value": "$index", "indices_from": "sensor_scale"}
+            },
+            "metrics": {
+                "temperature_f": {
+                    "indices_from": "sensor_scale",
+                    "type": "float",
+                    "value": "int(sensor_value.$index) * int(sensor_scale.$index)",
+                    "transform": "lambda x: round((x * 1.8) + 32, 2)",
+                },
+                "sensors_total": {
+                    "value": "len([x for x in sensor_value.values() if int(x) > 25])"
+                },
+            },
+        }
+    ],
+}
+
+
+def _dsl_metric_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
+
+    tables = fx.oid_tables_from_lineitem(spark, sf_dir)
+    comp = MetricDSLCompiler(spark, _DSL_PROGRAM, tables, interval_sec=60)
+    return flatten_groups(comp.compile())
+
+
+_DSL_METRIC_ORACLE = f"""
+WITH {fx.OID_TABLES_CTE},
+temps AS (
+  SELECT s.device_id, s.index,
+         round((TRY_CAST(v.value AS BIGINT) * TRY_CAST(s.value AS BIGINT)) * 1.8 + 32, 2)
+           AS metric_value
+  FROM sensor_scale s
+  LEFT JOIN sensor_value v ON s.device_id = v.device_id AND s.index = v.index
+  WHERE TRY_CAST(v.value AS BIGINT) IS NOT NULL
+),
+totals AS (
+  SELECT device_id, CAST(count(*) AS DOUBLE) AS cnt
+  FROM sensor_value WHERE TRY_CAST(value AS BIGINT) > 25 GROUP BY device_id
+)
+SELECT t.device_id, 'environment' AS metrics_group_type,
+       CAST(60 AS BIGINT) AS metrics_group_interval,
+       'sensor=' || t.index AS dims_str,
+       'temperature_f' AS metric_name, t.metric_value, 'gauge' AS metric_type
+FROM temps t
+UNION ALL
+SELECT t.device_id, 'environment', CAST(60 AS BIGINT), 'sensor=' || t.index,
+       'sensors_total', tot.cnt, 'gauge'
+FROM temps t JOIN totals tot ON t.device_id = tot.device_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Aggregation showcase (A-family): pricing summary over lineitem.
 # Decimal-exact sums, cast to double at the end → engine-stable hashes.
 # ---------------------------------------------------------------------------
@@ -216,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j1_enrichment_join": _enrichment_join,
             "j6_rate_batch": _rate_batch,
             "a_pricing_summary": _pricing_summary,
+            "dsl_metric_program": _dsl_metric_program,
         }
     )
     return out
@@ -230,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
             "j1_enrichment_join": _ENRICHMENT_JOIN_ORACLE,
             "j6_rate_batch": _RATE_ORACLE,
             "a_pricing_summary": _PRICING_SUMMARY_ORACLE,
+            "dsl_metric_program": _DSL_METRIC_ORACLE,
         }
     )
     return out

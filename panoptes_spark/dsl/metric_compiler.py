@@ -1,0 +1,535 @@
+"""Compiler for the Generic metric-computation DSL (§2.9) — Spark-first.
+
+Reference engine: ``/root/reference/yahoo_panoptes/plugins/polling/generic/
+snmp/plugin_polling_generic_snmp.py:71-762`` (doc ``docs/
+Generic_SNMP_Polling_DSL.md``). The reference evaluates a JSON "program"
+per device with per-index ``eval``; here the program compiles ONCE into a
+DataFrame plan that runs for ALL devices in one go — the per-device loop
+becomes a (device_id, index) equi-join fabric, which is the shape that
+scales: shuffles are keyed by (device_id, index) and reused across targets,
+and small OID tables broadcast.
+
+Semantics preserved (file:line cites into the reference engine):
+
+- shorthand + defaults normalization (:378-449): bare value -> {value},
+  type inferred from int/float literals; metrics default type=integer,
+  metric_type=gauge; dimensions default type=string.
+- driving-index choice (:329-349): explicit ``indices`` > ``indices_from``
+  table > first table referenced in the value expression.
+- ``_has_indices`` (:351-376, v0.2 path).
+- per-(index,target) eval failure -> that target absent at that index
+  (:489-503); NULL from TRY_CAST/try_divide reproduces the skip.
+- index_transform re-keying applied at table build (:205-209): matching
+  raw indices re-keyed, unmatched KEEP their raw index.
+- top-level targets: falsy value (0, '', None) dropped (:508-519 — the
+  ``if not value: continue`` quirk).
+- v0.2 assembly (:586-678): one group per (device, index) with >=1 indexed
+  metric; top-level metrics appended INTO each indexed group; devices with
+  no surviving indexed metrics get a single top-level-only group.
+- empty-dimension suppression (:524-541,567-584): dimension_value == ''
+  is never added; the group is suppressed unless ignore_empty_dimensions.
+  DEVIATION: the reference's ``dimension_was_empty`` flag is sticky across
+  the index loop (dict-order dependent — later indices of an unrelated
+  group get suppressed); we evaluate per (device, index), which is the
+  deterministic reading of the documented behavior.
+
+The eval-arbitrary-Python escape hatch is NOT reproduced; expressions the
+:mod:`metric_expr` translator rejects raise ``UnsupportedExpression`` and
+can be routed to a pandas-UDF fallback by the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metric_expr import (
+    ExprInfo,
+    UnsupportedExpression,
+    cast_sql,
+    compile_transform,
+    compile_value_expr,
+    table_col,
+)
+
+_METRIC_DEFAULT_TYPE = "integer"
+_DIMENSION_DEFAULT_TYPE = "string"
+
+
+def normalize_program(program: dict, schema_version: str = "0.2") -> dict:
+    """Shorthand + defaults pass (reference :255-274, :378-449)."""
+    prog = {"oids": dict(program.get("oids", {})), "metrics_groups": []}
+    for group in program["metrics_groups"]:
+        g = {
+            "group_name": group["group_name"],
+            "metrics": {},
+            "dimensions": {},
+            "ignore_empty_dimensions": group.get(
+                "ignore_empty_dimensions", schema_version == "0.1"
+            ),
+        }
+        for targets_type, default_type in (
+            ("metrics", _METRIC_DEFAULT_TYPE),
+            ("dimensions", _DIMENSION_DEFAULT_TYPE),
+        ):
+            for name, raw in group.get(targets_type, {}).items():
+                tmap = dict(raw) if isinstance(raw, dict) else {"value": raw}
+                if "type" not in tmap:
+                    v = tmap.get("value")
+                    if isinstance(v, bool):
+                        pass
+                    elif isinstance(v, int):
+                        tmap["type"] = "integer"
+                    elif isinstance(v, float):
+                        tmap["type"] = "float"
+                    else:
+                        tmap["type"] = default_type
+                if targets_type == "metrics" and "metric_type" not in tmap:
+                    tmap["metric_type"] = "gauge"
+                g[targets_type][name] = tmap
+        prog["metrics_groups"].append(g)
+    return prog
+
+
+@dataclass
+class _Target:
+    name: str
+    tmap: dict
+    info: ExprInfo
+    final_sql: str  # cast+transform applied
+    indexed: bool
+    is_metric: bool
+
+
+class MetricDSLCompiler:
+    """Compile one DSL program against long-format OID tables.
+
+    Parameters
+    ----------
+    oid_tables:
+        DataFrame (device_id, table_name, index, value:string) — S3/S4
+        sources in long form. ``get``-method oids are rows whose index is
+        arbitrary (first value per device wins).
+    static_devices:
+        DataFrame (device_id) giving the device universe for static-only
+        programs; defaults to ``oid_tables.select(device_id).distinct()``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        program: dict,
+        oid_tables: DataFrame,
+        interval_sec: int = 60,
+        schema_version: str = "0.2",
+        static_devices: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.program = normalize_program(program, schema_version)
+        self.oids_spec = self.program["oids"]
+        self.oid_tables = oid_tables
+        self.interval = interval_sec
+        self.schema_version = schema_version
+        self.known_tables = set(self.oids_spec.keys())
+        self.scalar_oids = {
+            n for n, s in self.oids_spec.items() if s.get("method") == "get"
+        }
+        self._devices = (
+            static_devices
+            if static_devices is not None
+            else oid_tables.select("device_id").distinct()
+        )
+        self._table_cache: dict[str, DataFrame] = {}
+
+    # -- OID table materialization ---------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        """(device_id, index, value) for one oid table, index_transform
+        applied (matching indices re-keyed, others kept — reference
+        ``_build_map_by_bulk_walk``)."""
+        if name in self._table_cache:
+            return self._table_cache[name]
+        spec = self.oids_spec[name]
+        if spec["method"] == "static":
+            rows = [(str(k), str(v)) for k, v in spec["values"].items()]
+            vals = self.spark.createDataFrame(rows, "index string, value string")
+            df = self._devices.crossJoin(F.broadcast(vals))
+        else:
+            df = self.oid_tables.where(F.col("table_name") == name).select(
+                "device_id", "index", "value"
+            )
+            it = spec.get("index_transform")
+            if it:
+                rows = [(str(k), str(v)) for k, v in it.items()]
+                m = self.spark.createDataFrame(rows, "from_idx string, to_idx string")
+                df = (
+                    df.join(F.broadcast(m), df["index"] == m["from_idx"], "left")
+                    .select(
+                        "device_id",
+                        F.coalesce("to_idx", "index").alias("index"),
+                        "value",
+                    )
+                )
+        self._table_cache[name] = df
+        return df
+
+    def scalar(self, name: str) -> DataFrame:
+        """(device_id, value) for a get-method oid (one value per device)."""
+        df = self.oid_tables.where(F.col("table_name") == name)
+        return df.groupBy("device_id").agg(F.min("value").alias(table_col(name)))
+
+    # -- per-target compilation ------------------------------------------
+
+    def _compile_target(self, name: str, tmap: dict, is_metric: bool) -> _Target:
+        info = compile_value_expr(
+            tmap["value"], self.known_tables, self.scalar_oids
+        )
+        sql = info.sql
+        sql = cast_sql(sql, tmap["type"])
+        if "transform" in tmap:
+            sql = compile_transform(
+                tmap["transform"], sql, self.known_tables, self.scalar_oids
+            )
+        indexed = self._has_indices(tmap, info)
+        return _Target(name, tmap, info, sql, indexed, is_metric)
+
+    def _has_indices(self, tmap: dict, info: ExprInfo) -> bool:
+        # reference :351-376, v0.2 branch
+        if "indices" in tmap or "indices_from" in tmap:
+            return True
+        if not info.uses_index:
+            return False
+        first = self._first_table(str(tmap["value"]))
+        return first is not None
+
+    def _first_table(self, raw_value: str):
+        import re
+
+        for m in re.finditer(r"(\w+)\.\$index", raw_value):
+            if m.group(1) in self.known_tables:
+                return m.group(1)
+        return None
+
+    def _driving_frame(self, t: _Target) -> DataFrame:
+        tmap = t.tmap
+        if "indices" in tmap:
+            idx = self.spark.createDataFrame(
+                [(str(i),) for i in tmap["indices"]], "index string"
+            )
+            return self._devices.crossJoin(F.broadcast(idx))
+        if "indices_from" in tmap:
+            return self.table(tmap["indices_from"]).select("device_id", "index")
+        first = self._first_table(str(tmap["value"]))
+        return self.table(first).select("device_id", "index")
+
+    def _indexed_values(self, t: _Target) -> DataFrame:
+        """(device_id, index, value) for an indexed target; NULL values
+        (eval failure equivalents) dropped."""
+        df = self._driving_frame(t)
+        for tbl in sorted(t.info.tables):
+            if tbl in self.scalar_oids:
+                df = df.join(self.scalar(tbl), "device_id", "left")
+            else:
+                tv = self.table(tbl).withColumnRenamed("value", table_col(tbl))
+                df = df.join(tv, ["device_id", "index"], "left")
+        df = self._join_member_flags(df, t.info, key_scope="index")
+        out = df.select(
+            "device_id", "index", F.expr(t.final_sql).alias("value")
+        ).where(F.col("value").isNotNull())
+        return out
+
+    def _join_member_flags(
+        self, df: DataFrame, info: ExprInfo, key_scope: str
+    ) -> DataFrame:
+        for tbl, left_sql in sorted(info.member_tables):
+            keys = (
+                self.table(tbl)
+                .select("device_id", F.col("index").alias("__mk"))
+                .distinct()
+                .withColumn(f"__in_{tbl}", F.lit(True))
+            )
+            df = df.join(
+                keys,
+                (df["device_id"] == keys["device_id"])
+                & (F.expr(left_sql) == keys["__mk"]),
+                "left",
+            ).drop(keys["device_id"]).drop("__mk")
+            df = df.withColumn(
+                f"__in_{tbl}", F.coalesce(F.col(f"__in_{tbl}"), F.lit(False))
+            )
+        return df
+
+    def _top_level_value(self, t: _Target) -> DataFrame:
+        """(device_id, value) for a top-level target; falsy values dropped
+        (reference ``if not value: continue``)."""
+        info = t.info
+        if info.is_aggregate:
+            base = self.table(info.agg_table).select(
+                "device_id",
+                F.col("index").alias("__agg_index"),
+                F.col("value").alias("__agg_value"),
+            )
+            base = self._join_member_flags(base, info, key_scope="agg")
+            counted = (
+                base.where(F.expr(info.agg_filter_sql))
+                .groupBy("device_id")
+                .agg(F.count("*").alias("__agg_count"))
+            )
+            # devices with zero matches: count() drops them, which matches
+            # the falsy-skip (0 -> dropped) — no re-join needed
+            df = counted.select(
+                "device_id",
+                F.expr(t.final_sql.replace("__agg_count", "__agg_count")).alias(
+                    "value"
+                ),
+            )
+        else:
+            df = self._devices
+            for tbl in sorted(info.tables):
+                if tbl in self.scalar_oids:
+                    df = df.join(self.scalar(tbl), "device_id", "left")
+                else:
+                    raise UnsupportedExpression(
+                        f"top-level target {t.name!r} references per-index "
+                        f"table {tbl!r} without $index"
+                    )
+            df = df.select("device_id", F.expr(t.final_sql).alias("value"))
+        # falsy skip: NULL, 0, '' all dropped (try_cast: non-numeric strings
+        # are truthy, and ANSI mode must not abort on them)
+        num = F.expr("try_cast(value as double)")
+        return df.where(
+            F.col("value").isNotNull()
+            & (F.col("value").cast("string") != "")
+            & F.when(num.isNotNull(), num != 0.0).otherwise(F.lit(True))
+        )
+
+    # -- group assembly ---------------------------------------------------
+
+    def compile_group(self, group: dict) -> DataFrame:
+        """One metrics_group -> DataFrame of nested groups:
+        (device_id, metrics_group_type, metrics array, dimensions array,
+        metrics_group_interval)."""
+        targets: list[_Target] = []
+        for name, tmap in group["metrics"].items():
+            targets.append(self._compile_target(name, tmap, True))
+        for name, tmap in group["dimensions"].items():
+            targets.append(self._compile_target(name, tmap, False))
+
+        idx_metrics = [t for t in targets if t.is_metric and t.indexed]
+        idx_dims = [t for t in targets if not t.is_metric and t.indexed]
+        top_metrics = [t for t in targets if t.is_metric and not t.indexed]
+        top_dims = [t for t in targets if not t.is_metric and not t.indexed]
+
+        mtype = {
+            t.name: t.tmap["metric_type"] for t in targets if t.is_metric
+        }
+
+        # ---- top-level per-device arrays
+        top_m = self._collect_long(
+            top_metrics, value_type="double", mtype=mtype, colname="top_metrics"
+        )
+        top_d = self._collect_long(
+            top_dims, value_type="string", mtype=None, colname="top_dims"
+        )
+        top = self._devices.join(top_m, "device_id", "left").join(
+            top_d, "device_id", "left"
+        )
+        top = top.withColumn(
+            "top_metrics", F.coalesce("top_metrics", F.array())
+        ).withColumn("top_dims", F.coalesce("top_dims", F.array()))
+        # empty-string dims never reach the arrays (skipped at _top_level_value)
+
+        interval = F.lit(self.interval).cast("long")
+        gname = F.lit(group["group_name"])
+
+        if idx_metrics:
+            long_m = self._union_long(idx_metrics, "double")
+            groups_m = long_m.groupBy("device_id", "index").agg(
+                F.collect_list(F.struct("name", "value")).alias("_m")
+            )
+            if idx_dims:
+                long_d = self._union_long(idx_dims, "string")
+                groups_d = long_d.groupBy("device_id", "index").agg(
+                    F.collect_list(F.struct("name", "value")).alias("_d"),
+                    F.max(F.col("value") == "").alias("_had_empty"),
+                )
+                idx_groups = groups_m.join(
+                    groups_d, ["device_id", "index"], "left"
+                )
+            else:
+                idx_groups = groups_m.withColumn(
+                    "_d",
+                    F.expr(
+                        "cast(array() as array<struct<name:string,value:string>>)"
+                    ),
+                ).withColumn("_had_empty", F.lit(False))
+            idx_groups = idx_groups.join(top, "device_id", "left")
+
+            mtype_map = F.create_map(
+                *[x for k, v in mtype.items() for x in (F.lit(k), F.lit(v))]
+            ) if mtype else F.create_map()
+
+            metrics_arr = F.expr(
+                "transform(_m, s -> struct(s.name as metric_name,"
+                " cast(s.value as double) as metric_value,"
+                " element_at(_mtype, s.name) as metric_type,"
+                " cast(0.0 as double) as metric_creation_timestamp))"
+            )
+            dims_arr = F.expr(
+                "transform(filter(coalesce(_d, array()), s -> s.value != ''),"
+                " s -> struct(s.name as dimension_name,"
+                " s.value as dimension_value))"
+            )
+            out = (
+                idx_groups.withColumn("_mtype", mtype_map)
+                .withColumn("metrics", F.concat(metrics_arr, F.col("top_metrics")))
+                .withColumn("dimensions", F.concat(dims_arr, F.col("top_dims")))
+                .withColumn(
+                    "_suppress",
+                    F.coalesce("_had_empty", F.lit(False))
+                    & F.lit(not group["ignore_empty_dimensions"]),
+                )
+                .where(~F.col("_suppress"))
+                .select(
+                    "device_id",
+                    gname.alias("metrics_group_type"),
+                    interval.alias("metrics_group_interval"),
+                    "metrics",
+                    "dimensions",
+                )
+            )
+            # devices with no surviving indexed metrics -> top-level-only
+            # group (reference else-branch :657-678)
+            no_idx = top.join(
+                groups_m.select("device_id").distinct(), "device_id", "left_anti"
+            )
+            top_only = no_idx.select(
+                "device_id",
+                gname.alias("metrics_group_type"),
+                interval.alias("metrics_group_interval"),
+                F.col("top_metrics").alias("metrics"),
+                F.col("top_dims").alias("dimensions"),
+            )
+            return out.unionByName(top_only)
+
+        # group with no indexed metric targets: one top-level group per device
+        return top.select(
+            "device_id",
+            gname.alias("metrics_group_type"),
+            interval.alias("metrics_group_interval"),
+            F.col("top_metrics").alias("metrics"),
+            F.col("top_dims").alias("dimensions"),
+        )
+
+    def _union_long(self, targets: list[_Target], value_type: str) -> DataFrame:
+        dfs = []
+        for t in targets:
+            v = self._indexed_values(t)
+            dfs.append(
+                v.select(
+                    "device_id",
+                    "index",
+                    F.lit(t.name).alias("name"),
+                    F.col("value").cast(value_type).alias("value"),
+                ).where(F.col("value").isNotNull())
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _collect_long(
+        self, targets: list[_Target], value_type: str, mtype, colname: str
+    ) -> DataFrame:
+        """Per-device array of top-level targets (metrics get their type)."""
+        if not targets:
+            if value_type == "double":
+                schema = (
+                    "device_id string, "
+                    f"{colname} array<struct<metric_name:string,"
+                    "metric_value:double,metric_type:string,"
+                    "metric_creation_timestamp:double>>"
+                )
+            else:
+                schema = (
+                    "device_id string, "
+                    f"{colname} array<struct<dimension_name:string,"
+                    "dimension_value:string>>"
+                )
+            return self.spark.createDataFrame([], schema)
+        dfs = []
+        for t in targets:
+            v = self._top_level_value(t)
+            if value_type == "double":
+                row = F.struct(
+                    F.lit(t.name).alias("metric_name"),
+                    F.col("value").cast("double").alias("metric_value"),
+                    F.lit(mtype[t.name]).alias("metric_type"),
+                    F.lit(0.0).alias("metric_creation_timestamp"),
+                )
+            else:
+                row = F.struct(
+                    F.lit(t.name).alias("dimension_name"),
+                    F.col("value").cast("string").alias("dimension_value"),
+                )
+            dfs.append(v.select("device_id", row.alias("entry")))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.groupBy("device_id").agg(F.collect_list("entry").alias(colname))
+
+    def compile(self) -> DataFrame:
+        """All metrics_groups unioned, canonical array order applied."""
+        outs = [self.compile_group(g) for g in self.program["metrics_groups"]]
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        # canonical order for deterministic comparison
+        df = df.withColumn(
+            "metrics",
+            F.expr(
+                "array_sort(metrics, (a, b) -> CASE"
+                " WHEN a.metric_name < b.metric_name THEN -1"
+                " WHEN a.metric_name > b.metric_name THEN 1 ELSE 0 END)"
+            ),
+        ).withColumn(
+            "dimensions",
+            F.expr(
+                "array_sort(dimensions, (a, b) -> CASE"
+                " WHEN a.dimension_name < b.dimension_name THEN -1"
+                " WHEN a.dimension_name > b.dimension_name THEN 1 ELSE 0 END)"
+            ),
+        )
+        return df
+
+
+def flatten_groups(df: DataFrame) -> DataFrame:
+    """Nested groups -> one row per metric with dims as sorted string
+    (comparison-friendly flat projection)."""
+    return (
+        df.withColumn(
+            "dims_str",
+            F.expr(
+                "array_join(transform(dimensions,"
+                " d -> concat(d.dimension_name, '=', d.dimension_value)), ',')"
+            ),
+        )
+        .select(
+            "device_id",
+            "metrics_group_type",
+            "metrics_group_interval",
+            "dims_str",
+            F.explode_outer("metrics").alias("m"),
+        )
+        .select(
+            "device_id",
+            "metrics_group_type",
+            "metrics_group_interval",
+            "dims_str",
+            F.col("m.metric_name").alias("metric_name"),
+            F.col("m.metric_value").alias("metric_value"),
+            F.col("m.metric_type").alias("metric_type"),
+        )
+    )

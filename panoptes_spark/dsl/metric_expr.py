@@ -1,0 +1,322 @@
+"""Expression translator for the metric-computation DSL (§2.9).
+
+The reference evaluates arbitrary Python strings per index with ``eval``
+(``plugin_polling_generic_snmp.py:489-521`` — a sandboxing hazard we must not
+reproduce). This module instead parses the expression with :mod:`ast` and
+compiles the observed corpus to Spark SQL strings:
+
+- literals, arithmetic (+ - * / % **), comparisons, and/or/not, ternary
+- ``table.$index`` references (rewritten to join-column placeholders)
+- casts ``int()`` / ``float()`` / ``str()``, ``round(x, n)``, ``abs``
+- membership ``x in ['1','2']`` (literal list) and ``x in other_table``
+  (key-set membership → semi-join flag column)
+- aggregate form ``len([x for x in T.values() if pred])`` /
+  ``len([(x,y) for (x,y) in T.items() if pred])`` → count-where over T
+  (the A1 conditional-count aggregates)
+- ``transform`` lambdas (``lambda x: ...``) applied to a computed column
+
+Unsupported constructs raise :class:`UnsupportedExpression`; callers may fall
+back to a pandas UDF (slow path) — never ``eval``.
+
+Python semantic parity notes:
+- ``int('4.5')`` raises in Python → per-index skip; Spark ``CAST('4.5' AS
+  BIGINT)`` yields NULL → row dropped. Same observable result.
+- ``int(3.9)`` truncates toward zero in both engines.
+- division ``/`` is true division (Python 3) → cast operands to DOUBLE.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from dataclasses import dataclass, field
+
+
+class UnsupportedExpression(ValueError):
+    pass
+
+
+_TABLE_REF_RE = re.compile(r"(\w+)\.\$index")
+
+
+def table_col(name: str) -> str:
+    return f"__t_{name}"
+
+
+@dataclass
+class ExprInfo:
+    """What a compiled expression needs from the plan."""
+
+    sql: str
+    tables: set = field(default_factory=set)  # joined per-index tables
+    member_tables: set = field(default_factory=set)  # key-membership semi-join flags
+    uses_index: bool = False
+    is_aggregate: bool = False
+    agg_table: str | None = None  # table the count-comprehension iterates
+    agg_filter_sql: str | None = None  # filter over (index,value) of agg_table
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+class _Translator:
+    """ast -> Spark SQL. ``env`` maps python variable names to SQL exprs."""
+
+    def __init__(self, known_tables: set, scalar_oids: set, env: dict | None = None):
+        self.known_tables = known_tables
+        self.scalar_oids = scalar_oids
+        self.env = env or {}
+        self.info = ExprInfo(sql="")
+
+    def translate(self, node: ast.AST) -> str:
+        m = getattr(self, f"_t_{type(node).__name__}", None)
+        if m is None:
+            raise UnsupportedExpression(
+                f"unsupported syntax: {ast.dump(node)[:80]}"
+            )
+        return m(node)
+
+    # -- leaves ----------------------------------------------------------
+
+    def _t_Constant(self, node):
+        v = node.value
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return _q(v)
+        if v is None:
+            return "NULL"
+        raise UnsupportedExpression(f"constant {v!r}")
+
+    def _t_Name(self, node):
+        if node.id in self.env:
+            return self.env[node.id]
+        if node.id in self.scalar_oids:
+            # a `get`-method scalar oid: joined per-device
+            self.info.tables.add(node.id)
+            return table_col(node.id)
+        raise UnsupportedExpression(f"unknown name {node.id!r}")
+
+    def _t_Attribute(self, node):
+        raise UnsupportedExpression("attribute access outside table.$index")
+
+    # -- operators -------------------------------------------------------
+
+    _BINOPS = {
+        ast.Add: "+",
+        ast.Sub: "-",
+        ast.Mult: "*",
+        ast.Mod: "%",
+    }
+
+    def _t_BinOp(self, node):
+        l, r = self.translate(node.left), self.translate(node.right)
+        if isinstance(node.op, ast.Div):
+            # python3 true division; try_divide: ZeroDivisionError -> row skip
+            return f"try_divide(CAST({l} AS DOUBLE), CAST({r} AS DOUBLE))"
+        if isinstance(node.op, ast.Pow):
+            return f"POWER({l}, {r})"
+        if isinstance(node.op, ast.FloorDiv):
+            return f"FLOOR(CAST({l} AS DOUBLE) / CAST({r} AS DOUBLE))"
+        op = self._BINOPS.get(type(node.op))
+        if not op:
+            raise UnsupportedExpression(f"operator {node.op}")
+        return f"({l} {op} {r})"
+
+    def _t_UnaryOp(self, node):
+        v = self.translate(node.operand)
+        if isinstance(node.op, ast.USub):
+            return f"(- {v})"
+        if isinstance(node.op, ast.Not):
+            return f"(NOT {v})"
+        raise UnsupportedExpression(f"unary {node.op}")
+
+    def _t_BoolOp(self, node):
+        op = " AND " if isinstance(node.op, ast.And) else " OR "
+        return "(" + op.join(self.translate(v) for v in node.values) + ")"
+
+    _CMPOPS = {ast.Eq: "=", ast.NotEq: "<>", ast.Lt: "<", ast.LtE: "<=",
+               ast.Gt: ">", ast.GtE: ">="}
+
+    def _t_Compare(self, node):
+        if len(node.ops) != 1:
+            raise UnsupportedExpression("chained comparison")
+        op, right = node.ops[0], node.comparators[0]
+        left_sql = self.translate(node.left)
+        if isinstance(op, (ast.In, ast.NotIn)):
+            neg = "NOT " if isinstance(op, ast.NotIn) else ""
+            if isinstance(right, (ast.List, ast.Tuple, ast.Set)):
+                items = ", ".join(self.translate(e) for e in right.elts)
+                return f"({left_sql} {neg}IN ({items}))"
+            if isinstance(right, ast.Name) and right.id in self.known_tables:
+                # membership against another table's KEY set (python dict
+                # `in` semantics) -> semi-join flag column; record the key
+                # expression so the compiler can build the join
+                self.info.member_tables.add((right.id, left_sql))
+                flag = f"__in_{right.id}"
+                return f"({neg}({flag}))" if neg else f"({flag})"
+            raise UnsupportedExpression("membership target")
+        if type(op) not in self._CMPOPS:
+            raise UnsupportedExpression(f"comparison {op}")
+        return f"({left_sql} {self._CMPOPS[type(op)]} {self.translate(right)})"
+
+    def _t_IfExp(self, node):
+        return (
+            f"(CASE WHEN {self.translate(node.test)} THEN "
+            f"{self.translate(node.body)} ELSE {self.translate(node.orelse)} END)"
+        )
+
+    # -- calls -----------------------------------------------------------
+
+    def _t_Call(self, node):
+        if not isinstance(node.func, ast.Name):
+            raise UnsupportedExpression("call on non-name")
+        fname = node.func.id
+        args = node.args
+        # TRY_CAST(string AS BIGINT): '4'->4, '4.5'->NULL (python int()
+        # raises -> per-index skip); double->BIGINT truncates toward zero
+        # like int(); plain CAST under ANSI mode would fail the whole job
+        if fname == "int" and len(args) == 1:
+            return f"TRY_CAST({self.translate(args[0])} AS BIGINT)"
+        if fname == "float" and len(args) == 1:
+            return f"TRY_CAST({self.translate(args[0])} AS DOUBLE)"
+        if fname == "str" and len(args) == 1:
+            return f"CAST({self.translate(args[0])} AS STRING)"
+        if fname == "abs" and len(args) == 1:
+            return f"ABS({self.translate(args[0])})"
+        if fname == "round":
+            inner = self.translate(args[0])
+            nd = self.translate(args[1]) if len(args) > 1 else "0"
+            return f"ROUND({inner}, {nd})"
+        if fname == "len" and len(args) == 1 and isinstance(args[0], ast.ListComp):
+            return self._aggregate_count(args[0])
+        raise UnsupportedExpression(f"call {fname}()")
+
+    def _aggregate_count(self, comp: ast.ListComp):
+        """len([... for ... in T.values()/.items() if pred]) -> count-where."""
+        if self.info.is_aggregate:
+            raise UnsupportedExpression("nested aggregate")
+        if len(comp.generators) != 1:
+            raise UnsupportedExpression("multiple generators")
+        gen = comp.generators[0]
+        it = gen.iter
+        if not (
+            isinstance(it, ast.Call)
+            and isinstance(it.func, ast.Attribute)
+            and isinstance(it.func.value, ast.Name)
+            and it.func.attr in ("values", "items", "keys")
+        ):
+            raise UnsupportedExpression("comprehension iterates non-table")
+        tname = it.func.value.id
+        if tname not in self.known_tables:
+            raise UnsupportedExpression(f"unknown table {tname}")
+        env = {}
+        if it.func.attr == "values":
+            if not isinstance(gen.target, ast.Name):
+                raise UnsupportedExpression("values() target")
+            env[gen.target.id] = "__agg_value"
+        elif it.func.attr == "keys":
+            if not isinstance(gen.target, ast.Name):
+                raise UnsupportedExpression("keys() target")
+            env[gen.target.id] = "__agg_index"
+        else:  # items
+            if not (isinstance(gen.target, ast.Tuple) and len(gen.target.elts) == 2):
+                raise UnsupportedExpression("items() target")
+            k, v = gen.target.elts
+            env[k.id] = "__agg_index"
+            env[v.id] = "__agg_value"
+        sub = _Translator(self.known_tables, self.scalar_oids, env)
+        if gen.ifs:
+            cond = " AND ".join(sub.translate(i) for i in gen.ifs)
+        else:
+            cond = "TRUE"
+        self.info.is_aggregate = True
+        self.info.agg_table = tname
+        self.info.agg_filter_sql = cond
+        self.info.member_tables |= sub.info.member_tables
+        self.info.tables |= sub.info.tables
+        return "__agg_count"  # placeholder; compiler builds the agg plan
+
+
+def _rewrite_index_refs(expr: str) -> tuple[str, set]:
+    """Replace ``table.$index`` with placeholder identifiers parseable by
+    ast; a bare ``$index`` becomes the index variable itself (reference
+    ``_parse_expression`` rewrites it to ``index``)."""
+    tables = set(_TABLE_REF_RE.findall(expr))
+    out = _TABLE_REF_RE.sub(lambda m: table_col(m.group(1)), expr)
+    out = out.replace("$index", "__IDX__")
+    return out, tables
+
+
+def compile_value_expr(
+    raw: object, known_tables: set, scalar_oids: set
+) -> ExprInfo:
+    """Compile a DSL ``value`` into an ExprInfo.
+
+    ``raw`` may be a literal (int/float/str constant per shorthand rules,
+    ``plugin_polling_generic_snmp.py:378-397``) or an expression string.
+    String literals that are valid expressions referencing nothing are kept
+    as expressions (matches the reference's eval, where '"'"'ctrl'"'"' evals
+    to a string but ``ctrl`` would NameError).
+    """
+    if isinstance(raw, bool):
+        raise UnsupportedExpression("bool literal")
+    if isinstance(raw, (int, float)):
+        return ExprInfo(sql=repr(raw))
+    if not isinstance(raw, str):
+        raise UnsupportedExpression(f"value of type {type(raw)}")
+
+    rewritten, idx_tables = _rewrite_index_refs(raw)
+    try:
+        tree = ast.parse(rewritten, mode="eval")
+    except SyntaxError as e:
+        raise UnsupportedExpression(f"syntax error: {e}")
+
+    tr = _Translator(known_tables, scalar_oids)
+    # table.$index placeholders resolve as plain names
+    for t in idx_tables:
+        tr.env[table_col(t)] = table_col(t)
+    tr.env["__IDX__"] = "index"
+    sql = tr.translate(tree.body)
+    info = tr.info
+    info.sql = sql
+    info.tables |= idx_tables
+    info.uses_index = bool(idx_tables) or "__IDX__" in rewritten
+    return info
+
+
+def compile_transform(raw: str, inner_sql: str, known_tables: set, scalar_oids: set) -> str:
+    """Compile a ``lambda x: ...`` transform applied to ``inner_sql``."""
+    try:
+        tree = ast.parse(raw, mode="eval")
+    except SyntaxError as e:
+        raise UnsupportedExpression(f"transform syntax error: {e}")
+    fn = tree.body
+    if not isinstance(fn, ast.Lambda) or len(fn.args.args) != 1:
+        raise UnsupportedExpression("transform must be a 1-arg lambda")
+    var = fn.args.args[0].arg
+    tr = _Translator(known_tables, scalar_oids, env={var: inner_sql})
+    return tr.translate(fn.body)
+
+
+CAST_SQL = {
+    # reference _TYPE_MAPPING (plugin_polling_generic_snmp.py:22-44)
+    "Integer": "BIGINT", "Integer32": "BIGINT", "UInteger32": "BIGINT",
+    "Counter32": "BIGINT", "Counter64": "BIGINT", "Gauge32": "BIGINT",
+    "TimeTicks": "BIGINT", "integer": "BIGINT", "int": "BIGINT",
+    "long": "BIGINT",
+    "float": "DOUBLE", "double": "DOUBLE",
+    "Octet String": "STRING", "Object Identifier": "STRING",
+    "Bit String": "STRING", "IpAddress": "STRING", "Opaque": "STRING",
+    "NsapAddress": "STRING", "string": "STRING", "str": "STRING",
+}
+
+
+def cast_sql(inner_sql: str, type_name: str) -> str:
+    t = CAST_SQL.get(type_name)
+    if t is None:
+        raise UnsupportedExpression(f"unknown type {type_name!r}")
+    return f"TRY_CAST({inner_sql} AS {t})"

@@ -188,6 +188,60 @@ enrichment_flat AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# OID tables <- lineitem (long-format input for the metric-computation DSL)
+# ---------------------------------------------------------------------------
+
+# Five devices; per (device, sensor-index) a reading (max quantity) and, for
+# every 4th index, a scale factor — giving the indices_from-subset shape the
+# DSL doc exercises (Generic_SNMP_Polling_DSL.md "indices_from").
+OID_TABLES_CTE = """
+oid_base AS (
+  SELECT 'dev-' || CAST(l_suppkey % 5 AS VARCHAR) AS device_id,
+         l_partkey % 40 AS idx,
+         CAST(max(l_quantity) AS BIGINT) AS maxq
+  FROM lineitem GROUP BY 1, 2
+),
+sensor_value AS (
+  SELECT device_id, CAST(idx AS VARCHAR) AS index, CAST(maxq AS VARCHAR) AS value
+  FROM oid_base
+),
+sensor_scale AS (
+  SELECT device_id, CAST(idx AS VARCHAR) AS index,
+         CAST(idx % 3 + 1 AS VARCHAR) AS value
+  FROM oid_base WHERE idx % 4 = 0
+)
+"""
+
+
+def oid_tables_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (
+        li.select(
+            F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
+                "device_id"
+            ),
+            (F.col("l_partkey") % 40).alias("idx"),
+            "l_quantity",
+        )
+        .groupBy("device_id", "idx")
+        .agg(F.max("l_quantity").cast("long").alias("maxq"))
+    )
+    sensor_value = base.select(
+        "device_id",
+        F.lit("sensor_value").alias("table_name"),
+        F.col("idx").cast("string").alias("index"),
+        F.col("maxq").cast("string").alias("value"),
+    )
+    sensor_scale = base.where(F.col("idx") % 4 == 0).select(
+        "device_id",
+        F.lit("sensor_scale").alias("table_name"),
+        F.col("idx").cast("string").alias("index"),
+        (F.col("idx") % 3 + 1).cast("string").alias("value"),
+    )
+    return sensor_value.unionByName(sensor_scale)
+
+
 def enrichment_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return c.select(

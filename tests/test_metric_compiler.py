@@ -1,0 +1,330 @@
+"""Golden tests for the metric-computation DSL compiler, mirroring the
+examples in the reference's docs/Generic_SNMP_Polling_DSL.md:140-506."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
+from panoptes_spark.dsl.metric_expr import UnsupportedExpression, compile_value_expr
+
+
+def make_tables(spark, rows):
+    return spark.createDataFrame(
+        rows, "device_id string, table_name string, index string, value string"
+    )
+
+
+def run(spark, program, rows, **kw):
+    c = MetricDSLCompiler(spark, program, make_tables(spark, rows), **kw)
+    return c.compile()
+
+
+def points(df):
+    out = {}
+    for r in flatten_groups(df).collect():
+        out[(r.device_id, r.metrics_group_type, r.dims_str, r.metric_name)] = (
+            r.metric_value,
+            r.metric_type,
+        )
+    return out
+
+
+def test_top_level_literal_metric(spark):
+    # doc "Top-level Metric": hard-coded fans_total = 1
+    program = {
+        "oids": {},
+        "metrics_groups": [
+            {
+                "group_name": "environment",
+                "dimensions": {},
+                "metrics": {"fans_total": {"metric_type": "gauge", "type": "integer", "value": 1}},
+            }
+        ],
+    }
+    devices = spark.createDataFrame([("d1",), ("d2",)], "device_id string")
+    c = MetricDSLCompiler(
+        spark, program, make_tables(spark, []), static_devices=devices
+    )
+    p = points(c.compile())
+    assert p[("d1", "environment", "", "fans_total")] == (1.0, "gauge")
+    assert p[("d2", "environment", "", "fans_total")] == (1.0, "gauge")
+
+
+def test_simple_table_lookup(spark):
+    # doc "Simple Table Lookup": one group per index of the dimension table
+    program = {
+        "oids": {
+            "memory_name": {"method": "static", "values": {"1": "Processor"}},
+            "memory_total": {"method": "bulk_walk", "oid": ".1.2"},
+            "memory_used": {"method": "bulk_walk", "oid": ".1.3"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "memory",
+                "dimensions": {"memory_type": "memory_name.$index"},
+                "metrics": {
+                    "memory_total": {"metric_type": "gauge", "value": "int(memory_total.$index)"},
+                    "memory_used": {"metric_type": "gauge", "value": "int(memory_used.$index)"},
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "memory_total", "1", "1002273800"),
+        ("d1", "memory_used", "1", "190000700"),
+    ]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "memory", "memory_type=Processor", "memory_used")] == (
+        190000700.0, "gauge")
+    assert p[("d1", "memory", "memory_type=Processor", "memory_total")] == (
+        1002273800.0, "gauge")
+    assert len(p) == 2
+
+
+def test_transform_and_indices(spark):
+    # doc "Simple Transform" + "indices": C->F with zero-guard, restricted
+    program = {
+        "oids": {
+            "temp_sensor_name": {
+                "method": "static",
+                "values": {"2.1.1.0": "Power Supply 0", "2.1.2.0": "Power Supply 1",
+                           "4.1.1.0": "Fan Tray 0"},
+            },
+            "temp_sensor_values": {"method": "bulk_walk", "oid": ".1.7"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "environment",
+                "dimensions": {"sensor": "temp_sensor_name.$index"},
+                "metrics": {
+                    "temperature_fahrenheit": {
+                        "metric_type": "gauge",
+                        "indices": ["2.1.1.0", "2.1.2.0"],
+                        "transform": "lambda x: round((x * 1.8) + 32, 2) if x != 0 else 0.0",
+                        "type": "float",
+                        "value": "temp_sensor_values.$index",
+                    }
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "temp_sensor_values", "2.1.1.0", "34"),
+        ("d1", "temp_sensor_values", "2.1.2.0", "0"),
+        ("d1", "temp_sensor_values", "4.1.1.0", "50"),
+    ]
+    p = points(run(spark, program, rows))
+    # only the two power supplies, zero-guard applied to the second
+    assert p[("d1", "environment", "sensor=Power Supply 0", "temperature_fahrenheit")] == (93.2, "gauge")
+    assert p[("d1", "environment", "sensor=Power Supply 1", "temperature_fahrenheit")] == (0.0, "gauge")
+    assert len(p) == 2
+
+
+def test_indices_from_multi_table_join(spark):
+    # doc "Evaluated Value"/"indices_from": value joins two tables on $index;
+    # scales table indices are a strict subset
+    program = {
+        "oids": {
+            "temp_sensor_name": {"method": "static",
+                                 "values": {"1": "S1", "2": "S2", "3": "S3"}},
+            "ent_sensor_values": {"method": "bulk_walk", "oid": ".1"},
+            "temp_sensor_scales": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "environment",
+                "dimensions": {"sensor": "temp_sensor_name.$index"},
+                "metrics": {
+                    "temperature_fahrenheit": {
+                        "indices_from": "temp_sensor_scales",
+                        "metric_type": "gauge",
+                        "transform": "lambda x: round((x * 1.8) + 32, 2)",
+                        "type": "float",
+                        "value": "int(ent_sensor_values.$index) * int(temp_sensor_scales.$index)",
+                    }
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "ent_sensor_values", "1", "30"),
+        ("d1", "ent_sensor_values", "2", "20"),
+        ("d1", "ent_sensor_values", "3", "10"),
+        ("d1", "temp_sensor_scales", "1", "1"),
+        ("d1", "temp_sensor_scales", "2", "2"),
+    ]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "environment", "sensor=S1", "temperature_fahrenheit")] == (86.0, "gauge")
+    assert p[("d1", "environment", "sensor=S2", "temperature_fahrenheit")] == (104.0, "gauge")
+    assert len(p) == 2  # index 3 not in scales -> no group
+
+
+def test_index_transform_rekeying(spark):
+    # doc "index_transform": cpu_util walks indices 0/1/10; transform maps
+    # 1 -> 22 to match the static tables; extraneous indices ignored
+    program = {
+        "oids": {
+            "cpu_name": {"method": "static", "values": {"22": "Supervisor"}},
+            "cpu_no": {"method": "static", "values": {"22": "Module 1"}},
+            "cpu_util": {
+                "method": "bulk_walk",
+                "oid": ".1.8",
+                "index_transform": {"0": "26584", "1": "22", "10": "4959"},
+            },
+        },
+        "metrics_groups": [
+            {
+                "group_name": "cpu",
+                "dimensions": {
+                    "cpu_name": "cpu_name.$index",
+                    "cpu_no": "cpu_no.$index",
+                    "cpu_type": {"value": "'ctrl'"},
+                },
+                "metrics": {
+                    "cpu_utilization": {"metric_type": "gauge", "value": "int(cpu_util.$index)"}
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "cpu_util", "0", "3"),
+        ("d1", "cpu_util", "1", "5"),
+        ("d1", "cpu_util", "10", "7"),
+    ]
+    df = run(spark, program, rows)
+    p = points(df)
+    key = ("d1", "cpu", "cpu_name=Supervisor,cpu_no=Module 1,cpu_type=ctrl",
+           "cpu_utilization")
+    assert p[key] == (5.0, "gauge")
+    # re-keyed-but-unmatched indices (26584, 4959) still emit groups whose
+    # indexed dims are absent (no empty-string seen -> not suppressed)
+    from panoptes_spark.dsl.metric_compiler import flatten_groups
+    rows_out = flatten_groups(df).collect()
+    assert len(rows_out) == 3
+    unmatched = sorted(r.metric_value for r in rows_out
+                       if r.dims_str == "cpu_type=ctrl")
+    assert unmatched == [3.0, 7.0]
+
+
+def test_conditional_count_aggregates(spark):
+    # A1: len([x for x in t.values() if x == '2']) and items() + membership
+    program = {
+        "oids": {
+            "fan_statuses": {"method": "bulk_walk", "oid": ".1"},
+            "fans": {"method": "bulk_walk", "oid": ".2"},
+            "oper_status": {"method": "bulk_walk", "oid": ".3"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "environment",
+                "dimensions": {},
+                "metrics": {
+                    "fans_ok": {
+                        "metric_type": "gauge",
+                        "value": "len([x for x in fan_statuses.values() if x == '2'])",
+                    },
+                    "fans_down": {
+                        "metric_type": "gauge",
+                        "value": "len([(x,y) for (x,y) in oper_status.items() if x in fans and y not in ['6']])",
+                    },
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "fan_statuses", "1", "2"),
+        ("d1", "fan_statuses", "2", "2"),
+        ("d1", "fan_statuses", "3", "1"),
+        ("d1", "fans", "7", "Fan 7"),
+        ("d1", "fans", "8", "Fan 8"),
+        ("d1", "oper_status", "7", "6"),
+        ("d1", "oper_status", "8", "2"),
+        ("d1", "oper_status", "9", "2"),
+    ]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "environment", "", "fans_ok")] == (2.0, "gauge")
+    # oper_status: idx 8 (in fans, value != '6') counts; idx 7 excluded by
+    # value '6'; idx 9 not in fans
+    assert p[("d1", "environment", "", "fans_down")] == (1.0, "gauge")
+
+
+def test_empty_dimension_suppression(spark):
+    program = {
+        "oids": {
+            "names": {"method": "bulk_walk", "oid": ".1"},
+            "vals": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {"name": "names.$index"},
+                "metrics": {"v": {"value": "int(vals.$index)", "indices_from": "names"}},
+            }
+        ],
+    }
+    rows = [
+        ("d1", "names", "1", "ok"),
+        ("d1", "names", "2", ""),  # empty dimension value
+        ("d1", "vals", "1", "10"),
+        ("d1", "vals", "2", "20"),
+    ]
+    p = points(run(spark, program, rows))
+    assert ("d1", "g", "name=ok", "v") in p
+    assert len([k for k in p if k[1] == "g" and "v" == k[3]]) == 1  # idx 2 suppressed
+
+    # with ignore_empty_dimensions the group survives, dim omitted
+    program["metrics_groups"][0]["ignore_empty_dimensions"] = True
+    p = points(run(spark, program, rows))
+    assert ("d1", "g", "", "v") in p  # empty dim dropped, group kept
+    assert len([k for k in p if k[1] == "g"]) == 2
+
+
+def test_top_level_falsy_skip_and_merge_into_indexed(spark):
+    # v0.2: top-level metrics merge into every indexed group; falsy skipped
+    program = {
+        "oids": {
+            "names": {"method": "static", "values": {"1": "a", "2": "b"}},
+            "vals": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {"name": "names.$index"},
+                "metrics": {
+                    "v": {"value": "int(vals.$index)"},
+                    "total": {"value": 5},
+                    "zero_skipped": {"value": 0},
+                },
+            }
+        ],
+    }
+    rows = [("d1", "vals", "1", "10"), ("d1", "vals", "2", "20")]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "g", "name=a", "v")] == (10.0, "gauge")
+    assert p[("d1", "g", "name=a", "total")] == (5.0, "gauge")
+    assert ("d1", "g", "name=a", "zero_skipped") not in p
+    assert p[("d1", "g", "name=b", "total")] == (5.0, "gauge")
+
+
+def test_multi_device_isolation(spark):
+    program = {
+        "oids": {"vals": {"method": "bulk_walk", "oid": ".2"}},
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {},
+                "metrics": {"v": {"value": "int(vals.$index)"}},
+            }
+        ],
+    }
+    rows = [("d1", "vals", "1", "10"), ("d2", "vals", "1", "99")]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "g", "", "v")] == (10.0, "gauge")
+    assert p[("d2", "g", "", "v")] == (99.0, "gauge")
+
+
+def test_unsupported_expression_raises():
+    with pytest.raises(UnsupportedExpression):
+        compile_value_expr("__import__('os').system('x')", set(), set())
+    with pytest.raises(UnsupportedExpression):
+        compile_value_expr("[x for x in range(10)]", set(), set())
