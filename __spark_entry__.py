@@ -212,6 +212,96 @@ FROM temps t JOIN totals tot ON t.device_id = tot.device_id
 
 
 # ---------------------------------------------------------------------------
+# J5/W5: resource reconciliation with timestamp conflict resolution.
+# Paired snapshots derived from orders: current = keys with k%5<4,
+# incoming = keys with k%5>0; ts collisions via k%7.
+# ---------------------------------------------------------------------------
+
+_RECONCILE_SET_TS = 50.0
+
+
+def _reconcile_snapshots(spark: SparkSession, sf_dir: str):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cur = o.where(F.col("o_orderkey") % 5 < 4).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 100).cast("double").alias("ts"),
+        F.col("o_totalprice").alias("price"),
+    )
+    inc = o.where(F.col("o_orderkey") % 5 > 0).select(
+        "o_orderkey",
+        (
+            (F.col("o_orderkey") % 100)
+            + F.when(F.col("o_orderkey") % 7 == 0, -10).otherwise(10)
+        ).cast("double").alias("ts"),
+        # decimal-exact: double*1.1 rounds differently across engines
+        F.expr(
+            "cast(round(cast(o_totalprice as decimal(18,2)) *"
+            " cast(1.1 as decimal(3,2)), 2) as double)"
+        ).alias("price"),
+    )
+    return cur, inc
+
+
+def _reconcile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.reconcile import reconcile
+
+    cur, inc = _reconcile_snapshots(spark, sf_dir)
+    return reconcile(
+        cur, inc, _RECONCILE_SET_TS, identity_cols=["o_orderkey"], ts_col="ts"
+    ).select("o_orderkey", "action", "cur_ts", "inc_ts", "cur_price", "inc_price")
+
+
+def _reconcile_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.reconcile import apply_reconciliation
+
+    cur, inc = _reconcile_snapshots(spark, sf_dir)
+    return apply_reconciliation(
+        cur, inc, _RECONCILE_SET_TS, identity_cols=["o_orderkey"], ts_col="ts"
+    )
+
+
+_RECONCILE_CTE = f"""
+cur AS (
+  SELECT o_orderkey, CAST(o_orderkey % 100 AS DOUBLE) AS ts,
+         o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 < 4
+),
+inc AS (
+  SELECT o_orderkey,
+         CAST((o_orderkey % 100) + CASE WHEN o_orderkey % 7 = 0 THEN -10 ELSE 10 END AS DOUBLE) AS ts,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 > 0
+),
+plan AS (
+  SELECT COALESCE(cur.o_orderkey, inc.o_orderkey) AS o_orderkey,
+         cur.ts AS cur_ts, inc.ts AS inc_ts,
+         cur.price AS cur_price, inc.price AS inc_price,
+         CASE
+           WHEN cur.ts IS NOT NULL AND inc.ts IS NULL AND cur.ts > {_RECONCILE_SET_TS} THEN 'keep_newer'
+           WHEN cur.ts IS NOT NULL AND inc.ts IS NULL THEN 'delete'
+           WHEN cur.ts IS NULL AND inc.ts IS NOT NULL THEN 'add'
+           WHEN cur.ts > inc.ts THEN 'skip_update'
+           ELSE 'update'
+         END AS action
+  FROM cur FULL OUTER JOIN inc USING (o_orderkey)
+)
+"""
+
+_RECONCILE_PLAN_ORACLE = f"""
+WITH {_RECONCILE_CTE}
+SELECT o_orderkey, action, cur_ts, inc_ts, cur_price, inc_price FROM plan
+"""
+
+_RECONCILE_APPLY_ORACLE = f"""
+WITH {_RECONCILE_CTE}
+SELECT o_orderkey,
+       CASE WHEN action IN ('add','update') THEN inc_ts ELSE cur_ts END AS ts,
+       CASE WHEN action IN ('add','update') THEN inc_price ELSE cur_price END AS price
+FROM plan WHERE action <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Aggregation showcase (A-family): pricing summary over lineitem.
 # Decimal-exact sums, cast to double at the end → engine-stable hashes.
 # ---------------------------------------------------------------------------
@@ -284,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j6_rate_batch": _rate_batch,
             "a_pricing_summary": _pricing_summary,
             "dsl_metric_program": _dsl_metric_program,
+            "j5_reconcile_plan": _reconcile_plan,
+            "j5_reconcile_apply": _reconcile_apply,
         }
     )
     return out
@@ -299,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
             "j6_rate_batch": _RATE_ORACLE,
             "a_pricing_summary": _PRICING_SUMMARY_ORACLE,
             "dsl_metric_program": _DSL_METRIC_ORACLE,
+            "j5_reconcile_plan": _RECONCILE_PLAN_ORACLE,
+            "j5_reconcile_apply": _RECONCILE_APPLY_ORACLE,
         }
     )
     return out
