@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j5_reconcile_apply": _reconcile_apply,
         }
     )
+    from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
+
+    out.update(_PIPE_QUERIES)
     return out
 
 
@@ -395,4 +398,7 @@ def oracle_sql() -> dict[str, str]:
             "j5_reconcile_apply": _RECONCILE_APPLY_ORACLE,
         }
     )
+    from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
+
+    out.update(_PIPE_ORACLES)
     return out

@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are DataFrame-native (no Python UDFs in the hot path) and keyed
+so the only shuffles are the candidate-bucket joins:
+
+- exact:       hash-groupBy on content (or normalized content)
+- minhash LSH: word-shingles -> K minhash perms -> banded buckets ->
+               candidate self-join -> exact Jaccard verify
+- simhash:     60-bit sign-sum fingerprint (hamming-adjacent docs collide
+               on band-exact match)
+- n-gram Jaccard: direct pair similarity (for verify / small candidate sets)
+
+Portable hash primitive (identical in Spark and DuckDB, used so the
+correctness gate can hash-compare):
+
+    Spark:  cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+Scale notes (100 TB): per-row signature computation is narrow (no shuffle);
+LSH bucketing shuffles once on (band, bucket-hash); candidate verification
+joins only within buckets. Band count/row count tune recall vs cost. For
+skewed buckets (boilerplate docs), cap bucket size before the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def spark_hash64(expr: str) -> str:
+    """Portable md5-based 60-bit hash (Spark SQL string)."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def duckdb_hash64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (A8-adjacent; hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], tiebreak_col: str) -> DataFrame:
+    """Keep exactly one row per distinct ``cols`` — the one with the lowest
+    ``tiebreak_col`` (deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_text_col(col: str = "text") -> F.Column:
+    """Canonical text form: lowercase, punctuation stripped, whitespace
+    collapsed — the usual exact-dedup key for web text."""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, k: int) -> str:
+    """Spark SQL for the distinct word-k-gram set of ``text_col``."""
+    return (
+        f"array_distinct(CASE WHEN size(split({text_col}, ' ')) < {k} "
+        f"THEN array(concat_ws(' ', split({text_col}, ' '))) "
+        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))) END)"
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Add ``shingles`` (distinct k-gram array) and ``minhash``
+    (array<bigint> of length ``num_hashes``).
+
+    Permutation family: h_i(x) = ((2i+1)*x + (3i+7)) mod P over the
+    md5-derived base hash. All JVM-side; no shuffle.
+    """
+    h = spark_hash64("s")
+    df = df.withColumn("shingles", F.expr(shingles_col(text_col, k_shingle)))
+    df = df.withColumn(
+        "__sh", F.expr(f"transform(shingles, s -> pmod({h}, {MINHASH_PRIME}))")
+    )
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform(__sh, x -> pmod((2*i+1) * x + (3*i+7), {MINHASH_PRIME}))))"
+    )
+    return df.withColumn("minhash", F.expr(sig)).drop("__sh")
+
+
+def lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (a, b) with a < b. One shuffle on the bucket key.
+    """
+    rows = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
+                f" array_join(slice(minhash, b*{rows}+1, {rows}), '-') as bucket))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over the distinct shingle sets for candidate pairs;
+    keeps pairs with similarity >= threshold (rounded to 6dp for
+    engine-stable comparison)."""
+    sh = sig_df.select(F.col(id_col), "shingles")
+    out = (
+        pairs.join(sh.withColumnsRenamed({id_col: "a", "shingles": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({id_col: "b", "shingles": "sh_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pair detection; returns (a, b, jaccard)."""
+    sig = minhash_signature(df, text_col, k_shingle, num_hashes)
+    cand = lsh_candidates(sig, id_col, num_hashes, bands)
+    return jaccard_verify(cand, sig, id_col, threshold)
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every doc that appears as the larger id of a near-dup pair
+    (greedy min-id representative; exact connected components would need
+    iteration — this is the standard single-pass approximation)."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (weight 1 each).
+
+    bit b set iff sum over tokens of ±1 (sign of token-hash bit b) > 0.
+    Pure array expressions — narrow, codegen'd.
+    """
+    h = spark_hash64("t")
+    expr = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) -> acc + "
+        f"CASE WHEN aggregate(split({text_col}, ' '), 0, (s, t) -> s + "
+        f"CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+    )
+    return df.withColumn("simhash", F.expr(expr))
+
+
+def simhash_hamming_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: split the fingerprint into ``bands`` chunks —
+    any pair within ``max_hamming`` (< bands) must agree on >=1 chunk
+    (pigeonhole); verify with bit_count of xor."""
+    chunk = SIMHASH_BITS // bands
+    banded = sim_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
+                f" (shiftright(simhash, b*{chunk}) & {2**chunk - 1}) as chunk))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,280 @@
+"""Correctness-gate queries for the pipeline operators (dedup, similarity,
+text analysis) with DuckDB oracle twins. Keyed into __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# exact dedup (constructed duplicates: clone every 10th doc under a new id)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    both = docs.unionByName(clones).withColumn(
+        "norm", dedup.normalize_text_col("text")
+    )
+    kept = dedup.exact_dedup(both, ["norm"], "doc_id")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+O_DEDUP_EXACT = """
+WITH allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+normed AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS norm
+  FROM allrows
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM normed
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# minhash LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+_K, _NH, _BANDS, _THRESH = 3, 32, 8, 0.7
+_P = dedup.MINHASH_PRIME
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_dedup(
+        docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH
+    ).orderBy("a", "b")
+
+
+O_DEDUP_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text, ' ')) < {_K}
+      THEN [array_to_string(string_split(text, ' '), ' ')]
+      ELSE list_transform(range(1, len(string_split(text, ' ')) - {_K} + 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+{_K - 1}], ' '))
+      END) AS shingles
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}) AS shash
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, {_NH}),
+      i -> list_min(list_transform(shash,
+           x -> ((2*i+1) * x + (3*i+7)) % {_P}))) AS minhash
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b,
+    array_to_string(minhash[b*{_NH // _BANDS}+1 : b*{_NH // _BANDS}+{_NH // _BANDS}], '-') AS bucket
+  FROM sig, range(0, {_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ver AS (
+  SELECT c.a, c.b,
+    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+  FROM cand c
+  JOIN sig sa ON c.a = sa.doc_id
+  JOIN sig sb ON c.b = sb.doc_id
+)
+SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}
+"""
+
+# ---------------------------------------------------------------------------
+# simhash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs).select("doc_id", "simhash")
+
+
+O_SIMHASH = f"""
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
+    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+      CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) = 1
+           THEN 1 ELSE -1 END)) > 0
+    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis: features + language id + fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.add_token_counts(docs, "text")
+    out = text.add_quality_features(out, "text")
+    out = text.add_language_id(out, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
+    )
+
+
+def _sw_count(words):
+    arr = ", ".join("'" + w + "'" for w in words)
+    return (
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" t -> t IN ({arr})))"
+    )
+
+
+_SC = {lang: _sw_count(w) for lang, w in text.LANG_STOPWORDS.items()}
+
+O_TEXT_FEATURES = f"""
+WITH feats AS (
+  SELECT doc_id, text,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+    len(regexp_extract_all(text, '{text.BPE_TOKEN_PATTERN}')) AS n_tokens_bpe,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+    {_SC['en']} AS sc_en, {_SC['es']} AS sc_es,
+    {_SC['de']} AS sc_de, {_SC['fr']} AS sc_fr
+  FROM documents
+),
+derived AS (
+  SELECT doc_id,
+    CAST(n_tok AS BIGINT) AS n_tokens_ws,
+    CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+    round(n_nonspace::DOUBLE / n_tok, 6) AS mean_word_len,
+    round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+    round(sc_en::DOUBLE / greatest(n_tok, 1), 6) AS stopword_ratio,
+    CASE
+      WHEN n_tok < 5 THEN 0.1
+      WHEN round(n_punct::DOUBLE / greatest(n_chars, 1), 6) > 0.3 THEN 0.2
+      ELSE round(least(1.0, 0.4
+        + least(round(sc_en::DOUBLE / greatest(n_tok, 1), 6) * 2, 0.3)
+        + least(n_tok / 200.0, 0.3)), 6)
+    END AS quality_score,
+    CASE
+      WHEN greatest(sc_de, sc_en, sc_es, sc_fr) = 0 THEN 'und'
+      WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr THEN 'de'
+      WHEN sc_en >= sc_es AND sc_en >= sc_fr THEN 'en'
+      WHEN sc_es >= sc_fr THEN 'es'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM feats
+)
+SELECT * FROM derived
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.add_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+O_TEXT_FINGERPRINT = """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+      '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK = 10
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+
+
+_DOT_DD = "list_dot_product(qv::DOUBLE[], cv::DOUBLE[])"
+_NORM_Q = "sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))"
+_NORM_C = "sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))"
+
+O_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, nbr_id,
+    round({_DOT_DD} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> nbr_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {_TOPK}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.45)
+
+
+O_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= 0.45
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash,
+    "dedup_simhash": q_simhash,
+    "text_features": q_text_features,
+    "text_fingerprint": q_text_fingerprint,
+    "ann_cosine_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLES = {
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_minhash_pairs": O_DEDUP_MINHASH,
+    "dedup_simhash": O_SIMHASH,
+    "text_features": O_TEXT_FEATURES,
+    "text_fingerprint": O_TEXT_FINGERPRINT,
+    "ann_cosine_topk": O_ANN_TOPK,
+    "embedding_neardup": O_EMBEDDING_NEARDUP,
+}

@@ -1,0 +1,128 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All built-in-function expressions (codegen'd,
+shuffle-free) so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (n-gram heuristic language ID). The
+# choice of words is arbitrary but FIXED — the correctness oracle mirrors it.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+}
+
+# GPT2-ish pre-tokenizer approximation: letter runs, single digits,
+# punctuation runs. Works identically in Java regex and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``n_tokens_ws`` (whitespace) and ``n_tokens_bpe`` (regex BPE-ish)."""
+    return df.withColumn(
+        "n_tokens_ws", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).withColumn(
+        "n_tokens_bpe", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+    )
+
+
+def lang_score_col(text_col: str, words: list[str]) -> F.Column:
+    """#tokens that are members of the stopword list (multiset count —
+    deterministic across engines, unlike distinct-intersect)."""
+    arr = ", ".join("'" + w + "'" for w in words)
+    return F.expr(
+        f"size(filter(split(lower({text_col}), '\\\\s+'),"
+        f" t -> t IN ({arr})))"
+    )
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``lang_pred`` = argmax stopword-hit count (ties -> language name
+    order; 'und' when no stopwords hit at all)."""
+    out = df
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(f"__sc_{lang}", lang_score_col(text_col, words))
+    best = None
+    best_score = None
+    for lang in sorted(LANG_STOPWORDS):
+        sc = F.col(f"__sc_{lang}")
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            cond = sc > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, sc).otherwise(best_score)
+    out = out.withColumn(
+        "lang_pred", F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+    return out.drop(*[f"__sc_{lang}" for lang in LANG_STOPWORDS])
+
+
+def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + composite score:
+
+    - n_chars, n_tokens_ws
+    - mean_word_len (6dp)
+    - punct_ratio: non-alnum-non-space chars / chars (6dp)
+    - stopword_ratio: english stopword tokens / tokens (6dp)
+    - quality_score: in [0,1]; penalizes extreme length, high punctuation,
+      zero stopwords (the usual C4-style heuristics, deterministic form)
+    """
+    n_chars = F.length(F.col(text_col))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(toks)
+    mean_wl = F.round(
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))) / n_tok, 6
+    )
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", "")
+    )
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    sw = lang_score_col(text_col, LANG_STOPWORDS["en"])
+    stop_ratio = F.round(sw / F.greatest(n_tok, F.lit(1)), 6)
+    score = (
+        F.when(n_tok < 5, 0.1)
+        .when(punct_ratio > 0.3, 0.2)
+        .otherwise(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(0.4)
+                    + F.least(stop_ratio * 2, F.lit(0.3))
+                    + F.least(n_tok / F.lit(200.0), F.lit(0.3)),
+                ),
+                6,
+            )
+        )
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens_ws", n_tok.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``fingerprint``: md5 of the normalized text (lowercase, punctuation
+    stripped, whitespace collapsed) — the canonical exact-dedup key."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,113 @@
+"""Unit tests for the training-data pipeline operators."""
+
+from pyspark.sql import functions as F
+
+from panoptes_spark.pipeline import dedup, multimodal, similarity, text
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], "id long, t string"
+    )
+    out = dedup.exact_dedup(df, ["t"], "id")
+    assert {r.id for r in out.collect()} == {1, 3, 5}
+
+
+def test_minhash_finds_shuffled_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    shuffled = "quick brown fox jumps over the lazy dog again and again today the"
+    other = "completely different words about spark dataframes and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, shuffled), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_dedup(df, threshold=0.5).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_close_for_similar(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    sim = dedup.simhash(df)
+    pairs = dedup.simhash_hamming_pairs(sim, max_hamming=8).collect()
+    hm = {(r.a, r.b): r.hamming for r in pairs}
+    if (1, 2) in hm and (1, 3) in hm:
+        assert hm[(1, 2)] < hm[(1, 3)]
+    else:
+        assert (1, 2) in hm  # similar docs must collide on some band
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((10, [1.0, 0.1, 0.0, 0.0]))  # near vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_bruteforce(df, df.where(F.col("vec_id") == 0), k=1)
+    top = out.collect()[0]
+    assert top.nbr_id == 10 and top.rank == 1
+
+
+def test_ivf_recall_on_clusters(spark):
+    # two tight clusters; IVF with 2 cells must retrieve within-cluster nbrs
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + i * 0.01, 0.0, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 0.0, 0.0, 1.0 + i * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "cell_id int, centroid array<float>",
+    )
+    out = similarity.ivf_topk(df, df.where(F.col("vec_id") == 0), cents, k=3, nprobe=1)
+    nbrs = {r.nbr_id for r in out.collect()}
+    assert nbrs <= set(range(10)) and len(nbrs) == 3
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park for a walk"),
+         (2, "el perro y el gato que viven en la casa"),
+         (3, "der hund und die katze sind nicht zu hause"),
+         (4, "zzz qqq xxx www")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.add_language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, this is a test with 42 tokens!")],
+        "doc_id long, text string",
+    )
+    r = text.add_quality_features(text.add_token_counts(df)).collect()[0]
+    assert r.n_tokens_ws == 9
+    # bpe: Hello world , this is a test with 4 2 tokens !  -> 12
+    assert r.n_tokens_bpe == 12
+    assert 0.0 < r.quality_score <= 1.0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synth_media_df(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].n_bytes == 16
+    assert len(by_id[0].features) == multimodal.FEATURE_DIM
+    # determinism: same payload -> same sha1/features
+    again = multimodal.extract_features(media).collect()
+    assert {r.media_id: r.sha1 for r in again} == {
+        r.media_id: r.sha1 for r in feats}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synth_media_df(spark, n=12)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
+    vids = media.where(F.col("media_type") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
