@@ -212,6 +212,132 @@ FROM temps t JOIN totals tot ON t.device_id = tot.device_id
 
 
 # ---------------------------------------------------------------------------
+# Interface polling pipeline (J1 broadcast enrichment join, J4 parent
+# self-join, A3 sentinel-propagating sums, F3 octets->bits, F11 state
+# decode, F12 sentinels) over lineitem/part-derived fixtures
+# ---------------------------------------------------------------------------
+
+
+def _iface_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.interface_metrics import (
+        attach_enrichment,
+        interface_metrics,
+        resolve_parent_attrs,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = (
+        li.groupBy(
+            F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
+                "device_id"
+            ),
+            (F.col("l_partkey") % 20).cast("string").alias("interface_index"),
+        )
+        .agg(
+            F.max("l_quantity").cast("long").alias("octets_in"),
+            F.min("l_quantity").cast("long").alias("octets_out"),
+            F.count("*").alias("unicast_packets_in"),
+            F.count("*").alias("unicast_packets_out"),
+            F.when(
+                F.max("l_partkey") % 7 == 0, F.lit(None).cast("long")
+            ).otherwise(F.max("l_linenumber").cast("long")).alias(
+                "multicast_packets_in"
+            ),
+            F.max("l_linenumber").cast("long").alias("multicast_packets_out"),
+            F.max(F.col("l_suppkey") % 10).cast("long").alias("broadcast_packets_in"),
+            F.max(F.col("l_suppkey") % 10).cast("long").alias("broadcast_packets_out"),
+            F.lit(0).cast("long").alias("errors_in"),
+            F.lit(0).cast("long").alias("errors_out"),
+            F.lit(0).cast("long").alias("discards_in"),
+            F.lit(0).cast("long").alias("discards_out"),
+            F.lit(None).cast("long").alias("errors_frame"),
+            F.lit(0).cast("long").alias("errors_crc"),
+            F.lit(0).cast("long").alias("errors_giants"),
+            F.lit(1).alias("admin_state"),
+            F.max(
+                F.when(F.col("l_partkey") % 3 == 0, 2).otherwise(1)
+            ).alias("oper_state"),
+        )
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    enr_base = (
+        part.groupBy((F.col("p_partkey") % 20).cast("string").alias("interface_index"))
+        .agg(F.min("p_name").alias("p_name"), F.min("p_type").alias("p_type"))
+        .select(
+            "interface_index",
+            F.concat(F.lit("if-"), F.col("interface_index")).alias("interface_name"),
+            F.col("p_type").alias("media_type"),
+            (F.col("interface_index").cast("long") * 1000).alias("configured_speed"),
+            (F.col("interface_index").cast("long") * 1000).alias("port_speed"),
+            F.concat(
+                F.lit("if-"), (F.col("interface_index").cast("int") % 4).cast("string")
+            ).alias("parent_interface_name"),
+        )
+    )
+    devices = raw.select("device_id").distinct()
+    enr = devices.crossJoin(F.broadcast(enr_base))
+    enr = resolve_parent_attrs(enr)
+    out = attach_enrichment(interface_metrics(raw), enr)
+    return out.select(
+        "device_id",
+        "interface_index",
+        "bits_in",
+        "bits_out",
+        "total_packets_in",
+        "oper_state_name",
+        "oper_admin_state_mismatch",
+        "interface_name",
+        "parent_interface_media_type",
+    )
+
+
+_IFACE_ORACLE = """
+WITH raw AS (
+  SELECT 'dev-' || CAST(l_suppkey % 5 AS VARCHAR) AS device_id,
+         CAST(l_partkey % 20 AS VARCHAR) AS interface_index,
+         CAST(max(l_quantity) AS BIGINT) AS octets_in,
+         CAST(min(l_quantity) AS BIGINT) AS octets_out,
+         count(*) AS uni_in,
+         CASE WHEN max(l_partkey) % 7 = 0 THEN NULL
+              ELSE CAST(max(l_linenumber) AS BIGINT) END AS multi_in,
+         CAST(max(l_suppkey % 10) AS BIGINT) AS bcast_in,
+         1 AS admin_state,
+         max(CASE WHEN l_partkey % 3 = 0 THEN 2 ELSE 1 END) AS oper_state
+  FROM lineitem GROUP BY 1, 2
+),
+enr_base AS (
+  SELECT CAST(p_partkey % 20 AS VARCHAR) AS interface_index,
+         'if-' || CAST(p_partkey % 20 AS VARCHAR) AS interface_name,
+         min(p_type) AS media_type,
+         'if-' || CAST((p_partkey % 20) % 4 AS VARCHAR) AS parent_interface_name
+  FROM part GROUP BY p_partkey % 20
+),
+enr AS (
+  SELECT d.device_id, e.*,
+         p.media_type AS parent_media
+  FROM (SELECT DISTINCT device_id FROM raw) d
+  CROSS JOIN enr_base e
+  LEFT JOIN enr_base p ON e.parent_interface_name = p.interface_name
+)
+SELECT r.device_id, r.interface_index,
+  CASE WHEN r.octets_in IS NULL THEN -1 ELSE r.octets_in * 8 END AS bits_in,
+  CASE WHEN r.octets_out IS NULL THEN -1 ELSE r.octets_out * 8 END AS bits_out,
+  CASE WHEN COALESCE(r.uni_in, -1) <> -1 AND COALESCE(r.multi_in, -1) <> -1
+            AND COALESCE(r.bcast_in, -1) <> -1
+       THEN r.uni_in + r.multi_in + r.bcast_in ELSE -1 END AS total_packets_in,
+  CASE r.oper_state WHEN 1 THEN 'up' WHEN 2 THEN 'down'
+       ELSE 'unknown' END AS oper_state_name,
+  CASE WHEN COALESCE(r.admin_state, -1) = COALESCE(r.oper_state, -1)
+       THEN 0 ELSE 1 END AS oper_admin_state_mismatch,
+  COALESCE(NULLIF(e.interface_name, ''), '<not set>') AS interface_name,
+  COALESCE(NULLIF(e.parent_media, ''), '<not set>') AS parent_interface_media_type
+FROM raw r
+LEFT JOIN enr e ON r.device_id = e.device_id
+  AND r.interface_index = e.interface_index
+"""
+
+
+# ---------------------------------------------------------------------------
 # J5/W5: resource reconciliation with timestamp conflict resolution.
 # Paired snapshots derived from orders: current = keys with k%5<4,
 # incoming = keys with k%5>0; ts collisions via k%7.
@@ -376,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsl_metric_program": _dsl_metric_program,
             "j5_reconcile_plan": _reconcile_plan,
             "j5_reconcile_apply": _reconcile_apply,
+            "j1_interface_pipeline": _iface_query,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -396,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
             "dsl_metric_program": _DSL_METRIC_ORACLE,
             "j5_reconcile_plan": _RECONCILE_PLAN_ORACLE,
             "j5_reconcile_apply": _RECONCILE_APPLY_ORACLE,
+            "j1_interface_pipeline": _IFACE_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

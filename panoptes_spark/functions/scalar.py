@@ -1,0 +1,172 @@
+"""Scalar function library (SURVEY §2.8, F1-F15) — column-expression
+factories, all JVM-side built-ins (no Python UDFs).
+
+Reference cites (file:line into /root/reference):
+- F2  celsius->fahrenheit: ``framework/utilities/helpers.py:361-374``,
+      transform lambda ``plugin_enrichment_juniper_device_metrics.py:331``
+- F3  octets->bits: ``plugin_polling_device_interface_metrics.py:121-134``
+- F4  MB->bytes / Mbps->bps: ``plugin_enrichment_juniper_device_metrics.py:107-113``,
+      ``plugin_enrichment_interface.py:132-139``
+- F5  /1000 sensor scale: ``plugin_polling_asr_device_metrics.py:184``
+- F6  octet-string->MAC: ``framework/utilities/helpers.py:418-449``
+- F7  netmask->CIDR: ``helpers.py:451-460``
+- F8  IPv6 index transform: ``helpers.py:394-416``
+- F9  influx measurement sanitize + escape: ``consumers/influxdb/consumer.py:84-87,146-158``
+- F10 KV codec: ``framework/resources.py:558-611``
+- F13 ifType -> media type: ``framework/utilities/snmp/mibs/ifTable.py``
+- F15 temperature plausibility: ``framework/const.py:119`` (0 < v < 1371)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- unit conversions -------------------------------------------------------
+
+def celsius_to_fahrenheit(col, zero_guard: bool = False) -> Column:
+    """F2: round(c*1.8 + 32, 2); optional x==0 -> 0.0 guard variant."""
+    c = _c(col)
+    f = F.round(c * 1.8 + 32, 2)
+    return F.when(c == 0, F.lit(0.0)).otherwise(f) if zero_guard else f
+
+
+def octets_to_bits(col) -> Column:
+    return _c(col).cast("long") * 8
+
+
+def mb_to_bytes(col) -> Column:
+    return _c(col).cast("long") * (1 << 20)
+
+
+def mbps_to_bps(col) -> Column:
+    return _c(col).cast("long") * 1_000_000
+
+
+def milli_scale(col) -> Column:
+    """F5: sensor value / 1000."""
+    return _c(col).cast("double") / 1000.0
+
+
+def temperature_plausible(col) -> Column:
+    """F15: 0 < v < 1371 ('melting point of steel' guard)."""
+    c = _c(col).cast("double")
+    return (c > 0) & (c < 1371)
+
+
+# -- network codecs ---------------------------------------------------------
+
+def octets_to_mac(col: str) -> Column:
+    """F6: 6-char latin1 octet string -> colon-hex MAC (per-char codepoint)."""
+    return F.lower(
+        F.array_join(
+            F.expr(
+                f"transform(sequence(1, 6),"
+                f" i -> lpad(hex(ascii(substring({col}, i, 1))), 2, '0'))"
+            ),
+            ":",
+        )
+    )
+
+
+def dotted_decimal_to_mac(col: str) -> Column:
+    """F6b: '0.12.41.223.96.2' -> '00:0c:29:df:60:02'."""
+    return F.lower(
+        F.array_join(
+            F.expr(
+                f"transform(split({col}, '\\\\.'), p -> lpad(hex(cast(p as int)), 2, '0'))"
+            ),
+            ":",
+        )
+    )
+
+
+def netmask_to_cidr(col: str) -> Column:
+    """F7: '255.255.255.0' -> 24 (bit_count of the 32-bit mask)."""
+    return F.expr(
+        f"bit_count(aggregate(split({col}, '\\\\.'),"
+        " cast(0 as bigint), (acc, p) -> acc * 256 + cast(p as bigint)))"
+    ).cast("int")
+
+
+def ipv6_index_transform(col: str) -> Column:
+    """F8: dotted-decimal SNMP index octets -> lowercase IPv6 groups,
+    e.g. '254.128.0.0.0.0.0.0.2.18.0.255.254.35.52.52' ->
+    'fe80:0000:...:3434' (helpers.py:394-416 joins byte pairs)."""
+    return F.lower(
+        F.array_join(
+            F.expr(
+                f"transform(sequence(0, 7), i -> concat("
+                f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+1) as int)), 2, '0'),"
+                f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+2) as int)), 2, '0')))"
+            ),
+            ":",
+        )
+    )
+
+
+# -- influx line-protocol helpers (F9) -------------------------------------
+
+def sanitize_measurement(col) -> Column:
+    """``[^0-9a-zA-Z_]+`` -> '_' (consumer.py:84-87)."""
+    return F.regexp_replace(_c(col), "[^0-9a-zA-Z_]+", "_")
+
+
+def escape_tag_value(col) -> Column:
+    """Escape ',', '=', ' ' with backslash (consumer.py:146-158)."""
+    c = _c(col)
+    c = F.regexp_replace(c, ",", "\\\\,")
+    c = F.regexp_replace(c, "=", "\\\\=")
+    c = F.regexp_replace(c, " ", "\\\\ ")
+    return c
+
+
+# -- KV codec (F10) ---------------------------------------------------------
+
+def resource_to_kv_string(ts_col: str = "resource_creation_timestamp",
+                          meta_col: str = "resource_metadata") -> Column:
+    """'timestamp|<ts>|meta.<k>|<v>|...' with keys sorted
+    (resources.py:558-569 pipe-delimited store value)."""
+    return F.concat_ws(
+        "|",
+        F.lit("timestamp"),
+        F.col(ts_col).cast("string"),
+        F.expr(
+            f"array_join(flatten(transform(array_sort(map_keys({meta_col})),"
+            f" k -> array(concat('meta.', k), element_at({meta_col}, k)))), '|')"
+        ),
+    )
+
+
+def kv_string_to_map(col: str) -> Column:
+    """Inverse of the pipe codec: pairwise split back into a map
+    (helpers.py:316-359)."""
+    return F.expr(
+        f"map_from_entries(transform(sequence(0, int(size(split({col}, '\\\\|')) / 2) - 1),"
+        f" i -> struct(element_at(split({col}, '\\\\|'), 2*i+1),"
+        f" element_at(split({col}, '\\\\|'), 2*i+2))))"
+    )
+
+
+# -- F13: ifType -> media type description ----------------------------------
+
+# Subset of the IANA ifType registry the reference's MIB decode table covers
+# (framework/utilities/snmp/mibs/ifTable.py getIfTypeDesc); extend as needed.
+IF_TYPE_DESC = {
+    1: "other", 6: "ethernetCsmacd", 24: "softwareLoopback", 53: "propVirtual",
+    131: "tunnel", 135: "l2vlan", 136: "l3ipvlan", 161: "ieee8023adLag",
+}
+
+
+def if_type_desc(col) -> Column:
+    m = F.create_map(
+        *[x for k, v in IF_TYPE_DESC.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return F.coalesce(
+        F.element_at(m, _c(col).cast("int")), F.lit("unknown")
+    )
