@@ -1,0 +1,95 @@
+"""InfluxDB line-protocol projection (P8) and batched sink (S12/A6/W4).
+
+Reference: ``/root/reference/yahoo_panoptes/consumers/influxdb/consumer.py``
+- tags = dimensions + 5 resource fields, sorted by name, escaped
+  (',', '=', ' ' -> backslash-escaped), :103-144,146-158
+- fields = ``{metric_name}__{metric_type}=value`` sorted, :123-142
+- measurement = sanitized group_type (``[^0-9a-zA-Z_]+`` -> '_'), :84-87
+- timestamp = int seconds, :160-169
+- sink batching: emit when >= batch_size points or >= max_emit_interval
+  seconds (defaults 200 / 15 s, ``influxdb_consumer_configspec.ini:14-15``)
+
+The projection is a pure column expression (P8) — usable in batch or
+streaming. The sink wraps it in foreachBatch with the trigger interval
+playing the reference's emit-interval role; per-batch retry with
+one-by-one degradation mirrors :305-394.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WRITE_API_BATCH_SIZE = 200  # influxdb_consumer_configspec.ini:14
+WRITE_API_MAX_EMIT_INTERVAL = 15  # :15
+
+def _esc(e: str) -> str:
+    """Inline ','/'='/' ' backslash-escaping of a SQL string expression."""
+    return (
+        f"replace(replace(replace({e}, ',', '\\\\,'), '=', '\\\\='),"
+        f" ' ', '\\\\ ')"
+    )
+
+
+def to_line_protocol(groups: DataFrame) -> DataFrame:
+    """Nested metrics groups -> one line-protocol string per group.
+
+    measurement,tag1=v1,... field1__gauge=1.0,... ts_seconds
+    """
+    tags = F.expr(
+        "array_join(array_sort(transform("
+        " concat(transform(dimensions, d -> struct(d.dimension_name as k, d.dimension_value as v)),"
+        "        array(struct('resource_site' as k, resource.resource_site as v),"
+        "              struct('resource_class' as k, resource.resource_class as v),"
+        "              struct('resource_subclass' as k, resource.resource_subclass as v),"
+        "              struct('resource_type' as k, resource.resource_type as v),"
+        "              struct('resource_id' as k, resource.resource_id as v))),"
+        f" t -> concat({_esc('t.k')}, '=', {_esc('t.v')}))), ',')"
+    )
+    fields = F.expr(
+        "array_join(array_sort(transform(metrics,"
+        " m -> concat(m.metric_name, '__', m.metric_type, '=',"
+        " cast(m.metric_value as string)))), ',')"
+    )
+    measurement = F.regexp_replace(
+        F.col("metrics_group_type"), "[^0-9a-zA-Z_]+", "_"
+    )
+    ts = F.col("metrics_group_creation_timestamp").cast("long")
+    return groups.withColumn(
+        "line",
+        F.concat(
+            measurement, F.lit(","), tags, F.lit(" "), fields, F.lit(" "),
+            ts.cast("string"),
+        ),
+    )
+
+
+class InfluxBatchWriter:
+    """foreachBatch sink with the reference's retry-then-degrade policy.
+
+    ``send`` is injected (an HTTP POST in production; a list-append in
+    tests). Batch failure retries whole; on final failure falls back to
+    per-line emission, dropping only poisoned lines (consumer.py:305-394).
+    """
+
+    def __init__(self, send, batch_size: int = WRITE_API_BATCH_SIZE, retries: int = 3):
+        self.send = send
+        self.batch_size = batch_size
+        self.retries = retries
+
+    def __call__(self, df: DataFrame, epoch_id: int):
+        lines = [r.line for r in to_line_protocol(df).select("line").collect()]
+        for i in range(0, len(lines), self.batch_size):
+            chunk = lines[i : i + self.batch_size]
+            if not self._send_with_retry(chunk):
+                for line in chunk:  # degrade to one-by-one
+                    self._send_with_retry([line])
+
+    def _send_with_retry(self, chunk) -> bool:
+        for _ in range(self.retries):
+            try:
+                self.send(chunk)
+                return True
+            except Exception:
+                continue
+        return False

@@ -1,0 +1,162 @@
+"""Streaming tests: stateful rate twin vs batch, ingestion validation,
+fan-out projection, line protocol."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from panoptes_spark.operators.lineprotocol import InfluxBatchWriter, to_line_protocol
+from panoptes_spark.operators.rate import rate_transform
+from panoptes_spark.streaming.ingest import parse_and_validate, prepare_fanout
+from panoptes_spark.streaming.rate_stream import rate_stream
+
+POINTS_SCHEMA = (
+    "resource_id string, metrics_group_type string, ts_ms long, metric_value double"
+)
+
+
+@pytest.fixture()
+def sample_points(spark):
+    rows = [
+        ("r1", "interface", 1000, 100.0),
+        ("r1", "interface", 61000, 160.0),   # rate = 1/s
+        ("r1", "interface", 121000, 40.0),   # counter reset -> skip
+        ("r1", "interface", 181000, 100.0),  # rate = 1/s
+        ("r1", "interface", 181000, 100.0),  # dup ts -> skip
+        ("r1", "interface", 999000, 200.0),  # gap > 3x60s -> skip
+        ("r2", "cpu", 1000, 10.0),
+        ("r2", "cpu", 31000, 40.0),          # rate = 1/s
+    ]
+    return spark.createDataFrame(rows, POINTS_SCHEMA)
+
+
+def test_stream_matches_batch(spark, sample_points, tmp_path):
+    src = str(tmp_path / "pts")
+    sample_points.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(sample_points.schema).parquet(src)
+    )
+    out = rate_stream(stream, interval_sec=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rates_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.resource_id, r.ts_ms): (r.rate, r.confidence)
+        for r in spark.sql("SELECT * FROM rates_out").collect()
+    }
+
+    batch = rate_transform(
+        sample_points.dropDuplicates(["resource_id", "metrics_group_type", "ts_ms"]),
+        ["resource_id", "metrics_group_type"],
+        interval_sec=60,
+    )
+    expected = {
+        (r.resource_id, r.ts_ms): (r.rate, r.confidence) for r in batch.collect()
+    }
+    assert got == expected
+    assert got[("r1", 61000)] == (1.0, 1.0)
+    assert ("r1", 121000) not in got  # wrap guard
+    assert ("r1", 999000) not in got  # TTL guard
+    assert got[("r2", 31000)] == (1.0, 2.0)
+
+
+def _kafka_like(spark, rows):
+    return spark.createDataFrame(rows, "topic string, key binary, value binary")
+
+
+def test_parse_and_validate(spark):
+    good = {
+        "metrics_group_type": "interface",
+        "metrics_group_interval": 60,
+        "metrics_group_creation_timestamp": 1.0,
+        "metrics_group_schema_version": "0.2",
+        "resource": {"resource_site": "dc1", "resource_class": "network",
+                     "resource_subclass": "switch", "resource_type": "cisco",
+                     "resource_id": "sw1"},
+        "metrics": [{"metric_name": "bits_in", "metric_value": 1.0,
+                     "metric_type": "counter", "metric_creation_timestamp": 1.0}],
+        "dimensions": [{"dimension_name": "iface", "dimension_value": "xe-0"}],
+    }
+    rows = [
+        ("dc1-processed", b"k1", json.dumps(good).encode()),
+        ("dc1-processed", b"k2", b"{not json"),
+        ("dc1-processed", b"k3", json.dumps({"foo": 1}).encode()),
+    ]
+    parsed = parse_and_validate(_kafka_like(spark, rows))
+    by_key = {r.key: r.is_valid for r in parsed.collect()}
+    assert by_key == {"k1": True, "k2": False, "k3": False}
+
+    filtered = parse_and_validate(_kafka_like(spark, rows), keys=["k1", "k3"])
+    assert {r.key for r in filtered.collect()} == {"k1", "k3"}  # P4
+
+
+def _group_df(spark):
+    rows = [
+        (
+            "interface", 60, 100.5, "0.2",
+            ("dc1", "network", "switch", "cisco", "sw1", "sw1.net", 1.0, "p", {}),
+            [("bits_in", 800.0, "counter", 1.0), ("bits_out", 1600.0, "gauge", 1.0)],
+            [("iface", "xe-0/0/0"), ("alias", "up link")],
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metrics_group_type string, metrics_group_interval long,"
+        " metrics_group_creation_timestamp double, metrics_group_schema_version string,"
+        " resource struct<resource_site:string,resource_class:string,"
+        "resource_subclass:string,resource_type:string,resource_id:string,"
+        "resource_endpoint:string,resource_creation_timestamp:double,"
+        "resource_plugin:string,resource_metadata:map<string,string>>,"
+        " metrics array<struct<metric_name:string,metric_value:double,"
+        "metric_type:string,metric_creation_timestamp:double>>,"
+        " dimensions array<struct<dimension_name:string,dimension_value:string>>",
+    )
+
+
+def test_fanout_projection(spark):
+    out = prepare_fanout(_group_df(spark), global_topic="panoptes-global").collect()
+    topics = {r.topic for r in out}
+    assert topics == {"dc1-processed", "panoptes-global"}
+    # series key: resource_id|group_type|sorted dim pairs
+    assert out[0].key == "sw1|interface|alias|up link|iface|xe-0/0/0"
+    payload = json.loads(out[0].value)
+    assert payload["metrics_group_type"] == "interface"
+    assert len(payload["metrics"]) == 2
+
+
+def test_line_protocol(spark):
+    line = to_line_protocol(_group_df(spark)).select("line").collect()[0].line
+    # sorted escaped tags, sorted name__type fields, int-second ts
+    assert line == (
+        "interface,alias=up\\ link,iface=xe-0/0/0,resource_class=network,"
+        "resource_id=sw1,resource_site=dc1,resource_subclass=switch,"
+        "resource_type=cisco "
+        "bits_in__counter=800.0,bits_out__gauge=1600.0 100"
+    )
+
+
+def test_influx_batch_writer_degrade(spark):
+    sent, calls = [], []
+
+    def flaky_send(chunk):
+        calls.append(list(chunk))
+        if len(chunk) > 1 and any("bits_in" in l for l in chunk):
+            raise RuntimeError("batch rejected")
+        sent.append(list(chunk))
+
+    df = _group_df(spark)
+    writer = InfluxBatchWriter(flaky_send, batch_size=10, retries=2)
+    # two lines in one batch: whole-batch send fails, degrades per-line
+    two = df.unionByName(df.withColumn("metrics_group_type", F.lit("cpu")))
+    writer(two, epoch_id=0)
+    flat = [l for c in sent for l in c]
+    assert len(flat) == 2 and all(len(c) == 1 for c in sent)
