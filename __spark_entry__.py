@@ -468,6 +468,164 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# A2 / A4 / A5 / W3+S10 / U2 operator gate queries
+# ---------------------------------------------------------------------------
+
+
+def _a2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.status import group_count_by_type
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return group_count_by_type(o, ["o_orderstatus"], "o_orderpriority")
+
+
+_A2_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def _a4_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.status import status_rollup
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    statuses = li.select(
+        F.concat(F.lit("dev-"), (F.col("l_suppkey") % 50).cast("string")).alias(
+            "device_id"
+        ),
+        F.when(F.col("l_returnflag") == "R", 2)
+        .when((F.col("l_linestatus") == "F") & (F.col("l_discount") > 0.05), 1)
+        .otherwise(0)
+        .alias("status"),
+    )
+    return status_rollup(statuses)
+
+
+_A4_ORACLE = """
+WITH statuses AS (
+  SELECT 'dev-' || CAST(l_suppkey % 50 AS VARCHAR) AS device_id,
+         CASE WHEN l_returnflag = 'R' THEN 2
+              WHEN l_linestatus = 'F' AND l_discount > 0.05 THEN 1
+              ELSE 0 END AS status
+  FROM lineitem
+),
+per_code AS (
+  SELECT device_id, status, count(*) AS n FROM statuses GROUP BY 1, 2
+),
+ranked AS (
+  SELECT device_id, status, n,
+         row_number() OVER (PARTITION BY device_id
+           ORDER BY CASE WHEN status = 0 THEN -1 ELSE n END DESC, status ASC) AS rk,
+         sum(CASE WHEN status = 0 THEN n ELSE 0 END) OVER (PARTITION BY device_id) AS n_ok,
+         sum(n) OVER (PARTITION BY device_id) AS n_total
+  FROM per_code
+)
+SELECT device_id,
+  CASE WHEN n_ok = n_total THEN 'SUCCESS'
+       WHEN n_ok > 0 THEN 'PARTIAL_METRIC_FAILURE'
+       ELSE 'FAILURE_' || CAST(status AS VARCHAR) END AS device_status
+FROM ranked WHERE rk = 1
+"""
+
+
+def _a5_ping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.status import ping_stats
+
+    e = fx.read_events(spark, sf_dir)
+    probes = e.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("device_id"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("rtt_ms"),
+    )
+    return ping_stats(probes)
+
+
+_A5_ORACLE = """
+WITH probes AS (
+  SELECT 'user-' || CAST(user_id AS VARCHAR) AS device_id,
+         CASE WHEN event_type <> 'error' THEN value END AS rtt_ms
+  FROM events
+)
+SELECT device_id,
+  count(*) AS packets_transmitted,
+  count(rtt_ms) AS packets_received,
+  round((count(*) - count(rtt_ms)) * 100.0 / count(*), 2) AS packet_loss_pct,
+  round(min(rtt_ms), 3) AS round_trip_min,
+  round(avg(rtt_ms), 3) AS round_trip_avg,
+  round(max(rtt_ms), 3) AS round_trip_max,
+  round(stddev_pop(rtt_ms), 3) AS round_trip_stddev
+FROM probes GROUP BY device_id
+"""
+
+
+def _w3_ttl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.sources.stores import expire, upsert_with_ttl
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    store = c.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("key"),
+        F.col("c_acctbal").alias("value"),
+        (F.col("c_custkey") % 100).cast("double").alias("expires_at"),
+    )
+    updates = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("key"),
+        (F.col("c_acctbal") * 2).alias("value"),
+        F.lit(120).alias("ttl"),
+    )
+    merged = upsert_with_ttl(store, updates, ["key"], now=10.0)
+    return expire(merged, now=50.0)
+
+
+_W3_ORACLE = """
+WITH store AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS key, c_acctbal AS value,
+         CAST(c_custkey % 100 AS DOUBLE) AS expires_at
+  FROM customer
+),
+updates AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS key, c_acctbal * 2 AS value,
+         CAST(10.0 + 120 AS DOUBLE) AS expires_at
+  FROM customer WHERE c_custkey % 3 = 0
+),
+merged AS (
+  SELECT s.* FROM store s LEFT JOIN updates u USING (key) WHERE u.key IS NULL
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT * FROM merged WHERE expires_at IS NULL OR expires_at > 50.0
+"""
+
+
+def _u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cur = o.where(F.col("o_orderkey") % 5 < 4).select("o_orderkey")
+    inc = o.where(F.col("o_orderkey") % 5 > 0).select("o_orderkey")
+    only_cur = cur.join(inc, "o_orderkey", "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("only_cur").alias("tag"), "n")
+    only_inc = inc.join(cur, "o_orderkey", "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("only_inc").alias("tag"), "n")
+    both = cur.join(inc, "o_orderkey", "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("both").alias("tag"), "n")
+    return only_cur.unionByName(only_inc).unionByName(both)
+
+
+_U2_ORACLE = """
+WITH cur AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 < 4),
+inc AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 > 0)
+SELECT 'only_cur' AS tag, count(*) AS n FROM cur
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+UNION ALL
+SELECT 'only_inc', count(*) FROM inc
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cur)
+UNION ALL
+SELECT 'both', count(*) FROM cur
+  WHERE o_orderkey IN (SELECT o_orderkey FROM inc)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -503,6 +661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j5_reconcile_plan": _reconcile_plan,
             "j5_reconcile_apply": _reconcile_apply,
             "j1_interface_pipeline": _iface_query,
+            "a2_group_count": _a2_group_count,
+            "a4_status_rollup": _a4_status_rollup,
+            "a5_ping_stats": _a5_ping_stats,
+            "w3_ttl_upsert_expire": _w3_ttl_upsert,
+            "u2_set_ops": _u2_set_ops,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -524,6 +687,11 @@ def oracle_sql() -> dict[str, str]:
             "j5_reconcile_plan": _RECONCILE_PLAN_ORACLE,
             "j5_reconcile_apply": _RECONCILE_APPLY_ORACLE,
             "j1_interface_pipeline": _IFACE_ORACLE,
+            "a2_group_count": _A2_ORACLE,
+            "a4_status_rollup": _A4_ORACLE,
+            "a5_ping_stats": _A5_ORACLE,
+            "w3_ttl_upsert_expire": _W3_ORACLE,
+            "u2_set_ops": _U2_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
