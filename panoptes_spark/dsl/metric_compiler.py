@@ -58,6 +58,22 @@ _METRIC_DEFAULT_TYPE = "integer"
 _DIMENSION_DEFAULT_TYPE = "string"
 
 
+def _py_int(x):
+    return int(x)
+
+
+_PY_CASTS = {
+    # python twins of metric_expr.CAST_SQL (reference _TYPE_MAPPING)
+    **{k: _py_int for k in (
+        "Integer", "Integer32", "UInteger32", "Counter32", "Counter64",
+        "Gauge32", "TimeTicks", "integer", "int", "long")},
+    **{k: float for k in ("float", "double")},
+    **{k: str for k in (
+        "Octet String", "Object Identifier", "Bit String", "IpAddress",
+        "Opaque", "NsapAddress", "string", "str")},
+}
+
+
 def normalize_program(program: dict, schema_version: str = "0.2") -> dict:
     """Shorthand + defaults pass (reference :255-274, :378-449)."""
     prog = {"oids": dict(program.get("oids", {})), "metrics_groups": []}
@@ -97,10 +113,11 @@ def normalize_program(program: dict, schema_version: str = "0.2") -> dict:
 class _Target:
     name: str
     tmap: dict
-    info: ExprInfo
-    final_sql: str  # cast+transform applied
+    info: ExprInfo | None
+    final_sql: str | None  # cast+transform applied (sql mode)
     indexed: bool
     is_metric: bool
+    mode: str = "sql"  # 'sql' (translated) | 'py' (safe-interpreter fallback)
 
 
 class MetricDSLCompiler:
@@ -140,7 +157,7 @@ class MetricDSLCompiler:
             static_devices
             if static_devices is not None
             else oid_tables.select("device_id").distinct()
-        )
+        ).persist()
         self._table_cache: dict[str, DataFrame] = {}
 
     # -- OID table materialization ---------------------------------------
@@ -172,6 +189,9 @@ class MetricDSLCompiler:
                         "value",
                     )
                 )
+        # OID tables are device-dim sized and re-joined by every target that
+        # references them — persist so the upstream scan/groupBy runs once
+        df = df.persist()
         self._table_cache[name] = df
         return df
 
@@ -183,17 +203,31 @@ class MetricDSLCompiler:
     # -- per-target compilation ------------------------------------------
 
     def _compile_target(self, name: str, tmap: dict, is_metric: bool) -> _Target:
-        info = compile_value_expr(
-            tmap["value"], self.known_tables, self.scalar_oids
-        )
-        sql = info.sql
-        sql = cast_sql(sql, tmap["type"])
-        if "transform" in tmap:
-            sql = compile_transform(
-                tmap["transform"], sql, self.known_tables, self.scalar_oids
+        try:
+            info = compile_value_expr(
+                tmap["value"], self.known_tables, self.scalar_oids
             )
-        indexed = self._has_indices(tmap, info)
-        return _Target(name, tmap, info, sql, indexed, is_metric)
+            sql = info.sql
+            sql = cast_sql(sql, tmap["type"])
+            if "transform" in tmap:
+                sql = compile_transform(
+                    tmap["transform"], sql, self.known_tables, self.scalar_oids
+                )
+            indexed = self._has_indices(tmap, info)
+            return _Target(name, tmap, info, sql, indexed, is_metric)
+        except UnsupportedExpression:
+            # pandas-UDF fallback (safe AST interpreter — never eval)
+            indexed = self._has_indices_raw(tmap)
+            return _Target(name, tmap, None, None, indexed, is_metric, mode="py")
+
+    def _has_indices_raw(self, tmap: dict) -> bool:
+        """_has_indices for untranslatable expressions (raw-string check,
+        mirrors reference :351-376)."""
+        if "indices" in tmap or "indices_from" in tmap:
+            return True
+        if "$index" not in str(tmap["value"]):
+            return False
+        return self._first_table(str(tmap["value"])) is not None
 
     def _has_indices(self, tmap: dict, info: ExprInfo) -> bool:
         # reference :351-376, v0.2 branch
@@ -227,6 +261,8 @@ class MetricDSLCompiler:
     def _indexed_values(self, t: _Target) -> DataFrame:
         """(device_id, index, value) for an indexed target; NULL values
         (eval failure equivalents) dropped."""
+        if t.mode == "py":
+            return self._indexed_values_py(t)
         df = self._driving_frame(t)
         for tbl in sorted(t.info.tables):
             if tbl in self.scalar_oids:
@@ -239,6 +275,131 @@ class MetricDSLCompiler:
             "device_id", "index", F.expr(t.final_sql).alias("value")
         ).where(F.col("value").isNotNull())
         return out
+
+    # -- pandas-UDF fallback paths ---------------------------------------
+
+    def _ref_tables(self, raw_value: str) -> list[str]:
+        import re
+
+        found = []
+        for m in re.finditer(r"(\w+)\.\$index", str(raw_value)):
+            if m.group(1) in self.known_tables and m.group(1) not in found:
+                found.append(m.group(1))
+        return found
+
+    def _indexed_values_py(self, t: _Target) -> DataFrame:
+        """Fallback: join referenced tables then interpret the expression
+        per row with the whitelist AST interpreter (Arrow-batched)."""
+        import re
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        from .safe_eval import compile_safe_lambda, safe_eval
+
+        raw = str(t.tmap["value"])
+        tables = self._ref_tables(raw)
+        df = self._driving_frame(t)
+        for tbl in tables:
+            tv = self.table(tbl).withColumnRenamed("value", f"__v_{tbl}")
+            df = df.join(tv, ["device_id", "index"], "left")
+
+        py_expr = re.sub(r"(\w+)\.\$index", lambda m: f"__v_{m.group(1)}", raw)
+        py_expr = py_expr.replace("$index", "__idx")
+        caster = _PY_CASTS[t.tmap["type"]]
+        transform = (
+            compile_safe_lambda(t.tmap["transform"])
+            if "transform" in t.tmap
+            else (lambda x: x)
+        )
+        cols = [f"__v_{tbl}" for tbl in tables]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_vals = []
+                for i in range(len(pdf)):
+                    env = {"__idx": pdf["index"].iloc[i]}
+                    for c in cols:
+                        env[c] = pdf[c].iloc[i]
+                    try:
+                        v = transform(caster(safe_eval(py_expr, env)))
+                    except Exception:
+                        v = None
+                    out_vals.append(None if v is None else str(v))
+                yield pd.DataFrame(
+                    {
+                        "device_id": pdf["device_id"],
+                        "index": pdf["index"],
+                        "value": pd.Series(out_vals, dtype="object"),
+                    }
+                )
+
+        out = df.mapInPandas(
+            run, schema="device_id string, index string, value string"
+        )
+        return out.where(F.col("value").isNotNull())
+
+    def _top_level_value_py(self, t: _Target) -> DataFrame:
+        """Fallback top-level target: per-device table dicts -> interpreter."""
+        import re
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        from .safe_eval import compile_safe_lambda, safe_eval
+
+        raw = str(t.tmap["value"])
+        tables = [
+            tbl
+            for tbl in sorted(self.known_tables)
+            if re.search(rf"\b{re.escape(tbl)}\b", raw)
+        ]
+        df = self._devices
+        for tbl in tables:
+            m = (
+                self.table(tbl)
+                .groupBy("device_id")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("index", "value"))
+                    ).alias(f"__m_{tbl}")
+                )
+            )
+            df = df.join(m, "device_id", "left")
+
+        caster = _PY_CASTS[t.tmap["type"]]
+        transform = (
+            compile_safe_lambda(t.tmap["transform"])
+            if "transform" in t.tmap
+            else (lambda x: x)
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_vals = []
+                for i in range(len(pdf)):
+                    env = {}
+                    for tbl in tables:
+                        v = pdf[f"__m_{tbl}"].iloc[i]
+                        env[tbl] = dict(v) if v is not None else {}
+                    try:
+                        v = safe_eval(raw, env)
+                        if not v:  # reference falsy skip
+                            v = None
+                        else:
+                            v = transform(caster(v))
+                    except Exception:
+                        v = None
+                    out_vals.append(None if v is None else str(v))
+                yield pd.DataFrame(
+                    {
+                        "device_id": pdf["device_id"],
+                        "value": pd.Series(out_vals, dtype="object"),
+                    }
+                )
+
+        out = df.mapInPandas(run, schema="device_id string, value string")
+        return out.where(F.col("value").isNotNull())
 
     def _join_member_flags(
         self, df: DataFrame, info: ExprInfo, key_scope: str
@@ -264,6 +425,8 @@ class MetricDSLCompiler:
     def _top_level_value(self, t: _Target) -> DataFrame:
         """(device_id, value) for a top-level target; falsy values dropped
         (reference ``if not value: continue``)."""
+        if t.mode == "py":
+            return self._top_level_value_py(t)
         info = t.info
         if info.is_aggregate:
             base = self.table(info.agg_table).select(

@@ -85,14 +85,14 @@ def canonicalize_metrics_groups(df: DataFrame) -> DataFrame:
             " WHEN a.metric_name < b.metric_name THEN -1"
             " WHEN a.metric_name > b.metric_name THEN 1"
             " WHEN a.metric_type < b.metric_type THEN -1"
-            " WHEN a.metric_type > b.metric_type THEN 1 ELSE 0 END"
+            " WHEN a.metric_type > b.metric_type THEN 1 ELSE 0 END)"
         ),
     ).withColumn(
         "dimensions",
         F.expr(
             "array_sort(dimensions, (a, b) -> CASE"
             " WHEN a.dimension_name < b.dimension_name THEN -1"
-            " WHEN a.dimension_name > b.dimension_name THEN 1 ELSE 0 END"
+            " WHEN a.dimension_name > b.dimension_name THEN 1 ELSE 0 END)"
         ),
     )
 

