@@ -241,6 +241,68 @@ SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {_TOPK}
 """
 
 
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(
+        emb, queries, cents, k=_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
+_COS_CELL = (
+    "round(list_dot_product(v::DOUBLE[], centroid::DOUBLE[])"
+    " / (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[]))"
+    "    * sqrt(list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]))), 6)"
+)
+
+O_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+c_assign AS (
+  SELECT nbr_id, cv, cell_id FROM (
+    SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk <= 1
+),
+q_assign AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id % 25 = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, c.nbr_id,
+    round(list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+      / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+         * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6) AS cosine
+  FROM q_assign q JOIN c_assign c USING (cell_id)
+  WHERE q.query_id <> c.nbr_id
+),
+ranked AS (
+  SELECT DISTINCT query_id, nbr_id, cosine FROM scored
+),
+final AS (
+  SELECT query_id, nbr_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM ranked
+)
+SELECT * FROM final WHERE rank <= {_TOPK}
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_neardup_pairs(emb, threshold=0.45)
@@ -266,6 +328,7 @@ QUERIES = {
     "text_features": q_text_features,
     "text_fingerprint": q_text_fingerprint,
     "ann_cosine_topk": q_ann_topk,
+    "ann_ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -276,5 +339,6 @@ ORACLES = {
     "text_features": O_TEXT_FEATURES,
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "ann_cosine_topk": O_ANN_TOPK,
+    "ann_ivf_topk": O_IVF_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
 }
