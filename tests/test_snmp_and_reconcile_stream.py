@@ -1,0 +1,71 @@
+"""S2/S3 fixture connector, varbind mapping, streaming reconciliation."""
+
+from panoptes_spark.sources.snmp import (
+    FixtureSNMPConnection,
+    varbinds_to_oid_tables,
+)
+from panoptes_spark.streaming.reconcile_stream import reconcile_stream
+
+VARBIND_SCHEMA = (
+    "device_id string, oid string, index string, value string, snmp_type string"
+)
+
+
+def _varbinds(spark):
+    rows = [
+        ("d1", ".1.3.6.1.2.1.1.3.0", "0", "12345", "TimeTicks"),
+        ("d1", ".1.3.6.1.4.1.9.9.109.1.1.1.1.8", "1", "55", "Gauge32"),
+        ("d1", ".1.3.6.1.4.1.9.9.109.1.1.1.1.8", "2", "60", "Gauge32"),
+        ("d2", ".1.3.6.1.4.1.9.9.109.1.1.1.1.8", "1", "10", "Gauge32"),
+    ]
+    return spark.createDataFrame(rows, VARBIND_SCHEMA)
+
+
+def test_fixture_connection_get_and_walk(spark):
+    conn = FixtureSNMPConnection(_varbinds(spark), "d1")
+    got = conn.get(".1.3.6.1.2.1.1.3.0")
+    assert got.value == "12345" and got.snmp_type == "TimeTicks"
+    walked = conn.bulk_walk(".1.3.6.1.4.1.9.9.109")
+    assert [(v.index, v.value) for v in walked] == [("1", "55"), ("2", "60")]
+    assert conn.get(".9.9.9") is None
+
+
+def test_varbinds_to_oid_tables(spark):
+    out = varbinds_to_oid_tables(
+        _varbinds(spark),
+        {".1.3.6.1.4.1.9.9.109": "cpu_util", ".1.3.6.1.2.1.1.3": "uptime"},
+    )
+    rows = {(r.device_id, r.table_name, r["index"]): r.value for r in out.collect()}
+    assert rows[("d1", "cpu_util", "1")] == "55"
+    assert rows[("d1", "uptime", "0")] == "12345"
+    assert rows[("d2", "cpu_util", "1")] == "10"
+
+
+def test_reconcile_stream(spark, tmp_path):
+    schema = "rid string, resource_creation_timestamp double, val string"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "incoming")
+
+    # seed the store
+    spark.createDataFrame(
+        [("a", 10.0, "cur-a"), ("b", 99.0, "cur-b"), ("c", 10.0, "cur-c")],
+        schema,
+    ).write.parquet(store)
+    # incoming snapshot: updates a (newer), b (older -> skip); c absent ->
+    # delete (set ts 50 > stored 10); d added
+    spark.createDataFrame(
+        [("a", 20.0, "inc-a"), ("b", 20.0, "inc-b"), ("d", 50.0, "inc-d")],
+        schema,
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = reconcile_stream(
+        stream, spark, store, ckpt, identity_cols=["rid"]
+    )
+    q.awaitTermination(120)
+
+    rows = {r.rid: r.val for r in spark.read.parquet(store).collect()}
+    assert rows == {"a": "inc-a", "b": "cur-b", "d": "inc-d"}
