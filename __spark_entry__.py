@@ -101,7 +101,10 @@ def _enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = points.join(F.broadcast(enr), "resource_id", "inner")
     return joined.groupBy("segment", "metrics_group_type").agg(
         F.count("*").alias("n_points"),
-        F.round(F.sum("metric_value"), 2).alias("sum_value"),
+        # decimal-exact sum: order-independent across engines
+        F.round(F.sum(F.col("metric_value").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
         F.max("configured_speed").alias("max_speed"),
     )
 
@@ -110,7 +113,7 @@ _ENRICHMENT_JOIN_ORACLE = f"""
 WITH {fx.EVENTS_POINTS_CTE}, {fx.ENRICHMENT_CTE}
 SELECT e.segment, p.metrics_group_type,
   count(*) AS n_points,
-  round(sum(p.metric_value), 2) AS sum_value,
+  CAST(round(sum(CAST(p.metric_value AS DECIMAL(20,2))), 2) AS DOUBLE) AS sum_value,
   max(e.configured_speed) AS max_speed
 FROM metric_points p JOIN enrichment_flat e USING (resource_id)
 GROUP BY e.segment, p.metrics_group_type
@@ -545,15 +548,24 @@ WITH probes AS (
          CASE WHEN event_type <> 'error' THEN value END AS rtt_ms
   FROM events
 )
-SELECT device_id,
-  count(*) AS packets_transmitted,
-  count(rtt_ms) AS packets_received,
-  round((count(*) - count(rtt_ms)) * 100.0 / count(*), 2) AS packet_loss_pct,
-  round(min(rtt_ms), 3) AS round_trip_min,
-  round(avg(rtt_ms), 3) AS round_trip_avg,
-  round(max(rtt_ms), 3) AS round_trip_max,
-  round(stddev_pop(rtt_ms), 3) AS round_trip_stddev
-FROM probes GROUP BY device_id
+SELECT device_id, packets_transmitted, packets_received, packet_loss_pct,
+  round_trip_min,
+  round(s / packets_received, 3) AS round_trip_avg,
+  round_trip_max,
+  round(sqrt(greatest(sq / packets_received
+        - (s / packets_received) * (s / packets_received), 0.0)), 3)
+    AS round_trip_stddev
+FROM (
+  SELECT device_id,
+    count(*) AS packets_transmitted,
+    count(rtt_ms) AS packets_received,
+    round((count(*) - count(rtt_ms)) * 100.0 / count(*), 2) AS packet_loss_pct,
+    round(min(rtt_ms), 3) AS round_trip_min,
+    CAST(sum(CAST(rtt_ms AS DECIMAL(20,6))) AS DOUBLE) AS s,
+    CAST(sum(CAST(rtt_ms AS DECIMAL(20,6)) * CAST(rtt_ms AS DECIMAL(20,6))) AS DOUBLE) AS sq,
+    round(max(rtt_ms), 3) AS round_trip_max
+  FROM probes GROUP BY device_id
+)
 """
 
 

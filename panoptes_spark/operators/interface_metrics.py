@@ -142,6 +142,8 @@ def resolve_parent_attrs(enrichment: DataFrame) -> DataFrame:
         F.col("configured_speed").alias("parent_interface_configured_speed"),
         F.col("port_speed").alias("parent_interface_port_speed"),
     )
+    # enrichment is dim-sized (interfaces per device) — broadcast the
+    # parent side instead of a sort-merge self-join
     return enrichment.join(
-        parent, ["device_id", "parent_interface_name"], "left"
+        F.broadcast(parent), ["device_id", "parent_interface_name"], "left"
     )

@@ -61,15 +61,33 @@ def ping_stats(df: DataFrame, device_col: str = "device_id") -> DataFrame:
     """A5: per-device RTT stats over probe samples + loss percentage.
 
     Input: one row per probe (rtt_ms nullable = lost probe).
+
+    Sums run in decimal (RTTs carry fixed decimal precision) so avg/stddev
+    are independent of aggregation order — float partial-sum ordering
+    differs between engines/partitionings and would flake hash checks.
     """
-    return df.groupBy(device_col).agg(
+    rtt = F.col("rtt_ms").cast("decimal(20,6)")
+    agg = df.groupBy(device_col).agg(
         F.count("*").alias("packets_transmitted"),
         F.count("rtt_ms").alias("packets_received"),
         F.round(
             (F.count("*") - F.count("rtt_ms")) * 100.0 / F.count("*"), 2
         ).alias("packet_loss_pct"),
         F.round(F.min("rtt_ms"), 3).alias("round_trip_min"),
-        F.round(F.avg("rtt_ms"), 3).alias("round_trip_avg"),
+        F.sum(rtt).cast("double").alias("__sum"),
+        F.sum(rtt * rtt).cast("double").alias("__sumsq"),
         F.round(F.max("rtt_ms"), 3).alias("round_trip_max"),
-        F.round(F.stddev_pop("rtt_ms"), 3).alias("round_trip_stddev"),
+    )
+    n = F.col("packets_received")
+    mean = F.col("__sum") / n
+    var = F.greatest(F.col("__sumsq") / n - mean * mean, F.lit(0.0))
+    return agg.select(
+        device_col,
+        "packets_transmitted",
+        "packets_received",
+        "packet_loss_pct",
+        "round_trip_min",
+        F.round(mean, 3).alias("round_trip_avg"),
+        "round_trip_max",
+        F.round(F.sqrt(var), 3).alias("round_trip_stddev"),
     )
