@@ -642,20 +642,34 @@ SELECT 'both', count(*) FROM cur
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: DSL-filtered resources ⋈ enrichment-style metric rollup."""
-    rf = ResourceFilter('resource_class = "network" AND resource_metadata.make NOT LIKE "Generic%"')
+    """Flagship pipeline: DSL-filtered resources -> broadcast enrichment of
+    the metric stream -> rate transform -> per-(site, series-type) rollup.
+    One pass through every core layer of the engine."""
+    rf = ResourceFilter(
+        'resource_class = "network" AND resource_metadata.make NOT LIKE "Generic%"'
+    )
     res = fx.resources(spark, SF_SMOKE).where(F.expr(rf.to_spark_sql()))
+    # resource_id 'Customer#...' -> the user-keyed id used by the stream
+    res_dim = res.select(
+        F.concat(
+            F.lit("user-"), F.col("resource_creation_timestamp").cast("long").cast("string")
+        ).alias("resource_id"),
+        "resource_site",
+        F.element_at("resource_metadata", F.lit("make")).alias("make"),
+    )
     points = fx.metric_points_from_events(spark, SF_SMOKE)
     rates = rate_transform(
         points, ["resource_id", "metrics_group_type"], interval_sec=_RATE_INTERVAL
     )
-    per_site = res.groupBy("resource_site").agg(
-        F.count("*").alias("n_resources")
+    enriched = rates.join(F.broadcast(res_dim), "resource_id", "inner")
+    return (
+        enriched.groupBy("resource_site", "metrics_group_type", "make")
+        .agg(
+            F.count("*").alias("n_rates"),
+            F.round(F.avg("confidence"), 4).alias("avg_confidence"),
+            F.max("rate").alias("max_rate"),
+        )
     )
-    rollup = rates.groupBy("metrics_group_type").agg(
-        F.count("*").alias("n_rates"), F.round(F.avg("rate"), 4).alias("avg_rate")
-    )
-    return per_site.crossJoin(rollup)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -241,6 +241,24 @@ SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {_TOPK}
 """
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors after min-id representative selection over minhash pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    return dedup.dedup_keep_representatives(docs, pairs).select("doc_id")
+
+
+O_DEDUP_REPRESENTATIVES = (
+    O_DEDUP_MINHASH.replace(
+        f"SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}",
+        f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT b FROM ver WHERE jaccard >= {_THRESH})
+""",
+    )
+)
+
+
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
@@ -325,6 +343,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_simhash": q_simhash,
+    "dedup_representatives": q_dedup_representatives,
     "text_features": q_text_features,
     "text_fingerprint": q_text_fingerprint,
     "ann_cosine_topk": q_ann_topk,
@@ -336,6 +355,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_minhash_pairs": O_DEDUP_MINHASH,
     "dedup_simhash": O_SIMHASH,
+    "dedup_representatives": O_DEDUP_REPRESENTATIVES,
     "text_features": O_TEXT_FEATURES,
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "ann_cosine_topk": O_ANN_TOPK,
