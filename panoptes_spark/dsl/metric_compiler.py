@@ -202,7 +202,17 @@ class MetricDSLCompiler:
 
     # -- per-target compilation ------------------------------------------
 
+    # v0.1 configs wrote bare words for these string dim values; the
+    # reference quotes them before eval (_V1_STRING_LITERALS, :481-483)
+    _V1_STRING_LITERALS = ("data", "ctrl", "dram")
+
     def _compile_target(self, name: str, tmap: dict, is_metric: bool) -> _Target:
+        if (
+            self.schema_version == "0.1"
+            and isinstance(tmap.get("value"), str)
+            and tmap["value"] in self._V1_STRING_LITERALS
+        ):
+            tmap = dict(tmap, value="'" + tmap["value"] + "'")
         try:
             info = compile_value_expr(
                 tmap["value"], self.known_tables, self.scalar_oids
@@ -230,8 +240,13 @@ class MetricDSLCompiler:
         return self._first_table(str(tmap["value"])) is not None
 
     def _has_indices(self, tmap: dict, info: ExprInfo) -> bool:
-        # reference :351-376, v0.2 branch
-        if "indices" in tmap or "indices_from" in tmap:
+        # reference :351-376
+        if self.schema_version == "0.1":
+            if "top_level" in tmap:
+                return False
+            if ("indices" in tmap and "evaluate" not in tmap) or "indices_from" in tmap:
+                return True
+        elif "indices" in tmap or "indices_from" in tmap:
             return True
         if not info.uses_index:
             return False
@@ -545,9 +560,16 @@ class MetricDSLCompiler:
                 " s -> struct(s.name as dimension_name,"
                 " s.value as dimension_value))"
             )
+            # v0.2 merges top-level metrics into every indexed group
+            # (:624-655); v0.1 emits them as a separate group instead
+            merged_metrics = (
+                F.concat(metrics_arr, F.col("top_metrics"))
+                if self.schema_version != "0.1"
+                else metrics_arr
+            )
             out = (
                 idx_groups.withColumn("_mtype", mtype_map)
-                .withColumn("metrics", F.concat(metrics_arr, F.col("top_metrics")))
+                .withColumn("metrics", merged_metrics)
                 .withColumn("dimensions", F.concat(dims_arr, F.col("top_dims")))
                 .withColumn(
                     "_suppress",
@@ -563,12 +585,19 @@ class MetricDSLCompiler:
                     "dimensions",
                 )
             )
-            # devices with no surviving indexed metrics -> top-level-only
-            # group (reference else-branch :657-678)
-            no_idx = top.join(
-                groups_m.select("device_id").distinct(), "device_id", "left_anti"
-            )
-            top_only = no_idx.select(
+            if self.schema_version == "0.1":
+                # v0.1: one separate top-level group per device with >=1
+                # top metric (:644-655), alongside the indexed groups
+                top_src = top.where(F.expr("size(top_metrics) > 0"))
+            else:
+                # v0.2: devices with no surviving indexed metrics get the
+                # top-level-only group (reference else-branch :657-678)
+                top_src = top.join(
+                    groups_m.select("device_id").distinct(),
+                    "device_id",
+                    "left_anti",
+                )
+            top_only = top_src.select(
                 "device_id",
                 gname.alias("metrics_group_type"),
                 interval.alias("metrics_group_interval"),
@@ -577,8 +606,14 @@ class MetricDSLCompiler:
             )
             return out.unionByName(top_only)
 
-        # group with no indexed metric targets: one top-level group per device
-        return top.select(
+        # group with no indexed metric targets: one top-level group per
+        # device (v0.1 additionally requires non-empty metrics)
+        top_src = (
+            top.where(F.expr("size(top_metrics) > 0"))
+            if self.schema_version == "0.1"
+            else top
+        )
+        return top_src.select(
             "device_id",
             gname.alias("metrics_group_type"),
             interval.alias("metrics_group_interval"),

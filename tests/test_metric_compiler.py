@@ -328,3 +328,40 @@ def test_unsupported_expression_raises():
         compile_value_expr("__import__('os').system('x')", set(), set())
     with pytest.raises(UnsupportedExpression):
         compile_value_expr("[x for x in range(10)]", set(), set())
+
+
+def test_v01_schema_version_semantics(spark):
+    # v0.1: top-level metrics form a SEPARATE group (not merged into the
+    # indexed ones); bare 'ctrl' is a string literal; empty dims ignored
+    program = {
+        "oids": {
+            "names": {"method": "bulk_walk", "oid": ".1"},
+            "vals": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {"name": "names.$index", "kind": {"value": "ctrl"}},
+                "metrics": {
+                    "v": {"value": "int(vals.$index)", "indices_from": "names"},
+                    "total": {"value": 7},
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "names", "1", "a"),
+        ("d1", "names", "2", ""),  # empty dim value: v0.1 always ignores
+        ("d1", "vals", "1", "10"),
+        ("d1", "vals", "2", "20"),
+    ]
+    df = run(spark, program, rows, schema_version="0.1")
+    flat = flatten_groups(df).collect()
+    by = {(r.dims_str, r.metric_name): r.metric_value for r in flat}
+    # indexed groups: no 'total' merged in, top dim 'kind=ctrl' present
+    assert by[("kind=ctrl,name=a", "v")] == 10.0
+    assert ("kind=ctrl,name=a", "total") not in by
+    # empty-name index kept (ignore_empty_dimensions), dim omitted
+    assert by[("kind=ctrl", "v")] == 20.0
+    # separate top-level group carrying 'total'
+    assert by[("kind=ctrl", "total")] == 7.0
