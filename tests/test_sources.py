@@ -79,3 +79,29 @@ def test_ping_stats(spark):
     assert out["d1"].round_trip_avg == 15.0
     assert out["d2"].packet_loss_pct == 100.0  # total-loss path
     assert out["d2"].round_trip_avg is None
+
+
+def test_enrichment_validation(spark):
+    import json as _json
+
+    from panoptes_spark.operators.enrichment_validate import (
+        validate_enrichment_json,
+    )
+
+    good = {"interface_name": "xe-0/0/0", "media_type": "ethernetCsmacd",
+            "configured_speed": 10000, "port_speed": 10000}
+    missing = {"media_type": "ethernetCsmacd"}  # no interface_name
+    negative = dict(good, configured_speed=-5)
+    rows = [
+        ("r1", "interface", "1", _json.dumps(good)),
+        ("r1", "interface", "2", _json.dumps(missing)),
+        ("r1", "interface", "3", _json.dumps(negative)),
+        ("r1", "interface", "4", "{broken"),
+    ]
+    df = spark.createDataFrame(
+        rows, "resource_id string, namespace string, key string, value_json string"
+    )
+    valid, invalid = validate_enrichment_json(df, "interface")
+    assert {r.key for r in valid.collect()} == {"1"}
+    assert {r.key for r in invalid.collect()} == {"2", "3", "4"}
+    assert valid.collect()[0].value.interface_name == "xe-0/0/0"
