@@ -108,10 +108,17 @@ def lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
     Returns distinct (a, b) with a < b. One shuffle on the bucket key.
+
+    ``max_bucket_size``: skew guard for the 100 TB path — buckets larger
+    than this (boilerplate/template clusters) are dropped from the pair
+    join, since a k-doc bucket contributes O(k^2) pairs. Route oversized
+    buckets to a cluster-representative pass instead of pairwise verify.
+    Default None = exact (every bucket joined).
     """
     rows = num_hashes // bands
     banded = sig_df.select(
@@ -123,6 +130,13 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bn")
+        )
+        banded = banded.join(
+            sizes.where(F.col("__bn") <= max_bucket_size), ["band", "bucket"]
+        ).drop("__bn")
     l = banded.alias("l")
     r = banded.alias("r")
     return (
