@@ -638,6 +638,77 @@ SELECT 'both', count(*) FROM cur
 
 
 # ---------------------------------------------------------------------------
+# F-family scalar functions over derived inputs (F2 C->F, F6 MAC codec,
+# F7 netmask->CIDR, F9 influx sanitize/escape)
+# ---------------------------------------------------------------------------
+
+_MASKS = ["255.0.0.0", "255.255.0.0", "255.255.255.0", "255.255.255.255",
+          "255.240.0.0"]
+
+
+def _f_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.functions import scalar as fs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    masks = F.array(*[F.lit(m) for m in _MASKS])
+    df = p.select(
+        "p_partkey",
+        ((F.col("p_partkey") % 120) - 20).cast("double").alias("temp_c"),
+        F.element_at(masks, (F.col("p_partkey") % 5 + 1).cast("int")).alias(
+            "netmask"
+        ),
+        F.concat_ws(
+            ".",
+            (F.col("p_partkey") % 256).cast("string"),
+            (F.col("p_partkey") * 3 % 256).cast("string"),
+            (F.col("p_partkey") * 7 % 256).cast("string"),
+            (F.col("p_partkey") * 11 % 256).cast("string"),
+            (F.col("p_partkey") * 13 % 256).cast("string"),
+            (F.col("p_partkey") * 17 % 256).cast("string"),
+        ).alias("dotted"),
+        "p_type",
+        "p_name",
+    )
+    return df.select(
+        "p_partkey",
+        fs.celsius_to_fahrenheit(F.col("temp_c")).alias("temp_f"),
+        fs.netmask_to_cidr("netmask").alias("cidr"),
+        fs.dotted_decimal_to_mac("dotted").alias("mac"),
+        fs.sanitize_measurement(F.col("p_type")).alias("measurement"),
+        fs.escape_tag_value(F.col("p_name")).alias("tag_value"),
+    )
+
+
+_F_FUNCTIONS_ORACLE = f"""
+WITH base AS (
+  SELECT p_partkey,
+    CAST((p_partkey % 120) - 20 AS DOUBLE) AS temp_c,
+    (['255.0.0.0', '255.255.0.0', '255.255.255.0', '255.255.255.255',
+      '255.240.0.0'])[(p_partkey % 5) + 1] AS netmask,
+    CAST(p_partkey % 256 AS VARCHAR) || '.' ||
+    CAST(p_partkey * 3 % 256 AS VARCHAR) || '.' ||
+    CAST(p_partkey * 7 % 256 AS VARCHAR) || '.' ||
+    CAST(p_partkey * 11 % 256 AS VARCHAR) || '.' ||
+    CAST(p_partkey * 13 % 256 AS VARCHAR) || '.' ||
+    CAST(p_partkey * 17 % 256 AS VARCHAR) AS dotted,
+    p_type, p_name
+  FROM part
+)
+SELECT p_partkey,
+  round(temp_c * 1.8 + 32, 2) AS temp_f,
+  CASE netmask WHEN '255.0.0.0' THEN 8 WHEN '255.255.0.0' THEN 16
+       WHEN '255.255.255.0' THEN 24 WHEN '255.255.255.255' THEN 32
+       WHEN '255.240.0.0' THEN 12 END AS cidr,
+  array_to_string(list_transform(string_split(dotted, '.'),
+      o -> lpad(lower(to_hex(o::INT)), 2, '0')), ':') AS mac,
+  regexp_replace(p_type, '[^0-9a-zA-Z_]+', '_', 'g') AS measurement,
+  replace(replace(replace(p_name, ',', '\\,'), '=', '\\='), ' ', '\\ ')
+    AS tag_value
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -692,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a5_ping_stats": _a5_ping_stats,
             "w3_ttl_upsert_expire": _w3_ttl_upsert,
             "u2_set_ops": _u2_set_ops,
+            "f_scalar_functions": _f_functions,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -718,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
             "a5_ping_stats": _A5_ORACLE,
             "w3_ttl_upsert_expire": _W3_ORACLE,
             "u2_set_ops": _U2_ORACLE,
+            "f_scalar_functions": _F_FUNCTIONS_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
