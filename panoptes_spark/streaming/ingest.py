@@ -85,7 +85,7 @@ def parse_and_validate(raw: DataFrame, keys: list[str] | None = None) -> DataFra
 def valid_and_invalid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split streams; the invalid side mirrors the reference's
     counter-and-skip (consumer.py:391-405)."""
-    return parsed.where("is_valid"), parsed.where("~is_valid")
+    return parsed.where("is_valid"), parsed.where("NOT is_valid")
 
 
 def kafka_fanout_sink(
