@@ -638,6 +638,103 @@ SELECT 'both', count(*) FROM cur
 
 
 # ---------------------------------------------------------------------------
+# P9/J7: relational points -> nested metrics-group wire shape -> flatten
+# round-trip. Exercises group assembly (collect_list -> sorted arrays),
+# the embedded-resource struct, and the flatten projection.
+# ---------------------------------------------------------------------------
+
+
+def _p9_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.model import flatten_metrics_groups
+
+    e = fx.read_events(spark, sf_dir)
+    day = F.expr("date_trunc('DAY', timestamp_millis(ts_ms))")
+    base = e.groupBy(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias(
+            "resource_id"
+        ),
+        F.col("event_type"),
+        day.alias("day"),
+    ).agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    groups = base.select(
+        F.struct(
+            F.lit("site1").alias("resource_site"),
+            F.lit("system").alias("resource_class"),
+            F.lit("host").alias("resource_subclass"),
+            F.lit("generic").alias("resource_type"),
+            F.col("resource_id").alias("resource_id"),
+            F.concat(F.col("resource_id"), F.lit(".net")).alias(
+                "resource_endpoint"
+            ),
+            F.lit(0.0).alias("resource_creation_timestamp"),
+            F.lit("events").alias("resource_plugin"),
+            F.expr("map('make', 'Synth')").alias("resource_metadata"),
+        ).alias("resource"),
+        F.lit("events").alias("metrics_group_type"),
+        F.lit(86400).cast("long").alias("metrics_group_interval"),
+        F.array(
+            F.struct(
+                F.lit("n_events").alias("metric_name"),
+                F.col("n_events").alias("metric_value"),
+                F.lit("gauge").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
+            F.struct(
+                F.lit("sum_value").alias("metric_name"),
+                F.col("sum_value").alias("metric_value"),
+                F.lit("gauge").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
+        ).alias("metrics"),
+        F.array(
+            F.struct(
+                F.lit("event_type").alias("dimension_name"),
+                F.col("event_type").alias("dimension_value"),
+            ),
+            F.struct(
+                F.lit("day").alias("dimension_name"),
+                F.date_format("day", "yyyy-MM-dd").alias("dimension_value"),
+            ),
+        ).alias("dimensions"),
+    )
+    flat = flatten_metrics_groups(groups)
+    return flat.select(
+        "resource_id",
+        "metrics_group_type",
+        F.expr("dimensions['event_type']").alias("event_type"),
+        F.expr("dimensions['day']").alias("day"),
+        "metric_name",
+        "metric_value",
+        "metric_type",
+    )
+
+
+_P9_ORACLE = """
+WITH base AS (
+  SELECT 'user-' || CAST(user_id AS VARCHAR) AS resource_id,
+         event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT resource_id, 'events' AS metrics_group_type, event_type, day,
+       'n_events' AS metric_name, n_events AS metric_value,
+       'gauge' AS metric_type
+FROM base
+UNION ALL
+SELECT resource_id, 'events', event_type, day,
+       'sum_value', sum_value, 'gauge'
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # F-family scalar functions over derived inputs (F2 C->F, F6 MAC codec,
 # F7 netmask->CIDR, F9 influx sanitize/escape)
 # ---------------------------------------------------------------------------
@@ -764,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w3_ttl_upsert_expire": _w3_ttl_upsert,
             "u2_set_ops": _u2_set_ops,
             "f_scalar_functions": _f_functions,
+            "p9_nested_roundtrip": _p9_nested_roundtrip,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -791,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
             "w3_ttl_upsert_expire": _W3_ORACLE,
             "u2_set_ops": _U2_ORACLE,
             "f_scalar_functions": _F_FUNCTIONS_ORACLE,
+            "p9_nested_roundtrip": _P9_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
