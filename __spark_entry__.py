@@ -638,6 +638,114 @@ SELECT 'both', count(*) FROM cur
 
 
 # ---------------------------------------------------------------------------
+# P7: empty-dimension suppression through the DSL compiler — same program
+# twice: strict group drops indices with an empty dim value; the
+# ignore_empty_dimensions group keeps them with the dim omitted
+# ---------------------------------------------------------------------------
+
+_P7_PROGRAM = {
+    "oids": {
+        "sensor_value": {"method": "bulk_walk", "oid": ".1"},
+        "sensor_name": {"method": "bulk_walk", "oid": ".3"},
+    },
+    "metrics_groups": [
+        {
+            "group_name": "strict",
+            "dimensions": {"sensor": "sensor_name.$index"},
+            "metrics": {"reading": {"value": "int(sensor_value.$index)",
+                                    "indices_from": "sensor_name"}},
+        },
+        {
+            "group_name": "lenient",
+            "ignore_empty_dimensions": True,
+            "dimensions": {"sensor": "sensor_name.$index"},
+            "metrics": {"reading": {"value": "int(sensor_value.$index)",
+                                    "indices_from": "sensor_name"}},
+        },
+    ],
+}
+
+
+def _p7_empty_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
+
+    tables = fx.oid_tables_from_lineitem(spark, sf_dir)
+    comp = MetricDSLCompiler(spark, _P7_PROGRAM, tables, interval_sec=60)
+    return flatten_groups(comp.compile())
+
+
+_P7_ORACLE = f"""
+WITH {fx.OID_TABLES_CTE},
+joined AS (
+  SELECT n.device_id, n.index, n.value AS sensor,
+         TRY_CAST(v.value AS BIGINT) AS reading
+  FROM sensor_name n
+  LEFT JOIN sensor_value v ON n.device_id = v.device_id AND n.index = v.index
+  WHERE TRY_CAST(v.value AS BIGINT) IS NOT NULL
+)
+SELECT device_id, 'strict' AS metrics_group_type,
+       CAST(60 AS BIGINT) AS metrics_group_interval,
+       'sensor=' || sensor AS dims_str,
+       'reading' AS metric_name, CAST(reading AS DOUBLE) AS metric_value,
+       'gauge' AS metric_type
+FROM joined WHERE sensor <> ''
+UNION ALL
+SELECT device_id, 'lenient', CAST(60 AS BIGINT),
+       CASE WHEN sensor = '' THEN '' ELSE 'sensor=' || sensor END,
+       'reading', CAST(reading AS DOUBLE), 'gauge'
+FROM joined
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization over the event stream (gap-based; beyond-reference
+# windowing for the telemetry/training pipelines)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MS = 6 * 3600 * 1000  # events inter-arrival is hours-scale
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.sessions import session_stats
+
+    e = fx.read_events(spark, sf_dir)
+    return session_stats(
+        e.select("user_id", "event_type", "ts_ms", "value"),
+        ["user_id"],
+        gap_ms=_SESSION_GAP_MS,
+        value_col="value",
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_ms, value,
+    CASE WHEN lag(ts_ms) OVER w IS NULL
+              OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
+         THEN 1 ELSE 0 END AS new_session
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+sess AS (
+  SELECT user_id, ts_ms, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  min(ts_ms) AS session_start_ms,
+  max(ts_ms) AS session_end_ms,
+  max(ts_ms) - min(ts_ms) AS duration_ms,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # P9/J7: relational points -> nested metrics-group wire shape -> flatten
 # round-trip. Exercises group assembly (collect_list -> sorted arrays),
 # the embedded-resource struct, and the flatten projection.
@@ -862,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "u2_set_ops": _u2_set_ops,
             "f_scalar_functions": _f_functions,
             "p9_nested_roundtrip": _p9_nested_roundtrip,
+            "w_sessionize_events": _sessionize_events,
+            "p7_empty_dimension_policy": _p7_empty_dims,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -890,6 +1000,8 @@ def oracle_sql() -> dict[str, str]:
             "u2_set_ops": _U2_ORACLE,
             "f_scalar_functions": _F_FUNCTIONS_ORACLE,
             "p9_nested_roundtrip": _P9_ORACLE,
+            "w_sessionize_events": _SESSIONIZE_ORACLE,
+            "p7_empty_dimension_policy": _P7_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

@@ -210,6 +210,11 @@ sensor_scale AS (
   SELECT device_id, CAST(idx AS VARCHAR) AS index,
          CAST(idx % 3 + 1 AS VARCHAR) AS value
   FROM oid_base WHERE idx % 4 = 0
+),
+sensor_name AS (
+  SELECT device_id, CAST(idx AS VARCHAR) AS index,
+         CASE WHEN idx % 9 = 0 THEN '' ELSE 'S' || CAST(idx AS VARCHAR) END AS value
+  FROM oid_base
 )
 """
 
@@ -239,7 +244,15 @@ def oid_tables_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx").cast("string").alias("index"),
         (F.col("idx") % 3 + 1).cast("string").alias("value"),
     )
-    return sensor_value.unionByName(sensor_scale)
+    sensor_name = base.select(
+        "device_id",
+        F.lit("sensor_name").alias("table_name"),
+        F.col("idx").cast("string").alias("index"),
+        F.when(F.col("idx") % 9 == 0, "")
+        .otherwise(F.concat(F.lit("S"), F.col("idx").cast("string")))
+        .alias("value"),
+    )
+    return sensor_value.unionByName(sensor_scale).unionByName(sensor_name)
 
 
 def enrichment_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
