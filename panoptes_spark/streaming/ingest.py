@@ -79,7 +79,14 @@ def parse_and_validate(raw: DataFrame, keys: list[str] | None = None) -> DataFra
         & F.col("metrics_group.metrics_group_type").isNotNull()
         & F.col("metrics_group.resource.resource_id").isNotNull(),
     )
-    return df
+    # the reference counts both parse and validation failures
+    # (consumer.py:391-405); observe() surfaces the same counters per
+    # batch via QueryProgress/listener without a second pass
+    return df.observe(
+        "validation",
+        F.count(F.lit(1)).alias("records"),
+        F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("invalid"),
+    )
 
 
 def valid_and_invalid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

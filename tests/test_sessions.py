@@ -1,0 +1,35 @@
+from panoptes_spark.operators.sessions import session_stats, sessionize
+
+
+def test_sessionize_gaps(spark):
+    rows = [
+        ("u1", 0), ("u1", 1000), ("u1", 2000),      # session 0
+        ("u1", 100000), ("u1", 101000),             # session 1 (gap > 30s)
+        ("u2", 0),                                   # separate key
+    ]
+    df = spark.createDataFrame(rows, "user string, ts_ms long")
+    out = sessionize(df, ["user"], gap_ms=30000)
+    got = {(r.user, r.ts_ms): r.session_id for r in out.collect()}
+    assert got == {("u1", 0): 0, ("u1", 1000): 0, ("u1", 2000): 0,
+                   ("u1", 100000): 1, ("u1", 101000): 1, ("u2", 0): 0}
+
+
+def test_session_stats(spark):
+    rows = [("u1", 0, 1.5), ("u1", 1000, 2.5), ("u1", 100000, 4.0)]
+    df = spark.createDataFrame(rows, "user string, ts_ms long, value double")
+    out = {
+        (r.user, r.session_id): r
+        for r in session_stats(df, ["user"], gap_ms=30000,
+                               value_col="value").collect()
+    }
+    s0 = out[("u1", 0)]
+    assert (s0.n_events, s0.duration_ms, s0.sum_value) == (2, 1000, 4.0)
+    s1 = out[("u1", 1)]
+    assert (s1.n_events, s1.duration_ms, s1.sum_value) == (1, 0, 4.0)
+
+
+def test_single_exchange_plan(spark):
+    df = spark.createDataFrame([("u1", 0)], "user string, ts_ms long")
+    plan = sessionize(df, ["user"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # both windows share the partitioning
