@@ -219,9 +219,11 @@ class MetricDSLCompiler:
             )
             sql = info.sql
             sql = cast_sql(sql, tmap["type"])
+            info.hazards.append(sql)  # the final cast may itself fail
             if "transform" in tmap:
                 sql = compile_transform(
-                    tmap["transform"], sql, self.known_tables, self.scalar_oids
+                    tmap["transform"], sql, self.known_tables,
+                    self.scalar_oids, info=info,
                 )
             indexed = self._has_indices(tmap, info)
             return _Target(name, tmap, info, sql, indexed, is_metric)
@@ -287,9 +289,24 @@ class MetricDSLCompiler:
                 df = df.join(tv, ["device_id", "index"], "left")
         df = self._join_member_flags(df, t.info, key_scope="index")
         out = df.select(
-            "device_id", "index", F.expr(t.final_sql).alias("value")
+            "device_id", "index", F.expr(self._guarded_sql(t)).alias("value")
         ).where(F.col("value").isNotNull())
         return out
+
+    def _guarded_sql(self, t: _Target) -> str:
+        """Wrap the value expression in the error-poison guard: a python
+        error in any EVALUATED sub-expression (missing table key, failed
+        cast, division by zero) skips the index — but laziness is
+        honored: hazards inside un-taken ternary branches are absorbed by
+        the translator's scoped CASE composition, so only root-scope
+        hazards appear here."""
+        poisons = [f"({h}) IS NULL" for h in t.info.hazards]
+        if not poisons:
+            return t.final_sql
+        return (
+            f"CASE WHEN {' OR '.join(poisons)} THEN NULL"
+            f" ELSE ({t.final_sql}) END"
+        )
 
     # -- pandas-UDF fallback paths ---------------------------------------
 
@@ -450,18 +467,28 @@ class MetricDSLCompiler:
                 F.col("value").alias("__agg_value"),
             )
             base = self._join_member_flags(base, info, key_scope="agg")
+            # python evaluates the comprehension filter for EVERY element;
+            # one raise aborts the whole aggregate for that device
+            if info.agg_row_hazards:
+                row_poison = " OR ".join(
+                    f"({h}) IS NULL" for h in info.agg_row_hazards
+                )
+                base = base.withColumn("__row_hz", F.expr(row_poison))
+            else:
+                base = base.withColumn("__row_hz", F.lit(False))
             counted = (
-                base.where(F.expr(info.agg_filter_sql))
-                .groupBy("device_id")
-                .agg(F.count("*").alias("__agg_count"))
+                base.groupBy("device_id")
+                .agg(
+                    F.sum(
+                        F.when(F.expr(info.agg_filter_sql), 1).otherwise(0)
+                    ).alias("__agg_count"),
+                    F.max("__row_hz").alias("__poisoned"),
+                )
+                .where(~F.col("__poisoned"))
             )
-            # devices with zero matches: count() drops them, which matches
-            # the falsy-skip (0 -> dropped) — no re-join needed
             df = counted.select(
                 "device_id",
-                F.expr(t.final_sql.replace("__agg_count", "__agg_count")).alias(
-                    "value"
-                ),
+                F.expr(t.final_sql).alias("value"),
             )
         else:
             df = self._devices
@@ -473,7 +500,7 @@ class MetricDSLCompiler:
                         f"top-level target {t.name!r} references per-index "
                         f"table {tbl!r} without $index"
                     )
-            df = df.select("device_id", F.expr(t.final_sql).alias("value"))
+            df = df.select("device_id", F.expr(self._guarded_sql(t)).alias("value"))
         # falsy skip: NULL, 0, '' all dropped (try_cast: non-numeric strings
         # are truthy, and ANSI mode must not abort on them)
         num = F.expr("try_cast(value as double)")

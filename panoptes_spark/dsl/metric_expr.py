@@ -54,6 +54,18 @@ class ExprInfo:
     is_aggregate: bool = False
     agg_table: str | None = None  # table the count-comprehension iterates
     agg_filter_sql: str | None = None  # filter over (index,value) of agg_table
+    # per-row hazards inside the comprehension filter: in python, a raise
+    # for ANY element aborts the whole len([...]) -> the aggregate is
+    # poisoned for that device, not just the row
+    agg_row_hazards: list = field(default_factory=list)
+    # Error-poison fragments: in the reference, ANY python error while
+    # evaluating an expression skips the whole index — including errors
+    # inside a ternary CONDITION, where SQL three-valued logic would
+    # otherwise swallow the NULL into the ELSE branch. Each fragment is a
+    # SQL expr that is NULL exactly when the corresponding python
+    # sub-expression would raise; the compiler ORs their IS NULLs into a
+    # poison guard around the final value.
+    hazards: list = field(default_factory=list)
 
 
 def _q(s: str) -> str:
@@ -68,6 +80,28 @@ class _Translator:
         self.scalar_oids = scalar_oids
         self.env = env or {}
         self.info = ExprInfo(sql="")
+        # hazard scoping: python's ternary is LAZY — an error in the
+        # un-taken branch does not raise. Hazards collect into the current
+        # scope; IfExp opens one per arm and absorbs them locally.
+        self._scopes: list[list[str]] = [self.info.hazards]
+
+    def _add_hazard(self, sql: str):
+        self._scopes[-1].append(sql)
+
+    def _scoped(self, node) -> tuple[str, list]:
+        self._scopes.append([])
+        try:
+            sql = self.translate(node)
+        finally:
+            hz = self._scopes.pop()
+        return sql, hz
+
+    @staticmethod
+    def _wrap_poison(sql: str, hazards: list) -> str:
+        if not hazards:
+            return sql
+        cond = " OR ".join(f"({h}) IS NULL" for h in hazards)
+        return f"(CASE WHEN {cond} THEN NULL ELSE ({sql}) END)"
 
     def translate(self, node: ast.AST) -> str:
         m = getattr(self, f"_t_{type(node).__name__}", None)
@@ -93,10 +127,16 @@ class _Translator:
 
     def _t_Name(self, node):
         if node.id in self.env:
-            return self.env[node.id]
+            sql = self.env[node.id]
+            # a table.$index placeholder: missing key -> KeyError in the
+            # reference -> poison (scoped, so un-taken branches are exempt)
+            if isinstance(sql, str) and sql.startswith("__t_"):
+                self._add_hazard(sql)
+            return sql
         if node.id in self.scalar_oids:
             # a `get`-method scalar oid: joined per-device
             self.info.tables.add(node.id)
+            self._add_hazard(table_col(node.id))
             return table_col(node.id)
         raise UnsupportedExpression(f"unknown name {node.id!r}")
 
@@ -116,7 +156,9 @@ class _Translator:
         l, r = self.translate(node.left), self.translate(node.right)
         if isinstance(node.op, ast.Div):
             # python3 true division; try_divide: ZeroDivisionError -> row skip
-            return f"try_divide(CAST({l} AS DOUBLE), CAST({r} AS DOUBLE))"
+            sql = f"try_divide(CAST({l} AS DOUBLE), CAST({r} AS DOUBLE))"
+            self._add_hazard(sql)
+            return sql
         if isinstance(node.op, ast.Pow):
             return f"POWER({l}, {r})"
         if isinstance(node.op, ast.FloorDiv):
@@ -164,10 +206,25 @@ class _Translator:
         return f"({left_sql} {self._CMPOPS[type(op)]} {self.translate(right)})"
 
     def _t_IfExp(self, node):
-        return (
-            f"(CASE WHEN {self.translate(node.test)} THEN "
-            f"{self.translate(node.body)} ELSE {self.translate(node.orelse)} END)"
-        )
+        # python laziness: only the test plus the TAKEN branch can raise.
+        test_sql, test_hz = self._scoped(node.test)
+        body_sql, body_hz = self._scoped(node.body)
+        else_sql, else_hz = self._scoped(node.orelse)
+        body_w = self._wrap_poison(body_sql, body_hz)
+        else_w = self._wrap_poison(else_sql, else_hz)
+        if test_hz:
+            cond = " OR ".join(f"({h}) IS NULL" for h in test_hz)
+            composed = (
+                f"(CASE WHEN {cond} THEN NULL WHEN {test_sql} THEN {body_w}"
+                f" ELSE {else_w} END)"
+            )
+        else:
+            composed = (
+                f"(CASE WHEN {test_sql} THEN {body_w} ELSE {else_w} END)"
+            )
+        # NULL result <=> some evaluated part raised -> poison for parents
+        self._add_hazard(composed)
+        return composed
 
     # -- calls -----------------------------------------------------------
 
@@ -180,9 +237,13 @@ class _Translator:
         # raises -> per-index skip); double->BIGINT truncates toward zero
         # like int(); plain CAST under ANSI mode would fail the whole job
         if fname == "int" and len(args) == 1:
-            return f"TRY_CAST({self.translate(args[0])} AS BIGINT)"
+            sql = f"TRY_CAST({self.translate(args[0])} AS BIGINT)"
+            self._add_hazard(sql)
+            return sql
         if fname == "float" and len(args) == 1:
-            return f"TRY_CAST({self.translate(args[0])} AS DOUBLE)"
+            sql = f"TRY_CAST({self.translate(args[0])} AS DOUBLE)"
+            self._add_hazard(sql)
+            return sql
         if fname == "str" and len(args) == 1:
             return f"CAST({self.translate(args[0])} AS STRING)"
         if fname == "abs" and len(args) == 1:
@@ -236,6 +297,7 @@ class _Translator:
         self.info.is_aggregate = True
         self.info.agg_table = tname
         self.info.agg_filter_sql = cond
+        self.info.agg_row_hazards = list(sub.info.hazards)
         self.info.member_tables |= sub.info.member_tables
         self.info.tables |= sub.info.tables
         return "__agg_count"  # placeholder; compiler builds the agg plan
@@ -288,8 +350,17 @@ def compile_value_expr(
     return info
 
 
-def compile_transform(raw: str, inner_sql: str, known_tables: set, scalar_oids: set) -> str:
-    """Compile a ``lambda x: ...`` transform applied to ``inner_sql``."""
+def compile_transform(
+    raw: str,
+    inner_sql: str,
+    known_tables: set,
+    scalar_oids: set,
+    info: ExprInfo | None = None,
+) -> str:
+    """Compile a ``lambda x: ...`` transform applied to ``inner_sql``.
+
+    Hazard fragments from the transform body are appended to ``info`` when
+    given (the transform runs under the same error-skip semantics)."""
     try:
         tree = ast.parse(raw, mode="eval")
     except SyntaxError as e:
@@ -299,7 +370,12 @@ def compile_transform(raw: str, inner_sql: str, known_tables: set, scalar_oids: 
         raise UnsupportedExpression("transform must be a 1-arg lambda")
     var = fn.args.args[0].arg
     tr = _Translator(known_tables, scalar_oids, env={var: inner_sql})
-    return tr.translate(fn.body)
+    sql = tr.translate(fn.body)
+    if info is not None:
+        info.hazards.extend(tr.info.hazards)
+        info.tables |= tr.info.tables
+        info.member_tables |= tr.info.member_tables
+    return sql
 
 
 CAST_SQL = {
