@@ -17,15 +17,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import INTERFACE_ENRICHMENT_VALUE_SCHEMA
+from ..schemas import (
+    BRIDGE_LOOKUP_VALUE_SCHEMA,
+    HEARTBEAT_VALUE_SCHEMA,
+    INTERFACE_ENRICHMENT_VALUE_SCHEMA,
+    INTERFACE_LOOKUP_VALUE_SCHEMA,
+    L3_INTERFACE_LOOKUP_VALUE_SCHEMA,
+    TOPOLOGY_VALUE_SCHEMA,
+)
 
 # required fields per namespace (Cerberus 'required': True equivalents)
 _REQUIRED = {
     "interface": ["interface_name", "media_type", "configured_speed"],
+    "bridge_lookup": ["resource_id", "port_id_map"],
+    "interface_lookup": ["resource_id", "interface_description",
+                         "interface_index"],
+    "l3_interface_lookup": ["resource_id", "interface_description",
+                            "interface_index", "ip_version"],
+    "topology": ["interface", "neighbor", "map_type"],
+    "heartbeat_ns": [],
 }
 
 _SCHEMAS = {
     "interface": INTERFACE_ENRICHMENT_VALUE_SCHEMA,
+    "bridge_lookup": BRIDGE_LOOKUP_VALUE_SCHEMA,
+    "interface_lookup": INTERFACE_LOOKUP_VALUE_SCHEMA,
+    "l3_interface_lookup": L3_INTERFACE_LOOKUP_VALUE_SCHEMA,
+    "topology": TOPOLOGY_VALUE_SCHEMA,
+    "heartbeat_ns": HEARTBEAT_VALUE_SCHEMA,
 }
 
 

@@ -131,6 +131,46 @@ INTERFACE_ENRICHMENT_VALUE_SCHEMA = T.StructType(
     ]
 )
 
+# Additional enrichment namespace value schemas (Cerberus twins):
+# neighbor-lookup family (enrichment/schema/neighbor_lookup.py:18-69),
+# topology (schema/topology.py), heartbeat (schema/heartbeat.py)
+BRIDGE_LOOKUP_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("port_id_map", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+INTERFACE_LOOKUP_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("interface_description", T.StringType(), False),
+        T.StructField("interface_index", T.StringType(), False),
+        T.StructField("port_id_map", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+L3_INTERFACE_LOOKUP_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("resource_id", T.StringType(), False),
+        T.StructField("interface_description", T.StringType(), False),
+        T.StructField("interface_index", T.StringType(), False),
+        T.StructField("ip_version", T.IntegerType(), False),
+    ]
+)
+
+TOPOLOGY_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("interface", T.StringType(), False),
+        T.StructField("neighbor", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("map_type", T.StringType(), False),
+    ]
+)
+
+HEARTBEAT_VALUE_SCHEMA = T.StructType(
+    [T.StructField("timestamp", T.DoubleType(), True)]
+)
+
 # ---------------------------------------------------------------------------
 # Long-format OID tables for the metric-computation DSL
 # (docs/Generic_SNMP_Polling_DSL.md:52-91 — tables are {index: value} maps)

@@ -105,3 +105,31 @@ def test_enrichment_validation(spark):
     assert {r.key for r in valid.collect()} == {"1"}
     assert {r.key for r in invalid.collect()} == {"2", "3", "4"}
     assert valid.collect()[0].value.interface_name == "xe-0/0/0"
+
+
+def test_enrichment_validation_other_namespaces(spark):
+    import json as _json
+
+    from panoptes_spark.operators.enrichment_validate import (
+        validate_enrichment_json,
+    )
+
+    rows = [
+        ("r1", "topology", "xe-0", _json.dumps(
+            {"interface": "xe-0", "neighbor": {"device": "r2"},
+             "map_type": "lldp"})),
+        ("r1", "topology", "xe-1", _json.dumps({"interface": "xe-1"})),  # missing
+    ]
+    df = spark.createDataFrame(
+        rows, "resource_id string, namespace string, key string, value_json string"
+    )
+    valid, invalid = validate_enrichment_json(df, "topology")
+    assert {r.key for r in valid.collect()} == {"xe-0"}
+    assert {r.key for r in invalid.collect()} == {"xe-1"}
+
+    hb = spark.createDataFrame(
+        [("r1", "heartbeat_ns", "hb", _json.dumps({"timestamp": 5.0}))],
+        "resource_id string, namespace string, key string, value_json string",
+    )
+    v, i = validate_enrichment_json(hb, "heartbeat_ns")
+    assert v.count() == 1 and i.count() == 0
