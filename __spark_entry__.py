@@ -183,7 +183,9 @@ _DSL_PROGRAM = {
 def _dsl_metric_program(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
 
-    tables = fx.oid_tables_from_lineitem(spark, sf_dir)
+    # persist: three oid tables filter this one derivation — without it the
+    # lineitem scan+groupBy runs once per table
+    tables = fx.oid_tables_from_lineitem(spark, sf_dir).persist()
     comp = MetricDSLCompiler(spark, _DSL_PROGRAM, tables, interval_sec=60)
     return flatten_groups(comp.compile())
 
@@ -669,7 +671,7 @@ _P7_PROGRAM = {
 def _p7_empty_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
 
-    tables = fx.oid_tables_from_lineitem(spark, sf_dir)
+    tables = fx.oid_tables_from_lineitem(spark, sf_dir).persist()
     comp = MetricDSLCompiler(spark, _P7_PROGRAM, tables, interval_sec=60)
     return flatten_groups(comp.compile())
 

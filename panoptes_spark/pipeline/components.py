@@ -1,0 +1,83 @@
+"""Connected components over near-duplicate pair graphs.
+
+``dedup_keep_representatives`` is a single-pass approximation (drops the
+larger id of each pair); exact cluster collapse needs connected
+components: doc A~B and B~C must land in one cluster even though (A,C)
+never formed a pair.
+
+Implementation: iterative min-label propagation (the standard
+large-graph approach without GraphX/GraphFrames): every node starts as
+its own label; each round, labels flow across edges both ways and every
+node takes the min; converges in O(diameter) rounds — near-dup clusters
+are shallow, so a handful. Each round is two shuffles; ``max_iter``
+bounds runaway graphs and localCheckpoint truncates the lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col_a: str = "a",
+    id_col_b: str = "b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(node, component) for every node; component = min node id in its
+    cluster. ``pairs``: undirected edges (a, b). ``nodes``: optional
+    universe (isolated nodes get their own component)."""
+    edges = (
+        pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    if nodes is None:
+        labels = edges.select(F.col("src").alias("node")).distinct()
+    else:
+        labels = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    labels = labels.withColumn("component", F.col("node"))
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; every node takes the min of
+        # its own and its neighbors' labels
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_exact_components(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 10
+) -> DataFrame:
+    """Keep exactly one doc (min id) per connected near-dup cluster."""
+    comp = connected_components(
+        pairs, nodes=df.select(id_col), max_iter=max_iter
+    )
+    keep = comp.where(F.col("node") == F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

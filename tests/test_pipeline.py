@@ -111,3 +111,42 @@ def test_multimodal_frame_sampling(spark):
     assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
     vids = media.where(F.col("media_type") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
+
+
+def test_connected_components_transitive(spark):
+    from panoptes_spark.pipeline.components import (
+        connected_components,
+        dedup_exact_components,
+    )
+
+    # chain 1-2-3 plus pair 10-11 plus isolated 20
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 20)], "doc_id long, text string"
+    )
+    comp = {r.node: r.component
+            for r in connected_components(pairs, docs.select("doc_id")).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    kept = {r.doc_id for r in dedup_exact_components(docs, pairs).collect()}
+    assert kept == {1, 10, 20}
+
+
+def test_pushdown_reaches_parquet_scan(spark, tmp_path):
+    from panoptes_spark.dsl.resource_filter import ResourceFilter
+
+    df = spark.createDataFrame(
+        [("dc1", "network", "sub", "cisco", "r1", "e", 1.0, "p", {"make": "Cisco"})],
+        "resource_site string, resource_class string, resource_subclass string,"
+        " resource_type string, resource_id string, resource_endpoint string,"
+        " resource_creation_timestamp double, resource_plugin string,"
+        " resource_metadata map<string,string>",
+    )
+    path = str(tmp_path / "resources")
+    df.write.parquet(path)
+    rf = ResourceFilter('resource_site = "dc1" AND resource_class = "network"')
+    out = spark.read.parquet(path).where(F.expr(rf.to_spark_sql()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # direct-field DSL predicates must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "EqualTo(resource_site,dc1)" in plan
