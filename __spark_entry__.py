@@ -640,6 +640,46 @@ SELECT 'both', count(*) FROM cur
 
 
 # ---------------------------------------------------------------------------
+# Windowed aggregation over the event stream: tumbling 1-day windows via
+# F.window (identical API in Structured Streaming with a watermark) and
+# exact distinct counts
+# ---------------------------------------------------------------------------
+
+
+def _w_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.read_events(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("ts_ms"))
+    win = F.window(ts, "1 day")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+_W_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # P7: empty-dimension suppression through the DSL compiler — same program
 # twice: strict group drops indices with an empty dim value; the
 # ignore_empty_dimensions group keeps them with the dim omitted
@@ -974,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "p9_nested_roundtrip": _p9_nested_roundtrip,
             "w_sessionize_events": _sessionize_events,
             "p7_empty_dimension_policy": _p7_empty_dims,
+            "w_tumbling_window_agg": _w_tumbling_agg,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1004,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
             "p9_nested_roundtrip": _P9_ORACLE,
             "w_sessionize_events": _SESSIONIZE_ORACLE,
             "p7_empty_dimension_policy": _P7_ORACLE,
+            "w_tumbling_window_agg": _W_TUMBLING_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
