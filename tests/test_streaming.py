@@ -160,3 +160,81 @@ def test_influx_batch_writer_degrade(spark):
     writer(two, epoch_id=0)
     flat = [l for c in sent for l in c]
     assert len(flat) == 2 and all(len(c) == 1 for c in sent)
+
+
+def test_rate_stream_cross_batch_out_of_order(spark, tmp_path):
+    """An older sample arriving in a LATER micro-batch must be skipped
+    (state holds the newer timestamp; the reference's dt<0 guard)."""
+    import os
+
+    schema = POINTS_SCHEMA
+    batch1 = spark.createDataFrame(
+        [("r1", "iface", 1000, 10.0), ("r1", "iface", 61000, 70.0)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [("r1", "iface", 31000, 40.0),   # late, older than state -> skip
+         ("r1", "iface", 121000, 130.0)],  # in order -> rate 1/s
+        schema,
+    )
+    src = str(tmp_path / "ooo")
+    os.makedirs(src)
+    batch1.coalesce(1).write.parquet(src + "/b1")
+    batch2.coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    from panoptes_spark.streaming.rate_stream import rate_stream
+
+    q = (
+        rate_stream(stream, interval_sec=60)
+        .writeStream.format("memory")
+        .queryName("ooo_rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.ts_ms: r.rate for r in spark.sql("SELECT * FROM ooo_rates").collect()}
+    assert 31000 not in got  # late arrival skipped
+    assert got[61000] == 1.0
+    assert got[121000] == 1.0
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path):
+    """Tumbling-window streaming agg with a watermark — the late-data
+    handling path for the metric stream."""
+    rows = [
+        ("click", 0), ("click", 60_000), ("view", 120_000),
+        ("click", 600_000),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long").select(
+        "event_type", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    src = str(tmp_path / "win")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # complete mode: append would hold windows open until the watermark
+    # passes them, and availableNow ends before a later batch advances it
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {
+        (r.window.start.minute, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert out[(0, "click")] == 2
+    assert out[(0, "view")] == 1  # 120s falls in [0,5) window
+    assert out[(10, "click")] == 1
