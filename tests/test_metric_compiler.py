@@ -365,3 +365,41 @@ def test_v01_schema_version_semantics(spark):
     assert by[("kind=ctrl", "v")] == 20.0
     # separate top-level group carrying 'total'
     assert by[("kind=ctrl", "total")] == 7.0
+
+
+def test_scalar_get_oid(spark):
+    # S2: a get-method oid used as a scalar in both indexed and top-level
+    # expressions (reference _snmpget_oid_map substitution)
+    program = {
+        "oids": {
+            "uptime": {"method": "get", "oid": ".1.3.6.1.2.1.1.3.0"},
+            "vals": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {},
+                "metrics": {
+                    "uptime_hours": {"value": "int(uptime) / 360000",
+                                     "type": "float"},
+                    "scaled": {"value": "int(vals.$index) * int(uptime)"},
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "uptime", "0", "7200000"),
+        ("d1", "vals", "1", "2"),
+        ("d2", "vals", "1", "5"),  # d2 has no uptime -> scalar missing
+    ]
+    tables = spark.createDataFrame(
+        rows, "device_id string, table_name string, index string, value string"
+    )
+    out = flatten_groups(MetricDSLCompiler(spark, program, tables).compile())
+    p = {(r.device_id, r.metric_name): r.metric_value for r in out.collect()}
+    assert p[("d1", "uptime_hours")] == 20.0
+    assert p[("d1", "scaled")] == 2 * 7200000.0
+    # d2: missing scalar poisons both targets -> v0.2 still emits the
+    # empty top-level group, with no metrics
+    assert ("d2", "scaled") not in p
+    assert ("d2", "uptime_hours") not in p
