@@ -11,10 +11,6 @@ translator handles the observed corpus; this catches the tail.
 from __future__ import annotations
 
 import ast
-import math
-from collections.abc import Iterator
-
-import pandas as pd
 
 _ALLOWED_BUILTINS = {
     "int": int, "float": float, "str": str, "len": len, "round": round,
@@ -205,48 +201,3 @@ def compile_safe_lambda(src: str):
         return SafeEvaluator({var: x}).eval(fn.body)
 
     return call
-
-
-def fallback_indexed_values(
-    spark_df,
-    expr: str,
-    table_maps_cols: dict[str, str],
-    out_type: str = "double",
-):
-    """Pandas-UDF fallback for an indexed target: evaluates ``expr`` per row
-    given oid-table value columns (already joined), with ``<table>.$index``
-    references pre-substituted to column names by the caller.
-
-    ``table_maps_cols``: python-name -> DataFrame column holding the value.
-    """
-    import re
-
-    py_expr = re.sub(
-        r"(\w+)\.\$index",
-        lambda m: f"__v_{m.group(1)}",
-        expr,
-    ).replace("$index", "__idx")
-
-    cols = list(spark_df.columns)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vals = []
-            for row in pdf.itertuples(index=False):
-                rowd = dict(zip(cols, row))
-                env = {"__idx": rowd.get("index")}
-                for pyname, colname in table_maps_cols.items():
-                    env[f"__v_{pyname}"] = rowd.get(colname)
-                try:
-                    v = safe_eval(py_expr, env)
-                except Exception:
-                    v = None
-                vals.append(v)
-            out = pdf.copy()
-            out["value"] = pd.Series(vals, dtype="object")
-            yield out
-
-    schema = ", ".join(
-        f"{name} {dtype}" for name, dtype in spark_df.dtypes
-    ) + f", value {out_type}"
-    return spark_df.mapInPandas(run, schema=schema)
