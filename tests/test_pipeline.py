@@ -150,3 +150,24 @@ def test_pushdown_reaches_parquet_scan(spark, tmp_path):
     # direct-field DSL predicates must reach the parquet scan
     assert "PushedFilters" in plan
     assert "EqualTo(resource_site,dc1)" in plan
+
+
+def test_partition_pruning_on_site(spark, tmp_path):
+    """S6 at scale: a site-partitioned store + DSL site filter must prune
+    partitions, not scan them."""
+    from panoptes_spark.dsl.resource_filter import ResourceFilter
+
+    df = spark.createDataFrame(
+        [(f"dc{i % 3}", f"r{i}") for i in range(30)],
+        "resource_site string, resource_id string",
+    )
+    path = str(tmp_path / "store")
+    df.write.partitionBy("resource_site").parquet(path)
+
+    rf = ResourceFilter('resource_site = "dc1"')
+    out = spark.read.parquet(path).where(F.expr(rf.to_spark_sql()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "resource_site" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert out.count() == 10
