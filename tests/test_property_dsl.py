@@ -32,7 +32,8 @@ field_cond = st.one_of(
     st.tuples(st.just("resource_class"), st.sampled_from(["=", "!="]),
               st.sampled_from(CLASSES)),
     st.tuples(st.just("resource_type"), st.sampled_from(["LIKE", "NOT LIKE"]),
-              st.sampled_from(["ari%", "%o", "juniper", "x%"])),
+              st.sampled_from(["ari%", "%o", "juniper", "x%", "cis_o",
+                               "_isco", "%ri%"])),
     st.tuples(st.just("resource_site"), st.sampled_from(["IN", "NOT IN"]),
               st.lists(st.sampled_from(SITES), min_size=1, max_size=3)),
     st.tuples(

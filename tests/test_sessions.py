@@ -33,3 +33,19 @@ def test_single_exchange_plan(spark):
     plan = sessionize(df, ["user"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # both windows share the partitioning
+
+
+def test_salted_join_equivalence(spark):
+    from panoptes_spark.operators.skew import salted_count, salted_join
+
+    large = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", i) for i in range(5)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = large.join(small, "k").groupBy("k", "tag").count()
+    salted = salted_join(large, small, ["k"]).groupBy("k", "tag").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    counts = {r.k: r.n for r in salted_count(large, ["k"]).collect()}
+    assert counts == {"hot": 100, "cold": 5}
