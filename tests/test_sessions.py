@@ -49,3 +49,31 @@ def test_salted_join_equivalence(spark):
 
     counts = {r.k: r.n for r in salted_count(large, ["k"]).collect()}
     assert counts == {"hot": 100, "cold": 5}
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key pre-partitions the data so the
+    join plan has no Exchange — the co-located-join strategy for repeated
+    big-table joins at scale."""
+    import uuid
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(1000)], "k long, va long")
+    b = spark.createDataFrame([(i, i * 3) for i in range(1000)], "k long, vb long")
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    try:
+        # force the sort-merge path (tiny test tables would broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        a.write.bucketBy(8, "k").sortBy("k").saveAsTable(ta)
+        b.write.bucketBy(8, "k").sortBy("k").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketed SMJ: both sides pre-hashed
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
