@@ -752,28 +752,29 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fx.read_events(spark, sf_dir)
     return session_stats(
-        e.select("user_id", "event_type", "ts_ms", "value"),
+        e.select("user_id", "event_id", "ts_ms", "value"),
         ["user_id"],
         gap_ms=_SESSION_GAP_MS,
         value_col="value",
-    )
+        tiebreak_cols=["event_id"],
+    ).orderBy("user_id", "session_id")
 
 
 _SESSIONIZE_ORACLE = f"""
 WITH pts AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
 ),
 flagged AS (
-  SELECT user_id, ts_ms, value,
+  SELECT user_id, event_id, ts_ms, value,
     CASE WHEN lag(ts_ms) OVER w IS NULL
               OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
          THEN 1 ELSE 0 END AS new_session
   FROM pts
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
 ),
 sess AS (
   SELECT user_id, ts_ms, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
   FROM flagged
 )
@@ -782,8 +783,9 @@ SELECT user_id, session_id,
   max(ts_ms) AS session_end_ms,
   max(ts_ms) - min(ts_ms) AS duration_ms,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+  ROUND(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 6) AS sum_value
 FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """
 
 
@@ -947,10 +949,9 @@ SELECT p_partkey,
        WHEN '255.255.255.0' THEN 24 WHEN '255.255.255.255' THEN 32
        WHEN '255.240.0.0' THEN 12 END AS cidr,
   array_to_string(list_transform(string_split(dotted, '.'),
-      o -> lpad(lower(to_hex(o::INT)), 2, '0')), ':') AS mac,
+      o -> lpad(upper(to_hex(o::INT)), 2, '0')), ':') AS mac,
   regexp_replace(p_type, '[^0-9a-zA-Z_]+', '_', 'g') AS measurement,
-  replace(replace(replace(p_name, ',', '\\,'), '=', '\\='), ' ', '\\ ')
-    AS tag_value
+  regexp_replace(p_name, '([,=\\s])', '\\\\\\1', 'g') AS tag_value
 FROM base
 """
 

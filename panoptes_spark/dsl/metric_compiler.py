@@ -95,7 +95,8 @@ def normalize_program(program: dict, schema_version: str = "0.2") -> dict:
                 if "type" not in tmap:
                     v = tmap.get("value")
                     if isinstance(v, bool):
-                        pass
+                        # reference: isinstance(True, int) -> 'integer'
+                        tmap["type"] = "integer"
                     elif isinstance(v, int):
                         tmap["type"] = "integer"
                     elif isinstance(v, float):
@@ -489,6 +490,7 @@ class MetricDSLCompiler:
             df = counted.select(
                 "device_id",
                 F.expr(t.final_sql).alias("value"),
+                F.col("__agg_count").alias("__raw"),
             )
         else:
             df = self._devices
@@ -500,15 +502,30 @@ class MetricDSLCompiler:
                         f"top-level target {t.name!r} references per-index "
                         f"table {tbl!r} without $index"
                     )
-            df = df.select("device_id", F.expr(self._guarded_sql(t)).alias("value"))
-        # falsy skip: NULL, 0, '' all dropped (try_cast: non-numeric strings
-        # are truthy, and ANSI mode must not abort on them)
-        num = F.expr("try_cast(value as double)")
+            df = df.select(
+                "device_id",
+                F.expr(self._guarded_sql(t)).alias("value"),
+                # raw pre-cast/transform value: the reference applies the
+                # falsy skip to the eval result BEFORE cast/transform
+                # (:508-519), so `0.4` with type integer keeps metric 0 and
+                # a transform yielding 0 is kept
+                F.expr(t.info.sql).alias("__raw"),
+            )
+        # falsy skip on the RAW value (python `if not value: continue`):
+        # numeric 0/0.0 and '' are falsy; a non-empty string — including
+        # '0' — is truthy. NULL raw means an evaluated sub-expression
+        # raised -> dropped either way.
+        raw_type = dict(df.dtypes)["__raw"]
+        raw = F.col("__raw")
+        if raw_type == "boolean":
+            truthy = raw
+        elif raw_type == "string":
+            truthy = raw != ""
+        else:
+            truthy = raw.cast("double") != 0.0
         return df.where(
-            F.col("value").isNotNull()
-            & (F.col("value").cast("string") != "")
-            & F.when(num.isNotNull(), num != 0.0).otherwise(F.lit(True))
-        )
+            F.col("value").isNotNull() & raw.isNotNull() & truthy
+        ).drop("__raw")
 
     # -- group assembly ---------------------------------------------------
 

@@ -177,8 +177,28 @@ class _Translator:
         raise UnsupportedExpression(f"unary {node.op}")
 
     def _t_BoolOp(self, node):
-        op = " AND " if isinstance(node.op, ast.And) else " OR "
-        return "(" + op.join(self.translate(v) for v in node.values) + ")"
+        # python and/or are LAZY: in `a and b` an error in b never raises
+        # when a is falsy (and vice versa for or). Scope-translate each
+        # operand and compose a CASE chain so a hazard only propagates when
+        # the operand would actually be evaluated under short-circuiting.
+        is_and = isinstance(node.op, ast.And)
+        parts = [self._scoped(v) for v in node.values]
+        if not any(hz for _, hz in parts):
+            op = " AND " if is_and else " OR "
+            return "(" + op.join(sql for sql, _ in parts) + ")"
+        sql, hz = parts[-1]
+        acc = self._wrap_poison(sql, hz)
+        for sql, hz in reversed(parts[:-1]):
+            if is_and:
+                acc = f"(CASE WHEN NOT ({sql}) THEN FALSE ELSE {acc} END)"
+            else:
+                acc = f"(CASE WHEN ({sql}) THEN TRUE ELSE {acc} END)"
+            if hz:
+                cond = " OR ".join(f"({h}) IS NULL" for h in hz)
+                acc = f"(CASE WHEN {cond} THEN NULL ELSE {acc} END)"
+        # NULL result <=> an actually-evaluated operand raised
+        self._add_hazard(acc)
+        return acc
 
     _CMPOPS = {ast.Eq: "=", ast.NotEq: "<>", ast.Lt: "<", ast.LtE: "<=",
                ast.Gt: ">", ast.GtE: ">="}
@@ -325,7 +345,8 @@ def compile_value_expr(
     to a string but ``ctrl`` would NameError).
     """
     if isinstance(raw, bool):
-        raise UnsupportedExpression("bool literal")
+        # reference: isinstance(True, int) -> type 'integer'; True -> 1
+        return ExprInfo(sql="TRUE" if raw else "FALSE")
     if isinstance(raw, (int, float)):
         return ExprInfo(sql=repr(raw))
     if not isinstance(raw, str):

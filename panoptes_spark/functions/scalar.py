@@ -62,8 +62,10 @@ def temperature_plausible(col) -> Column:
 # -- network codecs ---------------------------------------------------------
 
 def octets_to_mac(col: str) -> Column:
-    """F6: 6-char latin1 octet string -> colon-hex MAC (per-char codepoint)."""
-    return F.lower(
+    """F6: 6-char latin1 octet string -> colon-hex MAC (per-char codepoint),
+    UPPERCASE like the reference (helpers.py transform_octet_to_mac
+    ``.upper()``; test vector 'E4:C7:22:DB:4A:08')."""
+    return F.upper(
         F.array_join(
             F.expr(
                 f"transform(sequence(1, 6),"
@@ -75,11 +77,17 @@ def octets_to_mac(col: str) -> Column:
 
 
 def dotted_decimal_to_mac(col: str) -> Column:
-    """F6b: '0.12.41.223.96.2' -> '00:0c:29:df:60:02'."""
-    return F.lower(
+    """F6b: '0.12.41.223.96.2' -> '00:0C:29:DF:60:02' (uppercase per
+    helpers.py transform_dotted_decimal_to_mac; handles >6 parts like the
+    reference test vector '...168.46.531' -> '...A8:2E:213')."""
+    # NB: python zfill never truncates but Spark lpad does — guard >2-digit
+    # hex (parts over 255, which the reference keeps verbatim)
+    return F.upper(
         F.array_join(
             F.expr(
-                f"transform(split({col}, '\\\\.'), p -> lpad(hex(cast(p as int)), 2, '0'))"
+                f"transform(split({col}, '\\\\.'), p -> CASE"
+                f" WHEN length(hex(cast(p as int))) >= 2 THEN hex(cast(p as int))"
+                f" ELSE lpad(hex(cast(p as int)), 2, '0') END)"
             ),
             ":",
         )
@@ -95,19 +103,41 @@ def netmask_to_cidr(col: str) -> Column:
 
 
 def ipv6_index_transform(col: str) -> Column:
-    """F8: dotted-decimal SNMP index octets -> lowercase IPv6 groups,
-    e.g. '254.128.0.0.0.0.0.0.2.18.0.255.254.35.52.52' ->
-    'fe80:0000:...:3434' (helpers.py:394-416 joins byte pairs)."""
-    return F.lower(
-        F.array_join(
-            F.expr(
-                f"transform(sequence(0, 7), i -> concat("
-                f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+1) as int)), 2, '0'),"
-                f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+2) as int)), 2, '0')))"
-            ),
-            ":",
-        )
+    """F8: dotted-decimal SNMP index octets -> CANONICAL compressed IPv6
+    (helpers.py transform_index_ipv6_address routes through
+    ``ipaddress.ip_address``; test vector '254.128.0.0....' ->
+    'fe80::5:73ff:fea0:3'): per-group leading zeros stripped, the first
+    longest run of >=2 zero groups collapsed to '::' (RFC 5952, matching
+    python's ipaddress formatting)."""
+    grp = (
+        f"lower(concat("
+        f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+1) as int)), 2, '0'),"
+        f" lpad(hex(cast(element_at(split({col}, '\\\\.'), 2*i+2) as int)), 2, '0')))"
     )
+    # strip leading zeros but keep a lone '0'
+    trimmed = (
+        "CASE WHEN regexp_replace(g, '^0+', '') = '' THEN '0'"
+        " ELSE regexp_replace(g, '^0+', '') END"
+    )
+    addr = (
+        f"array_join(transform(transform(sequence(0, 7), i -> {grp}),"
+        f" g -> {trimmed}), ':')"
+    )
+    # collapse the first longest zero-group run (k = 8..2); regexes anchor
+    # on ^/: boundaries so '10:0:...' never matches inside '10'
+    cases = []
+    for k in range(8, 1, -1):
+        run = f"(^|:)0(:0){{{k - 1}}}(:|$)"
+        pat = f"^(.*?)(^|:)0(:0){{{k - 1}}}(:|$)(.*)$"
+        cases.append(
+            f"WHEN a RLIKE '{run}' THEN"
+            f" concat(regexp_extract(a, '{pat}', 1), '::',"
+            f" regexp_extract(a, '{pat}', 5))"
+        )
+    compress = f"CASE {' '.join(cases)} ELSE a END"
+    # bind `a` once via a 1-element transform (no lateral subquery is
+    # allowed inside a column expression)
+    return F.expr(f"element_at(transform(array({addr}), a -> {compress}), 1)")
 
 
 # -- influx line-protocol helpers (F9) -------------------------------------
@@ -118,12 +148,9 @@ def sanitize_measurement(col) -> Column:
 
 
 def escape_tag_value(col) -> Column:
-    """Escape ',', '=', ' ' with backslash (consumer.py:146-158)."""
-    c = _c(col)
-    c = F.regexp_replace(c, ",", "\\\\,")
-    c = F.regexp_replace(c, "=", "\\\\=")
-    c = F.regexp_replace(c, " ", "\\\\ ")
-    return c
+    """Escape ',', '=', and any whitespace with backslash — the reference
+    regex is ``([,=\\s])`` (consumer.py:146-158)."""
+    return F.regexp_replace(_c(col), "([,=\\s])", "\\\\$1")
 
 
 # -- KV codec (F10) ---------------------------------------------------------

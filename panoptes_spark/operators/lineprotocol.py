@@ -23,18 +23,37 @@ from pyspark.sql import functions as F
 WRITE_API_BATCH_SIZE = 200  # influxdb_consumer_configspec.ini:14
 WRITE_API_MAX_EMIT_INTERVAL = 15  # :15
 
+METRICS_TYPE_SUPPORTED = ("gauge", "counter")  # consumer.py:27
+
+
 def _esc(e: str) -> str:
-    """Inline ','/'='/' ' backslash-escaping of a SQL string expression."""
+    """Backslash-escape ','/'='/whitespace in a SQL string expression
+    (the reference escapes with ``re.compile(r'([,=\\s])')``,
+    consumer.py:146-158 — tag VALUES only, never keys)."""
+    return f"regexp_replace({e}, '([,=\\\\s])', '\\\\\\\\$1')"
+
+
+def _repr_num(e: str) -> str:
+    """python ``{!r}`` of a metric value: integral floats print without
+    the trailing '.0' (reference metric values are JSON numbers — ints
+    repr as '5', floats as '5.0'; metric_value is double here, so
+    integral values are rendered int-style, consumer.py:142)."""
     return (
-        f"replace(replace(replace({e}, ',', '\\\\,'), '=', '\\\\='),"
-        f" ' ', '\\\\ ')"
+        f"CASE WHEN {e} = floor({e}) AND abs({e}) < 9.007199254740992E15"
+        f" THEN cast(cast({e} as bigint) as string)"
+        f" ELSE cast({e} as string) END"
     )
 
 
 def to_line_protocol(groups: DataFrame) -> DataFrame:
     """Nested metrics groups -> one line-protocol string per group.
 
-    measurement,tag1=v1,... field1__gauge=1.0,... ts_seconds
+    measurement,tag1=v1,... field1__gauge=1,... ts_seconds
+
+    Tag set matches the reference consumer (consumer.py:113-125):
+    dimensions + resource_class/subclass/type/endpoint/site, sorted by
+    key; only tag values are escaped. Fields keep only supported metric
+    types (gauge/counter, consumer.py:139-140).
     """
     tags = F.expr(
         "array_join(array_sort(transform("
@@ -43,13 +62,15 @@ def to_line_protocol(groups: DataFrame) -> DataFrame:
         "              struct('resource_class' as k, resource.resource_class as v),"
         "              struct('resource_subclass' as k, resource.resource_subclass as v),"
         "              struct('resource_type' as k, resource.resource_type as v),"
-        "              struct('resource_id' as k, resource.resource_id as v))),"
-        f" t -> concat({_esc('t.k')}, '=', {_esc('t.v')}))), ',')"
+        "              struct('resource_endpoint' as k, resource.resource_endpoint as v))),"
+        f" t -> concat(t.k, '=', {_esc('t.v')}))), ',')"
     )
+    supported = ", ".join(f"'{t}'" for t in METRICS_TYPE_SUPPORTED)
     fields = F.expr(
-        "array_join(array_sort(transform(metrics,"
+        "array_join(array_sort(transform("
+        f" filter(metrics, m -> m.metric_type IN ({supported})),"
         " m -> concat(m.metric_name, '__', m.metric_type, '=',"
-        " cast(m.metric_value as string)))), ',')"
+        f" {_repr_num('m.metric_value')}))), ',')"
     )
     measurement = F.regexp_replace(
         F.col("metrics_group_type"), "[^0-9a-zA-Z_]+", "_"

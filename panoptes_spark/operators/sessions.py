@@ -24,9 +24,17 @@ def sessionize(
     key_cols: list[str],
     ts_col: str = "ts_ms",
     gap_ms: int = 30 * 60 * 1000,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Assign ``session_id`` (0-based per key) by inactivity gap."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    """Assign ``session_id`` (0-based per key) by inactivity gap.
+
+    ``tiebreak_cols`` (e.g. an event id) make the window order total so
+    equal-timestamp rows can never flip session assignment between runs.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(ts_col).over(w)
     new_session = F.when(
         prev.isNull() | (F.col(ts_col) - prev > gap_ms), 1
@@ -46,10 +54,11 @@ def session_stats(
     ts_col: str = "ts_ms",
     gap_ms: int = 30 * 60 * 1000,
     value_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-session aggregates: bounds, duration, event count, optional
-    decimal-exact value sum."""
-    s = sessionize(df, key_cols, ts_col, gap_ms)
+    decimal-exact value sum (rounded to 6dp for stable comparison)."""
+    s = sessionize(df, key_cols, ts_col, gap_ms, tiebreak_cols)
     aggs = [
         F.min(ts_col).alias("session_start_ms"),
         F.max(ts_col).alias("session_end_ms"),
@@ -58,8 +67,9 @@ def session_stats(
     ]
     if value_col:
         aggs.append(
-            F.sum(F.col(value_col).cast("decimal(20,2)"))
-            .cast("double")
-            .alias("sum_value")
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(20,2)")).cast("double"),
+                6,
+            ).alias("sum_value")
         )
     return s.groupBy(*key_cols, "session_id").agg(*aggs)

@@ -31,9 +31,18 @@ def test_plausibility(spark):
 
 
 def test_dotted_decimal_to_mac(spark):
-    # helpers.py test vector: 0.12.41.223.96.2 -> 00:0c:29:df:60:02
+    # reference returns UPPERCASE (helpers.py .upper(); tests/test_helpers.py:149)
     assert one(spark, s.dotted_decimal_to_mac("v"), "0.12.41.223.96.2") == \
-        "00:0c:29:df:60:02"
+        "00:0C:29:DF:60:02"
+    # reference test vector incl. a 7th >255 part: hex '213' kept verbatim
+    assert one(spark, s.dotted_decimal_to_mac("v"),
+               "126.2.196.127.168.46.531") == "7E:02:C4:7F:A8:2E:213"
+
+
+def test_octets_to_mac(spark):
+    # reference test vector (tests/test_helpers.py:85), uppercase
+    assert one(spark, s.octets_to_mac("v"), "\xe4\xc7\x22\xdbJ\x08") == \
+        "E4:C7:22:DB:4A:08"
 
 
 def test_netmask_to_cidr(spark):
@@ -43,9 +52,21 @@ def test_netmask_to_cidr(spark):
 
 
 def test_ipv6_index_transform(spark):
+    # canonical compressed form via ipaddress in the reference
     out = one(spark, s.ipv6_index_transform("v"),
               "254.128.0.0.0.0.0.0.2.18.0.255.254.35.52.52")
-    assert out == "fe80:0000:0000:0000:0212:00ff:fe23:3434"
+    assert out == "fe80::212:ff:fe23:3434"
+    # reference test vector (tests/test_helpers.py:79-82)
+    out = one(spark, s.ipv6_index_transform("v"),
+              "254.128.0.0.0.0.0.0.0.5.115.255.254.160.0.3")
+    assert out == "fe80::5:73ff:fea0:3"
+    # zero-run edge cases: run at end, single zero group never compressed
+    out = one(spark, s.ipv6_index_transform("v"),
+              "0.1.0.0.0.2.0.3.0.4.0.5.0.6.0.7")
+    assert out == "1:0:2:3:4:5:6:7"
+    out = one(spark, s.ipv6_index_transform("v"),
+              "0.1.0.2.0.3.0.4.0.5.0.6.0.0.0.0")
+    assert out == "1:2:3:4:5:6::"
 
 
 def test_influx_escapes(spark):

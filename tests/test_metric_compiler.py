@@ -306,6 +306,93 @@ def test_top_level_falsy_skip_and_merge_into_indexed(spark):
     assert p[("d1", "g", "name=b", "total")] == (5.0, "gauge")
 
 
+def test_top_level_falsy_checked_before_cast_and_transform(spark):
+    # reference order (plugin_polling_generic_snmp.py:508-521): falsy test
+    # on the RAW eval result, THEN cast/transform. 0.4 with type integer
+    # must keep metric 0; a transform yielding 0 must also be kept.
+    program = {
+        "oids": {"vals": {"method": "bulk_walk", "oid": ".2"}},
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {},
+                "metrics": {
+                    "v": {"value": "int(vals.$index)"},
+                    "truncated": {"value": 0.4, "type": "integer"},
+                    "transformed_zero": {
+                        "value": 2, "transform": "lambda x: x - 2"},
+                    "raw_zero": {"value": 0.0, "type": "integer"},
+                },
+            }
+        ],
+    }
+    rows = [("d1", "vals", "1", "10")]
+    p = points(run(spark, program, rows))
+    assert p[("d1", "g", "", "truncated")] == (0.0, "gauge")
+    assert p[("d1", "g", "", "transformed_zero")] == (0.0, "gauge")
+    assert ("d1", "g", "", "raw_zero") not in p  # falsy raw still skipped
+
+
+def test_boolop_short_circuit_hazard_scoping(spark):
+    # python `a and b` never evaluates b when a is falsy: a missing table
+    # key referenced only on the right must NOT poison the index. The
+    # reference evals False -> int -> metric 0.
+    program = {
+        "oids": {
+            "b": {"method": "bulk_walk", "oid": ".1"},
+            "a": {"method": "bulk_walk", "oid": ".2"},
+        },
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {},
+                "metrics": {
+                    "both_up": {
+                        "value": "int(b.$index) > 0 and int(a.$index) > 0",
+                        "indices_from": "b",
+                    },
+                },
+            }
+        ],
+    }
+    rows = [
+        ("d1", "b", "1", "1"),
+        ("d1", "b", "2", "0"),  # left falsy -> right's missing key unseen
+        ("d1", "a", "1", "3"),
+        # a has no index 2
+    ]
+    out = flatten_groups(run(spark, program, rows)).collect()
+    by_idx = sorted(r.metric_value for r in out if r.metric_name == "both_up")
+    assert by_idx == [0.0, 1.0]
+    # when the left IS truthy, the missing right key still poisons
+    rows_poisoned = [("d1", "b", "2", "7")]  # b.2 truthy, a.2 missing
+    out = flatten_groups(run(spark, program, rows_poisoned)).collect()
+    assert [r.metric_name for r in out if r.metric_name == "both_up"] == []
+
+
+def test_bool_literal_value(spark):
+    # reference: isinstance(True, int) -> type 'integer'; True -> 1,
+    # False is falsy -> skipped at top level
+    program = {
+        "oids": {},
+        "metrics_groups": [
+            {
+                "group_name": "g",
+                "dimensions": {},
+                "metrics": {"flag": {"value": True},
+                            "off": {"value": False}},
+            }
+        ],
+    }
+    devices = spark.createDataFrame([("d1",)], "device_id string")
+    c = MetricDSLCompiler(
+        spark, program, make_tables(spark, []), static_devices=devices
+    )
+    p = points(c.compile())
+    assert p[("d1", "g", "", "flag")] == (1.0, "gauge")
+    assert ("d1", "g", "", "off") not in p
+
+
 def test_multi_device_isolation(spark):
     program = {
         "oids": {"vals": {"method": "bulk_walk", "oid": ".2"}},

@@ -135,13 +135,40 @@ def test_fanout_projection(spark):
 
 def test_line_protocol(spark):
     line = to_line_protocol(_group_df(spark)).select("line").collect()[0].line
-    # sorted escaped tags, sorted name__type fields, int-second ts
+    # reference tag set (consumer.py:113-125): dims + class/subclass/type/
+    # endpoint/site sorted by key, values escaped; repr-style field values
     assert line == (
         "interface,alias=up\\ link,iface=xe-0/0/0,resource_class=network,"
-        "resource_id=sw1,resource_site=dc1,resource_subclass=switch,"
-        "resource_type=cisco "
-        "bits_in__counter=800.0,bits_out__gauge=1600.0 100"
+        "resource_endpoint=sw1.net,resource_site=dc1,"
+        "resource_subclass=switch,resource_type=cisco "
+        "bits_in__counter=800,bits_out__gauge=1600 100"
     )
+
+
+def test_line_protocol_filters_unsupported_metric_types(spark):
+    df = _group_df(spark)
+    extra = F.expr(
+        "array_append(metrics, named_struct('metric_name', 'weird',"
+        " 'metric_value', cast(1.5 as double), 'metric_type', 'histogram',"
+        " 'metric_creation_timestamp', cast(1.0 as double)))"
+    )
+    line = (
+        to_line_protocol(df.withColumn("metrics", extra))
+        .select("line").collect()[0].line
+    )
+    assert "weird" not in line and "bits_in__counter=800" in line
+    # non-integral values keep their float repr
+    assert to_line_protocol(
+        df.withColumn(
+            "metrics",
+            F.expr(
+                "transform(metrics, m -> named_struct('metric_name',"
+                " m.metric_name, 'metric_value', cast(0.4 as double),"
+                " 'metric_type', m.metric_type,"
+                " 'metric_creation_timestamp', m.metric_creation_timestamp))"
+            ),
+        )
+    ).select("line").collect()[0].line.count("=0.4") == 2
 
 
 def test_influx_batch_writer_degrade(spark):
