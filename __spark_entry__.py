@@ -774,8 +774,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts_ms, value,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

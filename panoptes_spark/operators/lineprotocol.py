@@ -55,22 +55,35 @@ def to_line_protocol(groups: DataFrame) -> DataFrame:
     key; only tag values are escaped. Fields keep only supported metric
     types (gauge/counter, consumer.py:139-140).
     """
+    # The reference builds a tags *dict* (dims first, then the five
+    # resource fields overwrite on key collision, consumer.py:113-121) and
+    # sorts items by key alone (consumer.py:123). So: drop dimensions whose
+    # name collides with a resource tag key, sort structs by key (keys are
+    # unique after the drop, so struct sort == key sort), then render.
+    resource_tag_keys = (
+        "'resource_site','resource_class','resource_subclass',"
+        "'resource_type','resource_endpoint'"
+    )
     tags = F.expr(
-        "array_join(array_sort(transform("
-        " concat(transform(dimensions, d -> struct(d.dimension_name as k, d.dimension_value as v)),"
+        "array_join(transform(array_sort("
+        " concat(transform(filter(dimensions,"
+        f"                        d -> NOT d.dimension_name IN ({resource_tag_keys})),"
+        "                  d -> struct(d.dimension_name as k, d.dimension_value as v)),"
         "        array(struct('resource_site' as k, resource.resource_site as v),"
         "              struct('resource_class' as k, resource.resource_class as v),"
         "              struct('resource_subclass' as k, resource.resource_subclass as v),"
         "              struct('resource_type' as k, resource.resource_type as v),"
-        "              struct('resource_endpoint' as k, resource.resource_endpoint as v))),"
-        f" t -> concat(t.k, '=', {_esc('t.v')}))), ',')"
+        "              struct('resource_endpoint' as k, resource.resource_endpoint as v)))),"
+        f" t -> concat(t.k, '=', {_esc('t.v')})), ',')"
     )
     supported = ", ".join(f"'{t}'" for t in METRICS_TYPE_SUPPORTED)
+    # fields dict is likewise sorted by key = '{name}__{type}' (consumer.py:142)
     fields = F.expr(
-        "array_join(array_sort(transform("
+        "array_join(transform(array_sort(transform("
         f" filter(metrics, m -> m.metric_type IN ({supported})),"
-        " m -> concat(m.metric_name, '__', m.metric_type, '=',"
-        f" {_repr_num('m.metric_value')}))), ',')"
+        " m -> struct(concat(m.metric_name, '__', m.metric_type) as k,"
+        f"            {_repr_num('m.metric_value')} as v))),"
+        " f -> concat(f.k, '=', f.v)), ',')"
     )
     measurement = F.regexp_replace(
         F.col("metrics_group_type"), "[^0-9a-zA-Z_]+", "_"
@@ -88,9 +101,12 @@ def to_line_protocol(groups: DataFrame) -> DataFrame:
 class InfluxBatchWriter:
     """foreachBatch sink with the reference's retry-then-degrade policy.
 
-    ``send`` is injected (an HTTP POST in production; a list-append in
-    tests). Batch failure retries whole; on final failure falls back to
-    per-line emission, dropping only poisoned lines (consumer.py:305-394).
+    ``send`` is injected (an HTTP POST in production; a file-append in
+    tests) and MUST be picklable: emission happens executor-side via
+    ``foreachPartition`` — each partition batches its own lines, so no
+    driver collect and no driver OOM at scale. Batch failure retries
+    whole; on final failure falls back to per-line emission, dropping
+    only poisoned lines (consumer.py:305-394).
     """
 
     def __init__(self, send, batch_size: int = WRITE_API_BATCH_SIZE, retries: int = 3):
@@ -99,12 +115,25 @@ class InfluxBatchWriter:
         self.retries = retries
 
     def __call__(self, df: DataFrame, epoch_id: int):
-        lines = [r.line for r in to_line_protocol(df).select("line").collect()]
-        for i in range(0, len(lines), self.batch_size):
-            chunk = lines[i : i + self.batch_size]
-            if not self._send_with_retry(chunk):
-                for line in chunk:  # degrade to one-by-one
-                    self._send_with_retry([line])
+        # `self` is cloudpickled to the executors; the per-partition
+        # closure carries only (send, batch_size, retries).
+        emit = self._emit_partition
+        to_line_protocol(df).select("line").foreachPartition(emit)
+
+    def _emit_partition(self, rows) -> None:
+        buf = []
+        for r in rows:
+            buf.append(r.line)
+            if len(buf) >= self.batch_size:
+                self._flush(buf)
+                buf = []
+        if buf:
+            self._flush(buf)
+
+    def _flush(self, chunk) -> None:
+        if not self._send_with_retry(chunk):
+            for line in chunk:  # degrade to one-by-one
+                self._send_with_retry([line])
 
     def _send_with_retry(self, chunk) -> bool:
         for _ in range(self.retries):

@@ -36,25 +36,38 @@ def cosine_expr(a: str, b: str) -> str:
     )
 
 
+#: brute-force collects the QUERY set to the driver for broadcast; refuse
+#: query sets past this bound and point the caller at ivf_topk instead.
+MAX_BROADCAST_QUERY_ROWS = 1_000_000
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_query_rows: int = MAX_BROADCAST_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors per query (self excluded).
 
-    The query matrix is collected and broadcast (fine for query sets up to
-    ~millions of rows × small dims); each corpus partition scores its block
-    with one BLAS matmul and emits a partition-local top-k, pruned to the
-    global top-k by a window. Exactness baseline; the IVF variant is the
-    100 TB path.
+    The query matrix is collected and broadcast — guarded by
+    ``max_query_rows`` (broadcast of the *query* set is the design here:
+    the corpus side streams through partition-local BLAS matmuls and is
+    never materialized). Each corpus partition scores its block and emits
+    a partition-local top-k, pruned to the global top-k by a window.
+    Exactness baseline; the IVF variant is the 100 TB path.
     """
     import numpy as np
 
     spark = corpus.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_query_rows}; "
+            "route large query sets through ivf_topk instead of the "
+            "broadcast brute-force path"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -133,14 +146,34 @@ def seed_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic coarse centroids: the first ``n_cells`` vectors by id
-    (a fixed, reproducible choice — k-means would drift between engines)."""
-    w = Window.orderBy(F.col(id_col).asc())
-    return (
-        corpus.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= n_cells)
-        .select(
-            (F.col("__r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid")
-        )
+    (a fixed, reproducible choice — k-means would drift between engines).
+
+    ``orderBy().limit()`` plans as TakeOrderedAndProject: each partition
+    keeps its local top-``n_cells``, and exactly ``n_cells`` rows reach the
+    driver — never the corpus, and no single-partition global window
+    (``WindowExec: No Partition Defined``). Centroids are a dim table by
+    construction (bounded by the parameter, not the data), so enumerating
+    the ``n_cells`` rows driver-side for the 0-based cell_id is safe at any
+    corpus size.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("centroid"))
+        .orderBy(F.col("__id").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    vec_type = corpus.schema[vec_col].dataType
+    schema = StructType(
+        [
+            StructField("cell_id", IntegerType(), False),
+            StructField("centroid", vec_type, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, r.centroid) for i, r in enumerate(rows)], schema
     )
 
 
@@ -184,46 +217,75 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Numpy-blocked: the (normalized) corpus matrix is broadcast to every
-    partition, each partition multiplies its block against it — one BLAS
-    matmul per block instead of |C|^2 interpreted expression folds
-    (measured ~50× faster). For corpora too big to broadcast, IVF/LSH
-    block first, then run this within blocks.
+    Exact block-grid self-join — the 100 TB path, no driver collect:
+
+    - every vector gets a block ``blk = pmod(hash(id), n_blocks)``;
+    - each row is replicated to the ``n_blocks`` grid cells
+      ``(min(blk, j), max(blk, j))`` it participates in, so every
+      unordered pair of vectors co-locates in exactly ONE grid cell;
+    - ``applyInPandas`` per cell runs one BLAS matmul (block_i × block_j,
+      or the strict upper triangle when i == j) and keeps pairs over the
+      threshold, oriented a < b.
+
+    Replication factor is ``n_blocks``; per-task memory is two blocks
+    (~2·|C|/n_blocks rows), so size ``n_blocks`` to the executor, not the
+    driver. Compute is the same O(|C|²) matmul either way, now spread over
+    n_blocks·(n_blocks+1)/2 independent tasks.
     """
-    import numpy as np
 
-    spark = corpus.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def block(batches):
+    def cell_pairs(pdf):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            cos = np.round(cos, 6)
-            ai, bi = np.where(cos >= threshold)
-            mask = a_ids[ai] < b_ids[bi]
-            yield pd.DataFrame(
-                {
-                    "a": a_ids[ai][mask],
-                    "b": b_ids[bi][mask],
-                    "cosine": cos[ai, bi][mask],
-                }
-            )
+        gi, gj = int(pdf["gi"].iloc[0]), int(pdf["gj"].iloc[0])
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        block, schema="a long, b long, cosine double"
+        def matrix(sub):
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(sub[vec_col]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            return ids, mat, norms
+
+        empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+        if gi == gj:
+            ids, mat, norms = matrix(pdf)
+            if len(ids) < 2:
+                return empty
+            cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            ai, bi = np.where(cos >= threshold)
+            mask = ids[ai] < ids[bi]  # strict upper triangle by id
+        else:
+            left, right = pdf[pdf["blk"] == gi], pdf[pdf["blk"] == gj]
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            l_ids, l_mat, l_norms = matrix(left)
+            r_ids, r_mat, r_norms = matrix(right)
+            cos = np.round((l_mat @ r_mat.T) / np.outer(l_norms, r_norms), 6)
+            ai, bi = np.where(cos >= threshold)
+            lo = np.minimum(l_ids[ai], r_ids[bi])
+            hi = np.maximum(l_ids[ai], r_ids[bi])
+            return pd.DataFrame({"a": lo, "b": hi, "cosine": cos[ai, bi]})
+        return pd.DataFrame(
+            {"a": ids[ai][mask], "b": ids[bi][mask], "cosine": cos[ai, bi][mask]}
+        )
+
+    blocks = corpus.select(id_col, vec_col).withColumn(
+        "blk", F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+    )
+    grid = blocks.select(
+        id_col,
+        vec_col,
+        "blk",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, {n_blocks - 1}),"
+                " j -> struct(least(blk, j) as gi, greatest(blk, j) as gj)))"
+            )
+        ).alias("cell"),
+    ).select(id_col, vec_col, "blk", "cell.gi", "cell.gj")
+    return grid.groupBy("gi", "gj").applyInPandas(
+        cell_pairs, schema="a long, b long, cosine double"
     )

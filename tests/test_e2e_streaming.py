@@ -12,6 +12,22 @@ from panoptes_spark.streaming.ingest import parse_and_validate, valid_and_invali
 from panoptes_spark.streaming.rate_stream import rate_stream
 
 
+def _file_send(dirpath):
+    """Executor-side send factory: each chunk lands as one file.
+    (A closure cloudpickles by value; a test-module class would pickle by
+    reference and fail to import on workers.)"""
+    d = str(dirpath)
+
+    def send(chunk):
+        import os
+        import uuid
+
+        with open(os.path.join(d, uuid.uuid4().hex), "w") as f:
+            f.write("\n".join(chunk))
+
+    return send
+
+
 def _wire_record(rid, ts, counter_value):
     return json.dumps(
         {
@@ -74,11 +90,20 @@ def test_pipeline_end_to_end(spark, tmp_path):
     rates = spark.sql("SELECT * FROM e2e_rates").collect()
     assert sorted(r.rate for r in rates) == [100.0, 100.0]
 
-    # 4) sink the enriched groups as line protocol
-    sent = []
-    writer = InfluxBatchWriter(lambda chunk: sent.extend(chunk))
+    # 4) sink the enriched groups as line protocol (executor-side emission:
+    # capture through files, not a driver list)
+    sink_dir = tmp_path / "sink"
+    sink_dir.mkdir()
+
+    writer = InfluxBatchWriter(_file_send(str(sink_dir)))
     writer(groups, epoch_id=0)
+    sent = sorted(
+        l for f in sink_dir.iterdir() for l in f.read_text().splitlines()
+    )
     assert len(sent) == 3
     assert all(l.startswith("interface,iface=xe-0,resource_class=network")
                for l in sent)
-    assert "bits_in__counter=7000.0" in sent[1]
+    # reference {!r}-style rendering: integral value prints without '.0'
+    # (consumer.py:142), and resource_endpoint is a tag (consumer.py:115-121)
+    assert any("bits_in__counter=7000 " in l for l in sent)
+    assert all("resource_endpoint=sw1.net" in l for l in sent)

@@ -171,22 +171,64 @@ def test_line_protocol_filters_unsupported_metric_types(spark):
     ).select("line").collect()[0].line.count("=0.4") == 2
 
 
-def test_influx_batch_writer_degrade(spark):
-    sent, calls = [], []
+def _file_send(dirpath, reject_batches=False):
+    """Test sink factory: each accepted chunk lands as one file.
 
-    def flaky_send(chunk):
-        calls.append(list(chunk))
-        if len(chunk) > 1 and any("bits_in" in l for l in chunk):
+    Emission is executor-side (foreachPartition) so capture goes through
+    the filesystem, not a driver list. The returned closure is cloudpickled
+    by value (a test-module class would pickle by reference and fail to
+    import on workers). With reject_batches, multi-line chunks containing
+    `bits_in` raise to force the per-line degrade path.
+    """
+    d = str(dirpath)
+
+    def send(chunk):
+        if reject_batches and len(chunk) > 1 and any("bits_in" in l for l in chunk):
             raise RuntimeError("batch rejected")
-        sent.append(list(chunk))
+        import os
+        import uuid
 
+        with open(os.path.join(d, uuid.uuid4().hex), "w") as f:
+            f.write("\n".join(chunk))
+
+    return send
+
+
+def _sent_chunks(dirpath):
+    import os
+
+    out = []
+    for name in os.listdir(str(dirpath)):
+        with open(os.path.join(str(dirpath), name)) as f:
+            out.append(f.read().splitlines())
+    return out
+
+
+def test_influx_batch_writer_degrade(spark, tmp_path):
     df = _group_df(spark)
-    writer = InfluxBatchWriter(flaky_send, batch_size=10, retries=2)
-    # two lines in one batch: whole-batch send fails, degrades per-line
+    writer = InfluxBatchWriter(
+        _file_send(tmp_path, reject_batches=True), batch_size=10, retries=2
+    )
+    # two lines in one partition: whole-batch send fails, degrades per-line
     two = df.unionByName(df.withColumn("metrics_group_type", F.lit("cpu")))
-    writer(two, epoch_id=0)
+    writer(two.coalesce(1), epoch_id=0)
+    sent = _sent_chunks(tmp_path)
     flat = [l for c in sent for l in c]
     assert len(flat) == 2 and all(len(c) == 1 for c in sent)
+
+
+def test_influx_batch_writer_partition_batching(spark, tmp_path):
+    """Happy path: each partition emits its lines in batch_size chunks,
+    with no driver-side collect in the sink path."""
+    df = _group_df(spark)
+    many = df
+    for i in range(4):
+        many = many.unionByName(df.withColumn("metrics_group_type", F.lit(f"g{i}")))
+    writer = InfluxBatchWriter(_file_send(tmp_path), batch_size=2, retries=1)
+    writer(many.coalesce(1), epoch_id=0)
+    sent = _sent_chunks(tmp_path)
+    assert sorted(len(c) for c in sent) == [1, 2, 2]
+    assert len([l for c in sent for l in c]) == 5
 
 
 def test_rate_stream_cross_batch_out_of_order(spark, tmp_path):
