@@ -1,0 +1,156 @@
+"""Replay of the reference's OWN golden DSL corpus through the compiler.
+
+The reference's strongest compiler oracle: a production-shaped DSL
+program + recorded SNMP device snapshots + checked-in expected
+MetricsGroupSet JSON (``tests/plugins/polling/generic/snmp/data/``).
+Three scenarios, exactly the reference's
+``test_generic_snmp_polling_plugin.py``:
+
+- ``results.json`` — healthy device (public.snmprec), status SUCCESS(0)
+- ``missing_cpu_oids_results.json`` — one walked subtree absent: the
+  poisoned group vanishes, polling status degrades to
+  PARTIAL_METRIC_FAILURE(4) (per-OID poisoning,
+  ``plugin_polling_generic_snmp.py:92-137``)
+- ``from_file_no_service_active_results.json`` — no SNMP service: every
+  walk times out, only statics survive, ping fails -> PING_FAILURE(7)
+
+The reference tests run at enrichment_schema_version '0.1' (plugin_conf
+has no such key; ``run()`` defaults '0.1'). Comparison is value-level on
+(group_type, interval, dimensions, metrics) — the resource envelope is
+constant passthrough input, attached by J7 outside the compiler.
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+from panoptes_spark.dsl import corpus
+from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler
+
+DATA = "/root/reference/tests/plugins/polling/generic/snmp/data"
+DEVICE = "127.0.0.1"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference corpus not available"
+)
+
+
+def _canon_value(v):
+    f = float(v)
+    return round(f, 6)
+
+
+def _canon_golden(path):
+    with open(path) as f:
+        data = json.load(f)
+    out = []
+    for g in data:
+        dims = frozenset(
+            (d["dimension_name"], d["dimension_value"]) for d in g["dimensions"]
+        )
+        mets = frozenset(
+            (m["metric_name"], m["metric_type"], _canon_value(m["metric_value"]))
+            for m in g["metrics"]
+        )
+        out.append(
+            (g["metrics_group_type"], g["metrics_group_interval"], dims, mets)
+        )
+    return sorted(out, key=repr)
+
+
+def _canon_compiled(rows, status_code, interval=60):
+    out = []
+    for r in rows:
+        dims = frozenset(
+            (d.dimension_name, d.dimension_value) for d in r.dimensions
+        )
+        mets = frozenset(
+            (m.metric_name, m.metric_type, _canon_value(m.metric_value))
+            for m in r.metrics
+        )
+        out.append((r.metrics_group_type, r.metrics_group_interval, dims, mets))
+    # the plugin always appends the polling-status group
+    # (get_device_metrics, plugin_polling_generic_snmp.py:703)
+    out.append(
+        ("status", interval, frozenset(),
+         frozenset({("polling_status", "gauge", float(status_code))}))
+    )
+    return sorted(out, key=repr)
+
+
+def _replay(spark, program, snmprec, service_active=True, ping_ok=True):
+    oid_maps, events = corpus.build_oid_fixture(
+        program, snmprec, service_active=service_active
+    )
+    status = corpus.polling_status_code(program, events, ping_ok=ping_ok)
+    tables = corpus.oid_tables_df(spark, oid_maps, program, DEVICE)
+    devices = spark.createDataFrame([(DEVICE,)], "device_id string")
+    compiler = MetricDSLCompiler(
+        spark,
+        program,
+        tables,
+        interval_sec=60,
+        schema_version="0.1",
+        static_devices=devices,
+    )
+    rows = compiler.compile().collect()
+    assert all(r.device_id == DEVICE for r in rows)
+    return _canon_compiled(rows, status)
+
+
+def test_golden_results_healthy(spark):
+    program = corpus.load_program(f"{DATA}/enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{DATA}/recording/public.snmprec")
+    got = _replay(spark, program, snmprec)
+    expected = _canon_golden(f"{DATA}/results.json")
+    assert got == expected
+
+
+def test_golden_results_missing_cpu_oids(spark):
+    program = corpus.load_program(f"{DATA}/missing_cpu_oids_enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{DATA}/recording/missing_cpu_oids.snmprec")
+    got = _replay(spark, program, snmprec)
+    expected = _canon_golden(f"{DATA}/missing_cpu_oids_results.json")
+    assert got == expected
+    # the poisoning path: cpu_util subtree absent -> PARTIAL(4)
+    assert ("status", 60, frozenset(),
+            frozenset({("polling_status", "gauge", 4.0)})) in got
+
+
+def test_golden_results_no_service_active(spark):
+    program = corpus.load_program(f"{DATA}/enrichment.json.example")
+    got = _replay(spark, program, None, service_active=False, ping_ok=False)
+    expected = _canon_golden(f"{DATA}/from_file_no_service_active_results.json")
+    assert got == expected
+    # every walk timed out; ping also failed -> PING_FAILURE(7)
+    assert ("status", 60, frozenset(),
+            frozenset({("polling_status", "gauge", 7.0)})) in got
+
+
+def test_snmprec_decode_hex_octet_strings():
+    snmprec = corpus.parse_snmprec(f"{DATA}/recording/public.snmprec")
+    walked = corpus.bulk_walk(snmprec, ".1.3.6.1.4.1.2636.3.1.13.1.7")
+    assert walked["7.1.0.0"] == "34" and walked["9.1.0.0"] == "29"
+    assert len(walked) == 9
+
+
+def test_polling_status_state_machine():
+    program = corpus.load_program(f"{DATA}/enrichment_data")
+    # all walks succeed -> SUCCESS
+    ok = [("operating_temp", None), ("memory_used", None), ("fan_status", None)]
+    assert corpus.polling_status_code(program, ok) == corpus.SUCCESS
+    # one group's oid fails, others succeed -> PARTIAL
+    part = [("operating_temp", None), ("memory_used", corpus.MISSING_METRICS),
+            ("fan_status", None)]
+    assert corpus.polling_status_code(program, part) == \
+        corpus.PARTIAL_METRIC_FAILURE
+    # everything times out, ping ok -> TIMEOUT; ping dead -> PING_FAILURE
+    dead = [("operating_temp", corpus.TIMEOUT),
+            ("memory_used", corpus.TIMEOUT), ("fan_status", corpus.TIMEOUT)]
+    assert corpus.polling_status_code(program, dead, ping_ok=True) == \
+        corpus.TIMEOUT
+    assert corpus.polling_status_code(program, dead, ping_ok=False) == \
+        corpus.PING_FAILURE
+    assert math.isclose(1.8 * 34 + 32, 93.2)
