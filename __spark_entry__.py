@@ -640,6 +640,87 @@ SELECT 'both', count(*) FROM cur
 
 
 # ---------------------------------------------------------------------------
+# U3 / enrichment.py:457-494: PanoptesEnrichmentMultiGroupSet — cross-
+# resource grouping. Flat enrichment rows (two namespaces, with key
+# collisions resolved last-write-wins like the reference's discard+add)
+# assemble into nested per-resource GroupSets; the gate projects the
+# reference's identity semantics (sorted-namespace string, set sizes) plus
+# an md5 digest of the canonical serialization, all DERIVED FROM THE
+# NESTED shape so the assembly itself is what the oracle checks.
+# ---------------------------------------------------------------------------
+
+
+def _u_multigroupset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.enrichment_groups import (
+        assemble_group_sets,
+        multi_group_set_summary,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rid = F.concat(F.lit("user-"), (F.col("c_custkey") % 100).cast("string"))
+    iface = c.select(
+        rid.alias("resource_id"),
+        F.lit("interface").alias("namespace"),
+        (F.col("c_custkey") % 8).cast("string").alias("key"),
+        F.concat(
+            F.lower("c_mktsegment"),
+            F.lit("#"),
+            ((F.col("c_custkey") % 4 + 1) * 10000).cast("string"),
+        ).alias("value"),
+        F.col("c_custkey").alias("ord"),
+    )
+    oper = c.select(
+        rid.alias("resource_id"),
+        F.lit("operational").alias("namespace"),
+        F.lit("model").alias("key"),
+        F.concat(F.lit("model-"), (F.col("c_custkey") % 7).cast("string")).alias(
+            "value"
+        ),
+        F.col("c_custkey").alias("ord"),
+    )
+    nested = assemble_group_sets(iface.unionByName(oper), order_col="ord")
+    return multi_group_set_summary(nested).orderBy("resource_id")
+
+
+_U_MULTIGROUPSET_ORACLE = """
+WITH flat AS (
+  SELECT 'user-' || CAST(c_custkey % 100 AS VARCHAR) AS resource_id,
+         'interface' AS namespace,
+         CAST(c_custkey % 8 AS VARCHAR) AS key,
+         lower(c_mktsegment) || '#' ||
+           CAST((c_custkey % 4 + 1) * 10000 AS VARCHAR) AS value,
+         c_custkey AS ord
+  FROM customer
+  UNION ALL
+  SELECT 'user-' || CAST(c_custkey % 100 AS VARCHAR),
+         'operational', 'model',
+         'model-' || CAST(c_custkey % 7 AS VARCHAR), c_custkey
+  FROM customer
+),
+win AS (
+  SELECT resource_id, namespace, key, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY resource_id, namespace, key
+               ORDER BY ord DESC, value DESC) AS rn
+    FROM flat
+  ) WHERE rn = 1
+),
+per_ns AS (
+  SELECT resource_id, namespace,
+    string_agg(key || '=' || value, ',' ORDER BY key) AS data_str,
+    count(*) AS nk
+  FROM win GROUP BY 1, 2
+)
+SELECT resource_id,
+  string_agg(namespace, ',' ORDER BY namespace) AS namespaces,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(nk) AS BIGINT) AS n_entries,
+  md5(string_agg(namespace || ':' || data_str, ';' ORDER BY namespace)) AS digest
+FROM per_ns GROUP BY resource_id
+ORDER BY resource_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Windowed aggregation over the event stream: tumbling 1-day windows via
 # F.window (identical API in Structured Streaming with a watermark) and
 # exact distinct counts
@@ -1011,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a5_ping_stats": _a5_ping_stats,
             "w3_ttl_upsert_expire": _w3_ttl_upsert,
             "u2_set_ops": _u2_set_ops,
+            "u3_multigroupset": _u_multigroupset,
             "f_scalar_functions": _f_functions,
             "p9_nested_roundtrip": _p9_nested_roundtrip,
             "w_sessionize_events": _sessionize_events,
@@ -1042,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
             "a5_ping_stats": _A5_ORACLE,
             "w3_ttl_upsert_expire": _W3_ORACLE,
             "u2_set_ops": _U2_ORACLE,
+            "u3_multigroupset": _U_MULTIGROUPSET_ORACLE,
             "f_scalar_functions": _F_FUNCTIONS_ORACLE,
             "p9_nested_roundtrip": _P9_ORACLE,
             "w_sessionize_events": _SESSIONIZE_ORACLE,

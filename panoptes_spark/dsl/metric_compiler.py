@@ -115,10 +115,14 @@ class _Target:
     name: str
     tmap: dict
     info: ExprInfo | None
-    final_sql: str | None  # cast+transform applied (sql mode)
+    final_sql: str | None  # cast+transform applied OVER the __raw column
     indexed: bool
     is_metric: bool
     mode: str = "sql"  # 'sql' (translated) | 'py' (safe-interpreter fallback)
+    # statically-known type of the raw value when the target is a python
+    # literal — lets the falsy-skip filter avoid a per-target schema
+    # analysis round-trip
+    raw_kind: str | None = None  # 'boolean' | 'numeric' | None
 
 
 class MetricDSLCompiler:
@@ -218,8 +222,11 @@ class MetricDSLCompiler:
             info = compile_value_expr(
                 tmap["value"], self.known_tables, self.scalar_oids
             )
-            sql = info.sql
-            sql = cast_sql(sql, tmap["type"])
+            # The raw expression is evaluated ONCE into a __raw column; the
+            # cast+transform chain is built over that column so a transform
+            # that references its argument k times doesn't inline (and
+            # re-execute) the whole raw expression k times.
+            sql = cast_sql("__raw", tmap["type"])
             info.hazards.append(sql)  # the final cast may itself fail
             if "transform" in tmap:
                 sql = compile_transform(
@@ -227,7 +234,16 @@ class MetricDSLCompiler:
                     self.scalar_oids, info=info,
                 )
             indexed = self._has_indices(tmap, info)
-            return _Target(name, tmap, info, sql, indexed, is_metric)
+            v = tmap["value"]
+            if isinstance(v, bool):
+                raw_kind = "boolean"
+            elif isinstance(v, (int, float)):
+                raw_kind = "numeric"
+            else:
+                raw_kind = None
+            return _Target(
+                name, tmap, info, sql, indexed, is_metric, raw_kind=raw_kind
+            )
         except UnsupportedExpression:
             # pandas-UDF fallback (safe AST interpreter — never eval)
             indexed = self._has_indices_raw(tmap)
@@ -289,6 +305,7 @@ class MetricDSLCompiler:
                 tv = self.table(tbl).withColumnRenamed("value", table_col(tbl))
                 df = df.join(tv, ["device_id", "index"], "left")
         df = self._join_member_flags(df, t.info, key_scope="index")
+        df = df.withColumn("__raw", F.expr(t.info.sql))  # single evaluation
         out = df.select(
             "device_id", "index", F.expr(self._guarded_sql(t)).alias("value")
         ).where(F.col("value").isNotNull())
@@ -487,11 +504,11 @@ class MetricDSLCompiler:
                 )
                 .where(~F.col("__poisoned"))
             )
-            df = counted.select(
-                "device_id",
-                F.expr(t.final_sql).alias("value"),
-                F.col("__agg_count").alias("__raw"),
+            # info.sql for an aggregate is the '__agg_count' placeholder
+            df = counted.withColumn("__raw", F.expr(t.info.sql)).select(
+                "device_id", F.expr(t.final_sql).alias("value"), "__raw"
             )
+            raw_kind = "numeric"  # len([...]) is always an int
         else:
             df = self._devices
             for tbl in sorted(info.tables):
@@ -502,24 +519,28 @@ class MetricDSLCompiler:
                         f"top-level target {t.name!r} references per-index "
                         f"table {tbl!r} without $index"
                     )
-            df = df.select(
-                "device_id",
-                F.expr(self._guarded_sql(t)).alias("value"),
-                # raw pre-cast/transform value: the reference applies the
-                # falsy skip to the eval result BEFORE cast/transform
-                # (:508-519), so `0.4` with type integer keeps metric 0 and
-                # a transform yielding 0 is kept
-                F.expr(t.info.sql).alias("__raw"),
+            # raw pre-cast/transform value, evaluated ONCE: the reference
+            # applies the falsy skip to the eval result BEFORE cast/
+            # transform (:508-519), so `0.4` with type integer keeps
+            # metric 0 and a transform yielding 0 is kept
+            df = df.withColumn("__raw", F.expr(t.info.sql)).select(
+                "device_id", F.expr(self._guarded_sql(t)).alias("value"), "__raw"
             )
+            raw_kind = t.raw_kind
         # falsy skip on the RAW value (python `if not value: continue`):
         # numeric 0/0.0 and '' are falsy; a non-empty string — including
         # '0' — is truthy. NULL raw means an evaluated sub-expression
-        # raised -> dropped either way.
-        raw_type = dict(df.dtypes)["__raw"]
+        # raised -> dropped either way. The raw type is known statically
+        # for literal/aggregate targets; only expression targets pay a
+        # schema analysis.
+        if raw_kind is None:
+            raw_kind = {
+                "boolean": "boolean", "string": "string"
+            }.get(dict(df.dtypes)["__raw"], "numeric")
         raw = F.col("__raw")
-        if raw_type == "boolean":
+        if raw_kind == "boolean":
             truthy = raw
-        elif raw_type == "string":
+        elif raw_kind == "string":
             truthy = raw != ""
         else:
             truthy = raw.cast("double") != 0.0

@@ -23,6 +23,8 @@ from ..schemas import (
     INTERFACE_ENRICHMENT_VALUE_SCHEMA,
     INTERFACE_LOOKUP_VALUE_SCHEMA,
     L3_INTERFACE_LOOKUP_VALUE_SCHEMA,
+    NEIGHBOR_VALUE_SCHEMA,
+    OPERATIONAL_VALUE_SCHEMA,
     TOPOLOGY_VALUE_SCHEMA,
 )
 
@@ -36,6 +38,10 @@ _REQUIRED = {
                             "interface_index", "ip_version"],
     "topology": ["interface", "neighbor", "map_type"],
     "heartbeat_ns": [],
+    # operational.py:14-31 — only the status code is required
+    "operational": ["device_polling_status"],
+    # neighbor.py:13-40 — every declared field is required
+    "neighbor": [f.name for f in NEIGHBOR_VALUE_SCHEMA.fields],
 }
 
 _SCHEMAS = {
@@ -45,6 +51,8 @@ _SCHEMAS = {
     "l3_interface_lookup": L3_INTERFACE_LOOKUP_VALUE_SCHEMA,
     "topology": TOPOLOGY_VALUE_SCHEMA,
     "heartbeat_ns": HEARTBEAT_VALUE_SCHEMA,
+    "operational": OPERATIONAL_VALUE_SCHEMA,
+    "neighbor": NEIGHBOR_VALUE_SCHEMA,
 }
 
 

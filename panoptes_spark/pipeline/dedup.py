@@ -103,25 +103,22 @@ def minhash_signature(
     return df.withColumn("minhash", F.expr(sig))
 
 
-def lsh_candidates(
+#: default LSH bucket cap: a bucket of k docs contributes O(k^2) candidate
+#: pairs, so one boilerplate/template cluster can dominate the whole job.
+#: Buckets over the cap skip the pair join and take the representative
+#: route (``oversized_bucket_clusters``) instead.
+DEFAULT_MAX_BUCKET_SIZE = 500
+
+
+def banded_buckets(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs.
-
-    Returns distinct (a, b) with a < b. One shuffle on the bucket key.
-
-    ``max_bucket_size``: skew guard for the 100 TB path — buckets larger
-    than this (boilerplate/template clusters) are dropped from the pair
-    join, since a k-doc bucket contributes O(k^2) pairs. Route oversized
-    buckets to a cluster-representative pass instead of pairwise verify.
-    Default None = exact (every bucket joined).
-    """
+    """(id, band, bucket) — one row per doc per band."""
     rows = num_hashes // bands
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -130,6 +127,26 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (a, b) with a < b. One shuffle on the bucket key.
+
+    ``max_bucket_size``: skew guard for the 100 TB path — buckets larger
+    than this (boilerplate/template clusters) are dropped from the pair
+    join, since a k-doc bucket contributes O(k^2) pairs. Oversized buckets
+    take the ``oversized_bucket_clusters`` representative route instead of
+    pairwise verify. Pass None for exact (every bucket joined).
+    """
+    banded = banded_buckets(sig_df, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(
             F.count("*").alias("__bn")
@@ -180,6 +197,33 @@ def jaccard_verify(
     return out
 
 
+def oversized_bucket_clusters(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(doc_id, rep_id) for members of buckets LARGER than the cap.
+
+    The representative route for boilerplate clusters: a k-doc bucket
+    yields k rows (member -> min-id representative) instead of the
+    O(k^2) pair explosion — members of a near-identical template cluster
+    collapse onto one survivor without pairwise verification.
+    """
+    banded = banded_buckets(sig_df, id_col, num_hashes, bands)
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("__bn"), F.min(id_col).alias("rep_id")
+    )
+    return (
+        banded.join(
+            stats.where(F.col("__bn") > max_bucket_size), ["band", "bucket"]
+        )
+        .select(id_col, "rep_id")
+        .distinct()
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -188,14 +232,48 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """End-to-end near-dup pair detection; returns (a, b, jaccard).
+
+    The bucket cap is wired BY DEFAULT: oversized (boilerplate) buckets
+    never reach the O(k^2) pair join — collapse them separately with
+    :func:`oversized_bucket_clusters` / :func:`minhash_dedup_keep`.
 
     The signature frame feeds both the candidate join and the verify join —
     persist it so shingling+hashing runs once (halves wall-clock)."""
     sig = minhash_signature(df, text_col, k_shingle, num_hashes).persist()
-    cand = lsh_candidates(sig, id_col, num_hashes, bands)
+    cand = lsh_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_verify(cand, sig, id_col, threshold)
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Survivors after near-dup collapse, with BOTH routes composed:
+    verified pairs (normal buckets) drop the larger id; oversized buckets
+    drop every member but the min-id representative."""
+    sig = minhash_signature(df, text_col, k_shingle, num_hashes).persist()
+    cand = lsh_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
+    pairs = jaccard_verify(cand, sig, id_col, threshold)
+    big = oversized_bucket_clusters(
+        sig, id_col, num_hashes, bands, max_bucket_size
+    )
+    losers = (
+        pairs.select(F.col("b").alias(id_col))
+        .unionByName(
+            big.where(F.col(id_col) != F.col("rep_id")).select(id_col)
+        )
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def dedup_keep_representatives(

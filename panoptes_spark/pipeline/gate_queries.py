@@ -87,10 +87,15 @@ bands AS (
     array_to_string(minhash[b*{_NH // _BANDS}+1 : b*{_NH // _BANDS}+{_NH // _BANDS}], '-') AS bucket
   FROM sig, range(0, {_BANDS}) t(b)
 ),
+bsizes AS (
+  SELECT b, bucket, count(*) AS n FROM bands GROUP BY b, bucket
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r
     ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  JOIN bsizes s ON s.b = l.b AND s.bucket = l.bucket
+  WHERE s.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
 ),
 ver AS (
   SELECT c.a, c.b,

@@ -171,6 +171,51 @@ HEARTBEAT_VALUE_SCHEMA = T.StructType(
     [T.StructField("timestamp", T.DoubleType(), True)]
 )
 
+# operational namespace (enrichment/schema/operational.py:14-31):
+# device health envelope; only device_polling_status is required
+OPERATIONAL_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("snmpenginetime", T.LongType(), True),
+        T.StructField("sysdescr", T.StringType(), True),
+        T.StructField("device_vendor", T.StringType(), True),
+        T.StructField("device_model", T.StringType(), True),
+        T.StructField("device_os", T.StringType(), True),
+        T.StructField("device_os_version", T.StringType(), True),
+        # DEVICE_METRICS_STATES code (polling_status.py:26-39)
+        T.StructField("device_polling_status", T.IntegerType(), False),
+        T.StructField("last_updated", T.LongType(), True),
+    ]
+)
+
+# neighbor namespace (enrichment/schema/neighbor.py:13-40): every field
+# required; dict-typed fields ride as string->string maps, list-typed as
+# string arrays (addresses)
+NEIGHBOR_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("description", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("layer", T.IntegerType(), False),
+        T.StructField("member_of_lag", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("member_of_svi", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("lag_members", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("ipv6_neighbor", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("ipv4_neighbor", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("l2_neighbor", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("ipv6_address", T.ArrayType(T.StringType()), False),
+        T.StructField("ipv4_address", T.ArrayType(T.StringType()), False),
+        T.StructField("vlans", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("spanning_tree", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("mac_address", T.StringType(), False),
+        T.StructField("svi_physical_members", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("sub_interfaces", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("primary_interface", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("link_state", T.StringType(), False),
+        T.StructField("admin_state", T.StringType(), False),
+        T.StructField("category", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Long-format OID tables for the metric-computation DSL
 # (docs/Generic_SNMP_Polling_DSL.md:52-91 — tables are {index: value} maps)

@@ -72,3 +72,48 @@ def test_dedup_resources_identity(spark):
     assert len(out) == 2
     kept = [r for r in out if r.resource_site == "dc1"][0]
     assert kept.resource_endpoint == "e2"  # newest wins
+
+
+def test_enrichment_multigroupset_assembly(spark):
+    """MultiGroupSet (reference enrichment.py:457-494): flat rows ->
+    nested per-resource GroupSets; replace-on-collision keeps the last
+    write; flatten round-trips exactly."""
+    from panoptes_spark.operators.enrichment_groups import (
+        assemble_group_sets,
+        flatten_group_sets,
+        multi_group_set_summary,
+    )
+
+    rows = [
+        ("r1", "interface", "1", "old", 1),
+        ("r1", "interface", "1", "new", 2),   # collision: last write wins
+        ("r1", "interface", "2", "x", 1),
+        ("r1", "operational", "model", "m1", 1),
+        ("r2", "interface", "1", "y", 1),
+    ]
+    flat = spark.createDataFrame(
+        rows,
+        "resource_id string, namespace string, key string, value string,"
+        " ord int",
+    )
+    nested = assemble_group_sets(flat, order_col="ord")
+    byid = {r.resource_id: r for r in nested.collect()}
+    assert set(byid) == {"r1", "r2"}
+    r1 = byid["r1"]
+    assert [g.namespace for g in r1.enrichment] == ["interface", "operational"]
+    iface = {d.key: d.value for d in r1.enrichment[0].data}
+    assert iface == {"1": "new", "2": "x"}  # replaced, sorted
+
+    # round trip is exact (minus the replaced loser row)
+    back = {tuple(r) for r in flatten_group_sets(nested).collect()}
+    assert back == {
+        ("r1", "interface", "1", "new"), ("r1", "interface", "2", "x"),
+        ("r1", "operational", "model", "m1"), ("r2", "interface", "1", "y"),
+    }
+
+    # identity projection mirrors GroupSet hash/eq (resource + namespaces)
+    summ = {r.resource_id: r for r in multi_group_set_summary(nested).collect()}
+    assert summ["r1"].namespaces == "interface,operational"
+    assert summ["r1"].n_groups == 2 and summ["r1"].n_entries == 3
+    assert summ["r2"].n_groups == 1 and summ["r2"].n_entries == 1
+    assert summ["r1"].digest != summ["r2"].digest

@@ -26,6 +26,41 @@ def test_minhash_finds_shuffled_neardups(spark):
     assert all(3 not in p for p in found)
 
 
+def test_minhash_bucket_cap_bounds_boilerplate_cluster(spark):
+    """Skew guard: a 1k-doc identical (boilerplate) cluster must NOT
+    explode into ~500k pairwise candidates. With the default cap wired,
+    the cluster skips the pair join and collapses through the
+    representative route instead."""
+    boiler = [(i, "terms of service apply to all users of this site always")
+              for i in range(1000)]
+    distinct = [(2000, "a completely different document about spark plans"),
+                (2001, "another unrelated text mentioning catalyst optimizer")]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    # default cap: zero pairs from the oversized cluster
+    pairs = dedup.minhash_dedup(df, threshold=0.5)
+    assert pairs.count() == 0
+
+    # the representative route sees all 1000 members under one rep
+    sig = dedup.minhash_signature(df)
+    big = dedup.oversized_bucket_clusters(sig)
+    rows = big.collect()
+    assert len(rows) == 1000
+    assert {r.rep_id for r in rows} == {0}
+
+    # end-to-end: 1 survivor for the cluster + the 2 distinct docs
+    kept = dedup.minhash_dedup_keep(df, threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {0, 2000, 2001}
+
+    # uncapped (None) would generate the full O(k^2) candidate set —
+    # sanity-check the cap is what bounds it, on a smaller cluster
+    small = spark.createDataFrame(boiler[:30], "doc_id long, text string")
+    uncapped = dedup.minhash_dedup(small, threshold=0.5, max_bucket_size=None)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = dedup.minhash_dedup(small, threshold=0.5, max_bucket_size=10)
+    assert capped.count() == 0
+
+
 def test_simhash_close_for_similar(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -34,3 +34,89 @@ def test_reconcile_actions(spark):
         "d": (99.0, "cur-d"),   # delete suppressed
         "e": (20.0, "inc-e"),   # added
     }
+
+
+# ---------------------------------------------------------------------------
+# Replay of the reference's OWN reconciliation fixtures
+# (/root/reference/tests/test_resources/input/resource_*.json) through the
+# same consume-reconcile-store loop as resources/manager.py:46-142, asserting
+# the store mutations the reference's test_resource_manager.py asserts.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+import pytest
+
+_INPUT = "/root/reference/tests/test_resources/input"
+
+_needs_fixtures = pytest.mark.skipif(
+    not os.path.isdir(_INPUT), reason="reference fixtures not available"
+)
+
+
+def _load_set(spark, name):
+    """One fixture file -> (resources DataFrame, set timestamp)."""
+    with open(f"{_INPUT}/{name}") as f:
+        doc = json.load(f)
+    rows = [
+        (
+            r["resource_site"], r["resource_class"], r["resource_subclass"],
+            r["resource_type"], r["resource_id"], r["resource_endpoint"],
+            r["resource_creation_timestamp"], r["resource_plugin"],
+            r["resource_metadata"],
+        )
+        for r in doc["resources"]
+    ]
+    schema = (
+        "resource_site string, resource_class string, resource_subclass string,"
+        " resource_type string, resource_id string, resource_endpoint string,"
+        " resource_creation_timestamp double, resource_plugin string,"
+        " resource_metadata map<string,string>"
+    )
+    return spark.createDataFrame(rows, schema), doc["resource_set_creation_timestamp"]
+
+
+def _replay_sets(spark, names):
+    """Feed fixture sets through reconciliation in order, like the
+    manager's consumer loop; return the final store state rows."""
+    store, _ = _load_set(spark, names[0])
+    store = store.limit(0)  # empty store, same schema
+    for name in names:
+        incoming, set_ts = _load_set(spark, name)
+        store = apply_reconciliation(store, incoming, set_ts)
+    return store.collect()
+
+
+@_needs_fixtures
+def test_reference_fixture_initial_addition(spark):
+    rows = _replay_sets(spark, ["resource_one.json"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.resource_id == "test_id_1"
+    assert r.resource_creation_timestamp == 1526331404.49
+    assert r.resource_metadata["test_metadata_key"] == "test_metadata_value"
+
+
+@_needs_fixtures
+def test_reference_fixture_updation(spark):
+    rows = _replay_sets(spark, ["resource_one.json", "resource_one_updated.json"])
+    assert len(rows) == 1
+    assert rows[0].resource_creation_timestamp == 1526331464.49
+
+
+@_needs_fixtures
+def test_reference_fixture_stale_update_skipped(spark):
+    # newer set first, then the stale one: stored ts must survive
+    rows = _replay_sets(spark, ["resource_one_updated.json", "resource_one.json"])
+    assert len(rows) == 1
+    assert rows[0].resource_creation_timestamp == 1526331464.49
+
+
+@_needs_fixtures
+def test_reference_fixture_deletion(spark):
+    # second set lacks test_id_1 and its set ts >= stored ts -> deleted
+    rows = _replay_sets(spark, ["resource_one.json", "resource_two.json"])
+    assert len(rows) == 1
+    assert rows[0].resource_id == "test_id_2"
+    assert rows[0].resource_endpoint == "test_endpoint_2"

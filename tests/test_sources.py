@@ -133,3 +133,71 @@ def test_enrichment_validation_other_namespaces(spark):
     )
     v, i = validate_enrichment_json(hb, "heartbeat_ns")
     assert v.count() == 1 and i.count() == 0
+
+
+def test_enrichment_validation_operational_namespace(spark):
+    """operational namespace (reference enrichment/schema/operational.py:
+    14-31): only device_polling_status is required; the rest optional."""
+    import json as _json
+
+    from panoptes_spark.operators.enrichment_validate import (
+        validate_enrichment_json,
+    )
+
+    full = {"snmpenginetime": 12345, "sysdescr": "Juniper QFX",
+            "device_vendor": "Juniper", "device_model": "qfx10002",
+            "device_os": "junos", "device_os_version": "17.3",
+            "device_polling_status": 0, "last_updated": 1600000000}
+    minimal = {"device_polling_status": 4}
+    missing_status = {"device_vendor": "Cisco"}
+    rows = [
+        ("r1", "operational", "full", _json.dumps(full)),
+        ("r1", "operational", "min", _json.dumps(minimal)),
+        ("r1", "operational", "bad", _json.dumps(missing_status)),
+        ("r1", "operational", "broken", "{nope"),
+    ]
+    df = spark.createDataFrame(
+        rows, "resource_id string, namespace string, key string, value_json string"
+    )
+    valid, invalid = validate_enrichment_json(df, "operational")
+    assert {r.key for r in valid.collect()} == {"full", "min"}
+    assert {r.key for r in invalid.collect()} == {"bad", "broken"}
+    got = {r.key: r.value for r in valid.collect()}
+    assert got["full"].device_polling_status == 0
+    assert got["full"].device_model == "qfx10002"
+
+
+def test_enrichment_validation_neighbor_namespace(spark):
+    """neighbor namespace (reference enrichment/schema/neighbor.py:13-40):
+    EVERY declared field is required."""
+    import json as _json
+
+    from panoptes_spark.operators.enrichment_validate import (
+        validate_enrichment_json,
+    )
+
+    good = {
+        "description": "xe-0/0/0", "type": "physical", "layer": 2,
+        "member_of_lag": {}, "member_of_svi": {}, "lag_members": {},
+        "ipv6_neighbor": {}, "ipv4_neighbor": {},
+        "l2_neighbor": {"chassis": "aa:bb"},
+        "ipv6_address": [], "ipv4_address": ["10.0.0.1/31"],
+        "vlans": {}, "spanning_tree": {}, "mac_address": "AA:BB:CC:DD:EE:FF",
+        "svi_physical_members": {}, "sub_interfaces": {},
+        "primary_interface": {}, "link_state": "up", "admin_state": "up",
+        "category": "switch", "name": "xe-0/0/0",
+    }
+    missing_mac = {k: v for k, v in good.items() if k != "mac_address"}
+    rows = [
+        ("r1", "neighbor", "ok", _json.dumps(good)),
+        ("r1", "neighbor", "nomac", _json.dumps(missing_mac)),
+        ("r1", "neighbor", "broken", "[1,2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "resource_id string, namespace string, key string, value_json string"
+    )
+    valid, invalid = validate_enrichment_json(df, "neighbor")
+    assert {r.key for r in valid.collect()} == {"ok"}
+    assert {r.key for r in invalid.collect()} == {"nomac", "broken"}
+    v = valid.collect()[0].value
+    assert v.layer == 2 and v.ipv4_address == ["10.0.0.1/31"]
