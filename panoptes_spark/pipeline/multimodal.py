@@ -1,17 +1,28 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (image/audio libs are not in this
-container): ``decode_image_stub`` produces a deterministic fake feature
-vector from the bytes so the Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and testable. Swap the stub for
-PIL/torchvision/ffmpeg calls in production; nothing else changes.
+The decode step is import-gated: if PIL is available in the runtime image
+the real decoder runs; otherwise a clearly-marked deterministic fake
+(sha1-derived features) keeps the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — real and testable. Every
+output row carries ``decoder`` ('pil' | 'fake') so a mixed fleet is
+auditable. Swap/extend ``_decode_image`` for torchvision/ffmpeg in
+production; nothing else changes.
 
-Scale notes: binary payloads ride in parquet as BYTE_ARRAY; mapInPandas
-streams Arrow batches so executor memory is bounded by batch size, not
-partition size (set spark.sql.execution.arrow.maxRecordsPerBatch for
-multi-MB blobs). Feature extraction is embarrassingly parallel — no
-shuffle; repartition by size-bucket first if blob sizes are skewed.
+Scale notes (100 TB of blobs):
+
+- payloads ride in parquet as BYTE_ARRAY; ``mapInPandas`` streams Arrow
+  batches, so executor memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` × blob size, not by
+  partition size — set it with :func:`limit_arrow_batch_rows` before
+  running multi-MB media through the extractors;
+- partition sizing must follow BYTES, not row counts: a partition of 4 KB
+  thumbnails and a partition of 40 MB videos differ by 10^4 in work.
+  :func:`repartition_by_payload_size` rebalances on measured payload size;
+- feature extraction is embarrassingly parallel (no shuffle); the only
+  shuffles downstream are the dedup/similarity joins, which run on the
+  small (id, sha1/feature) projection — never on the payload column.
+  Project payloads away before any join.
 """
 
 from __future__ import annotations
@@ -20,7 +31,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,33 +51,59 @@ FEATURE_DIM = 8
 
 _FEATURES_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha1 string, "
-    "features array<float>"
+    "decoder string, features array<float>, batch_rows int"
 )
 
 
+def _try_pil():
+    """Import-gated real image decoder (PIL not baked into this
+    container; the path activates wherever it is)."""
+    try:  # pragma: no cover - exercised only when PIL is installed
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_image_stub(payload: bytes) -> list[float]:
-    """Deterministic fake 'decode + feature-extract'.
-
-    Production implementation would be::
-
-        raise NotImplementedError("requires PIL/torchvision in the image")
-
-    Here: 8 floats derived from the sha1 digest so tests have stable
-    values and the Arrow plumbing is exercised end-to-end.
-    """
+    """Deterministic fake 'decode + feature-extract': 8 floats from the
+    sha1 digest, so tests have stable values and the Arrow plumbing is
+    exercised end-to-end. The real path (PIL) produces the same shape."""
     dig = hashlib.sha1(payload or b"").digest()
     return [round(b / 255.0, 6) for b in dig[:FEATURE_DIM]]
+
+
+def _decode_image(payload: bytes, pil_mod) -> tuple[str, list[float]]:
+    """(decoder_tag, FEATURE_DIM floats). PIL path: decode, grayscale,
+    downsample to a fixed grid, normalized means — a real (if tiny)
+    visual signature. Fake path: sha1-derived stub."""
+    if pil_mod is not None:  # pragma: no cover - needs PIL in the image
+        import io
+
+        try:
+            img = pil_mod.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((FEATURE_DIM, 1))
+            pix = list(img.getdata())
+            return "pil", [round(p / 255.0, 6) for p in pix[:FEATURE_DIM]]
+        except Exception:
+            pass  # undecodable blob -> deterministic fallback
+    return "fake", decode_image_stub(payload)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
 
     Arrow batches in, Arrow batches out; one output row per input row.
+    ``batch_rows`` records the Arrow batch each row arrived in — the
+    hook tests use to assert batch-size limits actually bound memory.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_mod = _try_pil()
         for pdf in batches:
             payloads = pdf["payload"]
+            decoded = payloads.map(lambda p: _decode_image(p, pil_mod))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -75,11 +112,67 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "sha1": payloads.map(
                         lambda p: hashlib.sha1(p or b"").hexdigest()
                     ),
-                    "features": payloads.map(decode_image_stub),
+                    "decoder": decoded.map(lambda d: d[0]),
+                    "features": decoded.map(lambda d: d[1]),
+                    "batch_rows": len(pdf),
                 }
             )
 
     return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def limit_arrow_batch_rows(spark: SparkSession, max_rows: int) -> None:
+    """Bound executor memory for blob processing: each Arrow batch holds
+    at most ``max_rows`` payloads (memory ≈ max_rows × max blob size)."""
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_rows)
+    )
+
+
+def repartition_by_payload_size(
+    df: DataFrame,
+    target_bytes_per_partition: int = 128 * 1024 * 1024,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Rebalance by BYTES, not rows: one aggregation measures total
+    payload size, then a round-robin repartition to
+    ceil(total / target) partitions evens the per-task byte load.
+    (Row-count-based partitioning is wrong for media: blob sizes span
+    4 KB thumbnails to 40 MB clips.)"""
+    total = df.select(
+        F.sum(F.coalesce(F.length(payload_col), F.lit(0))).alias("b")
+    ).collect()[0].b or 0
+    n = max(1, -(-int(total) // target_bytes_per_partition))
+    return df.repartition(n)
+
+
+def media_dedup_exact(df: DataFrame) -> DataFrame:
+    """Binary exact dedup: one survivor (min media_id) per distinct
+    payload sha1. The shuffle runs on (sha1, id) — payloads never move."""
+    hashed = df.select(
+        "media_id", F.sha1(F.coalesce("payload", F.lit(b""))).alias("sha1")
+    )
+    keep = hashed.groupBy("sha1").agg(F.min("media_id").alias("media_id"))
+    return df.join(keep.select("media_id"), "media_id", "left_semi")
+
+
+def media_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95, n_blocks: int = 8
+) -> DataFrame:
+    """Perceptual near-dup pairs: extract features, then run the
+    embedding near-dup operator (block-grid exact cosine join) over the
+    feature vectors — (a, b, cosine) on media_id. The payload column is
+    projected away before the shuffle."""
+    from .similarity import embedding_neardup_pairs
+
+    feats = extract_features(df).select("media_id", "features")
+    return embedding_neardup_pairs(
+        feats,
+        id_col="media_id",
+        vec_col="features",
+        threshold=threshold,
+        n_blocks=n_blocks,
+    )
 
 
 def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -139,6 +139,53 @@ def test_multimodal_feature_extraction(spark):
         r.media_id: r.sha1 for r in feats}
 
 
+def test_multimodal_arrow_batch_bounding(spark):
+    """maxRecordsPerBatch must bound the Arrow batches the extractor
+    sees — the memory-safety knob for multi-MB payloads."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    multimodal.limit_arrow_batch_rows(spark, 5)
+    try:
+        media = multimodal.synth_media_df(spark, n=40).coalesce(1)
+        rows = multimodal.extract_features(media).collect()
+        assert max(r.batch_rows for r in rows) <= 5
+        # container has no PIL: every row must flag the fake decoder
+        assert {r.decoder for r in rows} == {"fake"}
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+
+
+def test_multimodal_binary_dedup_and_neardup(spark):
+    media = multimodal.synth_media_df(spark, n=12)
+    # clone payload of media 0 under a new id -> exact dup
+    clone = media.where(F.col("media_id") == 0).withColumn(
+        "media_id", F.lit(100).cast("long")
+    )
+    both = media.unionByName(clone)
+    kept = {r.media_id for r in multimodal.media_dedup_exact(both).collect()}
+    assert 0 in kept and 100 not in kept and len(kept) == 12
+
+    # identical payloads -> identical features -> cosine 1.0 pair
+    pairs = multimodal.media_neardup_pairs(both, threshold=0.999).collect()
+    assert {(r.a, r.b) for r in pairs} == {(0, 100)}
+
+
+def test_multimodal_size_aware_repartition(spark):
+    media = multimodal.synth_media_df(spark, n=30)
+    # tiny target -> byte-driven partition count, not row-driven
+    out = multimodal.repartition_by_payload_size(
+        media, target_bytes_per_partition=200
+    )
+    total = sum(
+        r.b for r in media.select(
+            F.length("payload").alias("b")).collect()
+    )
+    expected = -(-total // 200)
+    assert out.rdd.getNumPartitions() == expected
+
+
 def test_multimodal_frame_sampling(spark):
     media = multimodal.synth_media_df(spark, n=12)
     frames = multimodal.frame_sample_plan(media, every_ms=1000)
