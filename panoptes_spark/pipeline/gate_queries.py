@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, similarity, text
+from . import dedup, multimodal, similarity, text
 
 # ---------------------------------------------------------------------------
 # exact dedup (constructed duplicates: clone every 10th doc under a new id)
@@ -344,6 +344,45 @@ SELECT a, b, cosine FROM pairs WHERE cosine >= 0.45
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal: binary columns derived from documents (payload = utf-8 text
+# bytes); the Arrow-batched extractor's deterministic features are
+# md5-derived so DuckDB recomputes them exactly — the decode step itself is
+# the swappable stub, the plumbing is what's oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+            " ELSE 'video' END"
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit("txt").alias("format"),
+    )
+    return multimodal.extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "features"
+    )
+
+
+O_MULTIMODAL_FEATURES = f"""
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  list_transform(range(0, {multimodal.FEATURE_DIM}),
+    i -> round(('0x' || substr(md5(text), i*2 + 1, 2))::BIGINT / 255.0, 6)
+  ) AS features
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -354,6 +393,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -366,4 +406,5 @@ ORACLES = {
     "ann_cosine_topk": O_ANN_TOPK,
     "ann_ivf_topk": O_IVF_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "multimodal_features": O_MULTIMODAL_FEATURES,
 }

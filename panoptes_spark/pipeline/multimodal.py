@@ -51,7 +51,7 @@ FEATURE_DIM = 8
 
 _FEATURES_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha1 string, "
-    "decoder string, features array<float>, batch_rows int"
+    "decoder string, features array<double>, batch_rows int"
 )
 
 
@@ -68,9 +68,11 @@ def _try_pil():
 
 def decode_image_stub(payload: bytes) -> list[float]:
     """Deterministic fake 'decode + feature-extract': 8 floats from the
-    sha1 digest, so tests have stable values and the Arrow plumbing is
-    exercised end-to-end. The real path (PIL) produces the same shape."""
-    dig = hashlib.sha1(payload or b"").digest()
+    md5 digest, so tests have stable values and the Arrow plumbing is
+    exercised end-to-end. md5 (not sha1) so a DuckDB oracle can recompute
+    the exact features for the correctness gate. The real path (PIL)
+    produces the same shape."""
+    dig = hashlib.md5(payload or b"").digest()
     return [round(b / 255.0, 6) for b in dig[:FEATURE_DIM]]
 
 

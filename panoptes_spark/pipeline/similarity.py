@@ -177,6 +177,23 @@ def ivf_assign(
     )
 
 
+def seed_limit_frame(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The bounded seed selection as a DataFrame: orderBy().limit() plans
+    as TakeOrderedAndProject (partition-local top-n, NO global window, NO
+    single-partition shuffle) — exposed separately so tests can assert
+    the physical plan."""
+    return (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("centroid"))
+        .orderBy(F.col("__id").asc())
+        .limit(n_cells)
+    )
+
+
 def seed_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -197,12 +214,7 @@ def seed_centroids(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     spark = corpus.sparkSession
-    rows = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("centroid"))
-        .orderBy(F.col("__id").asc())
-        .limit(n_cells)
-        .collect()
-    )
+    rows = seed_limit_frame(corpus, n_cells, id_col, vec_col).collect()
     vec_type = corpus.schema[vec_col].dataType
     schema = StructType(
         [

@@ -102,6 +102,26 @@ def test_ivf_recall_on_clusters(spark):
     assert nbrs <= set(range(10)) and len(nbrs) == 3
 
 
+def test_seed_centroids_plan_and_determinism(spark):
+    """Centroid seeding must plan as TakeOrderedAndProject (partition-
+    local top-n) — never a global row_number window that drags the whole
+    corpus to one partition."""
+    rows = [(int(i), [float(i), 1.0]) for i in (5, 3, 9, 1, 7, 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(4)
+    plan = (
+        similarity.seed_limit_frame(df, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    cents = similarity.seed_centroids(df, n_cells=3).collect()
+    got = [(r.cell_id, r.centroid[0]) for r in sorted(cents)]
+    assert got == [(0, 1.0), (1, 2.0), (2, 3.0)]  # 3 smallest ids, 0-based
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog went to the park for a walk"),
