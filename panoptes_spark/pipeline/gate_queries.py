@@ -345,6 +345,84 @@ SELECT a, b, cosine FROM pairs WHERE cosine >= 0.45
 
 
 # ---------------------------------------------------------------------------
+# simhash banded hamming pairs. Pigeonhole: hamming <= bands-1 guarantees
+# at least one band agrees, so band-blocking + verify is EXACT vs the
+# all-pairs oracle. Perturbed clones (every 5th doc + ' extra token')
+# manufacture real near-dups.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_HAMMING, _SIMHASH_BANDS = 3, 4
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(clones)
+    sim = dedup.simhash(both)
+    return dedup.simhash_hamming_pairs(
+        sim, max_hamming=_SIMHASH_MAX_HAMMING, bands=_SIMHASH_BANDS
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+O_SIMHASH_PAIRS = f"""
+WITH allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra token'
+  FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
+      CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+        CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) = 1
+             THEN 1 ELSE -1 END)) > 0
+      THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM allrows
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+# ---------------------------------------------------------------------------
+# connected components over the minhash near-dup graph — the iterative
+# min-label propagation vs a recursive-CTE oracle (min reachable id).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .components import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    return connected_components(pairs, nodes=docs.select("doc_id")).select(
+        "node", "component"
+    )
+
+
+O_DEDUP_COMPONENTS = (
+    O_DEDUP_MINHASH.replace("WITH sh AS (", "WITH RECURSIVE sh AS (").replace(
+        f"SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}",
+        f""", edges AS (SELECT a, b FROM ver WHERE jaccard >= {_THRESH}),
+und AS (SELECT a AS src, b AS dst FROM edges
+        UNION SELECT b, a FROM edges),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY node
+""",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # multimodal: binary columns derived from documents (payload = utf-8 text
 # bytes); the Arrow-batched extractor's deterministic features are
 # md5-derived so DuckDB recomputes them exactly — the decode step itself is
@@ -394,6 +472,8 @@ QUERIES = {
     "ann_ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES = {
@@ -407,4 +487,6 @@ ORACLES = {
     "ann_ivf_topk": O_IVF_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
+    "dedup_simhash_pairs": O_SIMHASH_PAIRS,
+    "dedup_components": O_DEDUP_COMPONENTS,
 }
