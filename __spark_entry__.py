@@ -877,9 +877,10 @@ ORDER BY user_id, session_id
 # ---------------------------------------------------------------------------
 
 
-def _p9_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from panoptes_spark.model import flatten_metrics_groups
-
+def _event_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested metrics-groups derived from the events table (shared by the
+    P9 roundtrip and U1 union gates; content is a pure function of
+    (resource, event_type, day) so set overlaps are content-identical)."""
     e = fx.read_events(spark, sf_dir)
     day = F.expr("date_trunc('DAY', timestamp_millis(ts_ms))")
     base = e.groupBy(
@@ -935,6 +936,12 @@ def _p9_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dimensions"),
     )
+    return groups
+
+
+def _flatten_event_groups(groups: DataFrame) -> DataFrame:
+    from panoptes_spark.model import flatten_metrics_groups
+
     flat = flatten_metrics_groups(groups)
     return flat.select(
         "resource_id",
@@ -945,6 +952,24 @@ def _p9_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_value",
         "metric_type",
     )
+
+
+def _p9_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flatten_event_groups(_event_groups(spark, sf_dir))
+
+
+def _u1_groupset_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — set union with content dedup (metrics.py:429-437): two
+    overlapping day-range slices; the overlap (days 10-20) must dedup to
+    one copy or the hash diverges from the oracle's plain full set."""
+    from panoptes_spark.model import union_metrics_group_sets
+
+    g = _event_groups(spark, sf_dir)
+    # dimensions = [event_type, day]; [1] is 0-based SQL array indexing
+    dom = F.dayofmonth(F.expr("to_date(dimensions[1].dimension_value)"))
+    a = g.where(dom <= 20)
+    b = g.where(dom >= 10)
+    return _flatten_event_groups(union_metrics_group_sets(a, b))
 
 
 _P9_ORACLE = """
@@ -964,6 +989,37 @@ UNION ALL
 SELECT resource_id, 'events', event_type, day,
        'sum_value', sum_value, 'gauge'
 FROM base
+"""
+
+# U1: the two slices (day<=20, day>=10) cover every day, and group content
+# is a pure function of the group key — so union+content-dedup must equal
+# the plain full set; leaving overlap duplicates in breaks the hash.
+_U1_ORACLE = _P9_ORACLE
+
+
+def _s5_namespace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — KV namespace scan with prefix pushdown
+    (key_value_store.py:170-193 find_keys)."""
+    from panoptes_spark.sources.stores import scan_namespace
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    store = c.select(
+        F.concat(
+            F.lit("p"),
+            (F.col("c_custkey") % 4).cast("string"),
+            F.lit(":resource:"),
+            F.col("c_custkey").cast("string"),
+        ).alias("key"),
+        F.lower("c_mktsegment").alias("value"),
+    )
+    return scan_namespace(store, "p1:")
+
+
+_S5_ORACLE = """
+SELECT 'p' || CAST(c_custkey % 4 AS VARCHAR) || ':resource:'
+         || CAST(c_custkey AS VARCHAR) AS key,
+       lower(c_mktsegment) AS value
+FROM customer WHERE c_custkey % 4 = 1
 """
 
 
@@ -1045,6 +1101,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship pipeline: DSL-filtered resources -> broadcast enrichment of
     the metric stream -> rate transform -> per-(site, series-type) rollup.
     One pass through every core layer of the engine."""
+    from panoptes_spark.session import tune_runtime
+
+    tune_runtime(spark)
     rf = ResourceFilter(
         'resource_class = "network" AND resource_metadata.make NOT LIKE "Generic%"'
     )
@@ -1091,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a4_status_rollup": _a4_status_rollup,
             "a5_ping_stats": _a5_ping_stats,
             "w3_ttl_upsert_expire": _w3_ttl_upsert,
+            "s5_namespace_scan": _s5_namespace_scan,
+            "u1_groupset_union": _u1_groupset_union,
             "u2_set_ops": _u2_set_ops,
             "u3_multigroupset": _u_multigroupset,
             "f_scalar_functions": _f_functions,
@@ -1103,7 +1164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
 
     out.update(_PIPE_QUERIES)
-    return out
+
+    from panoptes_spark.session import tune_runtime
+
+    def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(tune_runtime(spark), sf_dir)
+
+        return run
+
+    return {name: _tuned(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1123,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
             "a4_status_rollup": _A4_ORACLE,
             "a5_ping_stats": _A5_ORACLE,
             "w3_ttl_upsert_expire": _W3_ORACLE,
+            "s5_namespace_scan": _S5_ORACLE,
+            "u1_groupset_union": _U1_ORACLE,
             "u2_set_ops": _U2_ORACLE,
             "u3_multigroupset": _U_MULTIGROUPSET_ORACLE,
             "f_scalar_functions": _F_FUNCTIONS_ORACLE,

@@ -175,24 +175,39 @@ class MetricDSLCompiler:
             return self._table_cache[name]
         spec = self.oids_spec[name]
         if spec["method"] == "static":
-            rows = [(str(k), str(v)) for k, v in spec["values"].items()]
-            vals = self.spark.createDataFrame(rows, "index string, value string")
-            df = self._devices.crossJoin(F.broadcast(vals))
+            # literal rows per device as an exploded array — a pure
+            # projection (no crossJoin / broadcast exchange per table)
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(str(k)).alias("index"), F.lit(str(v)).alias("value")
+                    )
+                    for k, v in spec["values"].items()
+                ]
+            )
+            df = self._devices.select(
+                "device_id", F.explode(entries).alias("e")
+            ).select("device_id", "e.index", "e.value")
         else:
             df = self.oid_tables.where(F.col("table_name") == name).select(
                 "device_id", "index", "value"
             )
             it = spec.get("index_transform")
             if it:
-                rows = [(str(k), str(v)) for k, v in it.items()]
-                m = self.spark.createDataFrame(rows, "from_idx string, to_idx string")
-                df = (
-                    df.join(F.broadcast(m), df["index"] == m["from_idx"], "left")
-                    .select(
-                        "device_id",
-                        F.coalesce("to_idx", "index").alias("index"),
-                        "value",
-                    )
+                # re-key through a map literal: unmatched indices keep their
+                # raw value (reference _build_map_by_bulk_walk) — projection
+                # only, no join
+                m = F.create_map(
+                    *[
+                        F.lit(s)
+                        for k, v in it.items()
+                        for s in (str(k), str(v))
+                    ]
+                )
+                df = df.select(
+                    "device_id",
+                    F.coalesce(m[F.col("index")], F.col("index")).alias("index"),
+                    "value",
                 )
         # OID tables are device-dim sized and re-joined by every target that
         # references them — persist so the upstream scan/groupBy runs once
@@ -202,8 +217,13 @@ class MetricDSLCompiler:
 
     def scalar(self, name: str) -> DataFrame:
         """(device_id, value) for a get-method oid (one value per device)."""
+        cached = self._table_cache.get(f"__scalar_{name}")
+        if cached is not None:
+            return cached
         df = self.oid_tables.where(F.col("table_name") == name)
-        return df.groupBy("device_id").agg(F.min("value").alias(table_col(name)))
+        out = df.groupBy("device_id").agg(F.min("value").alias(table_col(name)))
+        self._table_cache[f"__scalar_{name}"] = out
+        return out
 
     # -- per-target compilation ------------------------------------------
 

@@ -149,10 +149,36 @@ def flatten_metrics_groups(df: DataFrame) -> DataFrame:
 
 def union_metrics_group_sets(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1 — metrics-group-set union (``metrics.py:429-437``): set union with
-    content dedup on canonical form."""
-    u = a.unionByName(b, allowMissingColumns=True)
-    return canonicalize_metrics_groups(u).dropDuplicates(
-        ["resource", "metrics_group_type", "dimensions", "metrics"]
+    content dedup on canonical form.
+
+    Spark set ops reject MapType, and ``resource.resource_metadata`` is a
+    map — so the dedup key rebuilds the resource struct with the metadata
+    as sorted entries (order-canonical, map-free) instead of deduping on
+    the raw struct.
+    """
+    from pyspark.sql.types import MapType, StructType
+
+    u = canonicalize_metrics_groups(
+        a.unionByName(b, allowMissingColumns=True)
+    )
+    res_type = u.schema["resource"].dataType
+    assert isinstance(res_type, StructType)
+    parts = [
+        F.expr(f"array_sort(map_entries(resource.{f.name}))").alias(f.name)
+        if isinstance(f.dataType, MapType)
+        else F.col(f"resource.{f.name}").alias(f.name)
+        for f in res_type.fields
+    ]
+    key = F.struct(
+        F.struct(*parts).alias("resource"),
+        F.col("metrics_group_type"),
+        F.col("dimensions"),
+        F.col("metrics"),
+    )
+    return (
+        u.withColumn("__set_key", key)
+        .dropDuplicates(["__set_key"])
+        .drop("__set_key")
     )
 
 

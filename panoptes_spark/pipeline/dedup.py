@@ -297,14 +297,20 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     """Per-doc SimHash over whitespace tokens (weight 1 each).
 
     bit b set iff sum over tokens of ±1 (sign of token-hash bit b) > 0.
-    Pure array expressions — narrow, codegen'd.
+    Pure array expressions — narrow, codegen'd. Token hashes are
+    materialized once per token (transform), not re-derived per bit:
+    md5 is the dominant cost and folding bits over cached hashes cuts
+    the work ~``bits``-fold.
     """
     h = spark_hash64("t")
     expr = (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) -> acc + "
-        f"CASE WHEN aggregate(split({text_col}, ' '), 0, (s, t) -> s + "
-        f"CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+        f"aggregate(transform(split({text_col}, ' '), t -> {h}), "
+        f"array_repeat(0, {bits}), "
+        f"(acc, hh) -> zip_with(acc, sequence(0, {bits - 1}), (c, b) -> "
+        f"c + CASE WHEN (shiftright(hh, b) & 1) = 1 THEN 1 ELSE -1 END), "
+        f"counts -> aggregate(zip_with(counts, sequence(0, {bits - 1}), (c, b) -> "
+        f"CASE WHEN c > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
+        f"cast(0 as bigint), (a, x) -> a + x))"
     )
     return df.withColumn("simhash", F.expr(expr))
 

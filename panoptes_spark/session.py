@@ -44,12 +44,35 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    return tune_runtime(spark)
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Python-side tuning for sessions built elsewhere (the driver's).
+
+    Disables PySpark's per-API-call user-call-site capture
+    (``spark.python.sql.dataFrameDebugging.enabled``): plan construction in
+    the DSL compiler issues thousands of DataFrame calls and the stack
+    inspection costs ~5 ms each — error-message context only, no semantic
+    effect. The conf is STATIC (rejected by ``spark.conf.set`` on a live
+    session), so for sessions built elsewhere the python-side gate cache is
+    the only reachable switch; guarded so a pyspark-internals change
+    degrades to a no-op. ``get_spark`` also sets the conf properly at
+    build time for sessions we own.
+    """
+    try:
+        from pyspark.errors import utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     return spark
 
 

@@ -77,3 +77,46 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    """Replay a batch through session_window streaming; rows (sans
+    session_id) must equal the batch operator's, including the exact
+    gap-boundary cases (diff == gap stays, diff == gap+1 splits)."""
+    from panoptes_spark.streaming.sessions_stream import session_stats_stream
+
+    rows = [
+        ("u1", 0, 1.0), ("u1", 1000, 2.0), ("u1", 31000, 3.0),   # == gap: same
+        ("u1", 62001, 4.0),                                       # gap+1: split
+        ("u2", 5000, 10.0), ("u2", 200000, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts_ms long, value double")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = session_stats_stream(
+        stream, ["user"], gap_ms=30000, value_col="value"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    from panoptes_spark.operators.sessions import session_stats
+
+    batch = {
+        tuple(r)
+        for r in session_stats(df, ["user"], gap_ms=30000, value_col="value")
+        .drop("session_id")
+        .collect()
+    }
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 4  # u1 x2 (boundary split), u2 x2
