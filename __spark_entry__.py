@@ -964,7 +964,10 @@ def _u1_groupset_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     one copy or the hash diverges from the oracle's plain full set."""
     from panoptes_spark.model import union_metrics_group_sets
 
-    g = _event_groups(spark, sf_dir)
+    # both slices filter the same aggregate — persist so the events
+    # aggregation runs once (Spark does not reuse the exchange across
+    # the union's two branches)
+    g = _event_groups(spark, sf_dir).persist()
     # dimensions = [event_type, day]; [1] is 0-based SQL array indexing
     dom = F.dayofmonth(F.expr("to_date(dimensions[1].dimension_value)"))
     a = g.where(dom <= 20)
