@@ -326,6 +326,59 @@ SELECT * FROM final WHERE rank <= {_TOPK}
 """
 
 
+_LSH_NPLANES, _LSH_BANDS, _LSH_DIM = 24, 4, 64
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return similarity.lsh_topk(
+        emb, queries, dim=_LSH_DIM, k=_TOPK,
+        n_planes=_LSH_NPLANES, bands=_LSH_BANDS,
+    )
+
+
+def _lsh_codes_sql() -> str:
+    """The band-code CTE body: same md5-parity ±1 planes as the operator,
+    embedded as list literals so DuckDB computes identical sign bits."""
+    planes = similarity.lsh_hyperplanes(_LSH_DIM, _LSH_NPLANES)
+    chunk = _LSH_NPLANES // _LSH_BANDS
+    selects = []
+    for b in range(_LSH_BANDS):
+        terms = []
+        for i in range(chunk):
+            lit = "[" + ",".join(str(x) for x in planes[b * chunk + i]) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[],"
+                f" {lit}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
+            )
+        selects.append(
+            f"SELECT vec_id, embedding, {b} AS band,"
+            f" ({' + '.join(terms)}) AS code FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+O_LSH_TOPK = f"""
+WITH codes AS ({_lsh_codes_sql()}),
+q AS (SELECT vec_id AS query_id, embedding AS qv, band, code FROM codes
+      WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS nbr_id, embedding AS cv, band, code FROM codes),
+scored AS (
+  SELECT DISTINCT query_id, nbr_id,
+    round({_DOT_DD} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM q JOIN c USING (band, code) WHERE query_id <> nbr_id
+),
+final AS (
+  SELECT query_id, nbr_id, cosine,
+    CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM final WHERE rank <= {_TOPK}
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_neardup_pairs(emb, threshold=0.45)
@@ -470,6 +523,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ivf_topk,
+    "ann_lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
     "dedup_simhash_pairs": q_simhash_pairs,
@@ -485,6 +539,7 @@ ORACLES = {
     "text_fingerprint": O_TEXT_FINGERPRINT,
     "ann_cosine_topk": O_ANN_TOPK,
     "ann_ivf_topk": O_IVF_TOPK,
+    "ann_lsh_topk": O_LSH_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,

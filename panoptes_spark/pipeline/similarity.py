@@ -286,6 +286,115 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH top-k (the bucketed ANN alternative to IVF)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES_TAG = "rhp"
+
+
+def lsh_hyperplanes(
+    dim: int, n_planes: int, tag: str = LSH_PLANES_TAG
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible in any
+    engine (the DuckDB oracle embeds the same literals), no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{tag}:{p}:{j}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _planes_sql_literal(planes: list[list[float]]) -> str:
+    rows = ",".join(
+        "array(" + ",".join(f"cast({x} as double)" for x in row) + ")"
+        for row in planes
+    )
+    return f"array({rows})"
+
+
+def lsh_band_codes(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, band, code): the sign pattern of ``planes`` grouped into
+    ``bands`` integer codes per vector. ±1 components make each plane dot a
+    signed sum of coordinates — bit-identical across engines for the same
+    fold order, so the sign (and hence the bucket) is oracle-reproducible.
+
+    Narrow (pure projection + explode): one pass, no shuffle."""
+    n = len(planes)
+    chunk = n // bands
+    lit = _planes_sql_literal(planes)
+    codes = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
+        f" aggregate(zip_with(slice({lit}, b*{chunk}+1, {chunk}),"
+        f" sequence(0, {chunk - 1}), (pl, i) -> CASE WHEN"
+        f" aggregate(zip_with(cast({vec_col} as array<double>), pl,"
+        f" (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v) >= 0"
+        f" THEN shiftleft(1, i) ELSE 0 END), 0, (a, v) -> a + v) as code))"
+    )
+    return (
+        df.select(id_col, vec_col, F.explode(F.expr(codes)).alias("bc"))
+        .select(id_col, vec_col, "bc.band", "bc.code")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 24,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH banding: a candidate is
+    any corpus vector agreeing with the query on ALL bits of ≥1 band
+    (``n_planes/bands``-bit chunks). Exact cosine re-ranks candidates.
+
+    The 100 TB shape: both sides get band codes in a narrow pass, the only
+    shuffle is the (band, code) equi-join — per-query work is the bucket
+    occupancy, not |C|. Recall tunes with bands (more, shorter bands =
+    higher recall, more candidates); the IVF variant is the partition-
+    pruned alternative when a coarse quantizer fits the data better."""
+    planes = lsh_hyperplanes(dim, n_planes)
+    c = lsh_band_codes(corpus, planes, bands, id_col, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "band", "code"
+    )
+    q = lsh_band_codes(queries, planes, bands, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "band", "code"
+    )
+    scored = (
+        q.join(c, ["band", "code"])
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+        # a pair agreeing on several bands appears once per band; collapse
+        # BEFORE ranking or duplicates occupy top-k slots
+        .select("query_id", "nbr_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

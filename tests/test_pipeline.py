@@ -273,3 +273,37 @@ def test_partition_pruning_on_site(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert out.count() == 10
+
+
+def test_lsh_topk_recall_on_clusters(spark):
+    """Tight clusters land in the same hyperplane sign buckets: LSH top-k
+    from a cluster member must retrieve within-cluster neighbors only."""
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + i * 0.01, 0.02 * i, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 0.0, 0.02 * i, 1.0 + i * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_topk(
+        df, df.where(F.col("vec_id") == 0), dim=4, k=3, n_planes=8, bands=4
+    )
+    got = out.collect()
+    nbrs = {r.nbr_id for r in got}
+    assert nbrs <= set(range(10)) and len(nbrs) == 3
+    assert all(r.cosine > 0.99 for r in got)
+
+
+def test_lsh_band_codes_narrow_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [1.0, -1.0]), (3, [-1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.lsh_hyperplanes(2, 4)
+    codes = similarity.lsh_band_codes(df, planes, bands=2)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection + explode, no shuffle
+    rows = codes.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append((r.band, r.code))
+    assert by_vec[1] == by_vec[2]      # identical vectors, identical codes
+    assert by_vec[1] != by_vec[3]      # opposite vectors differ somewhere
