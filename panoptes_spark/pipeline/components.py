@@ -43,6 +43,10 @@ def connected_components(
         labels = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
     labels = labels.withColumn("component", F.col("node"))
 
+    # per-node labels only ever decrease, so the label sum is strictly
+    # monotone until convergence: an unchanged sum means NO node changed —
+    # a single aggregate instead of a change-detection join per round
+    prev_sig = None
     for _ in range(max_iter):
         # neighbor labels flow along edges; every node takes the min of
         # its own and its neighbors' labels
@@ -50,22 +54,20 @@ def connected_components(
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sig = labels.agg(
+            # decimal sum: exact and overflow-proof for 2^60-scale ids
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if prev_sig == (sig.s, sig.n):
             break
+        prev_sig = (sig.s, sig.n)
     edges.unpersist()
     return labels
 
