@@ -1000,6 +1000,107 @@ FROM base
 _U1_ORACLE = _P9_ORACLE
 
 
+def _p8_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — the full line-protocol rendering path, oracle-checked: tag
+    sort-by-key, resource-colliding dimension drop, `([,=\\s])` value
+    escaping, unsupported-metric-type filter, `{!r}`-style numeric
+    rendering, measurement sanitization (consumer.py:84-169)."""
+    from panoptes_spark.operators.lineprotocol import to_line_protocol
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    groups = c.select(
+        F.struct(
+            F.col("c_mktsegment").alias("resource_site"),
+            F.lit("network").alias("resource_class"),
+            F.lit("switch").alias("resource_subclass"),
+            F.lit("generic").alias("resource_type"),
+            F.concat(F.lit("cust-"), F.col("c_custkey").cast("string")).alias(
+                "resource_id"
+            ),
+            # space in the endpoint exercises tag-value escaping
+            F.concat(
+                F.lit("host "), F.col("c_custkey").cast("string"), F.lit(".net")
+            ).alias("resource_endpoint"),
+            F.lit(0.0).alias("resource_creation_timestamp"),
+            F.lit("tpch").alias("resource_plugin"),
+            F.expr("map('make', 'Synth')").alias("resource_metadata"),
+        ).alias("resource"),
+        F.lit("interface|metrics").alias("metrics_group_type"),  # '|' -> '_'
+        F.lit(60).cast("long").alias("metrics_group_interval"),
+        (F.col("c_custkey") % 1000 + 1700000000)
+        .cast("double")
+        .alias("metrics_group_creation_timestamp"),
+        F.array(
+            F.struct(
+                F.lit("temp").alias("metric_name"),
+                ((F.col("c_custkey") % 40) + F.lit(0.5)).alias("metric_value"),
+                F.lit("gauge").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
+            F.struct(
+                F.lit("bits_in").alias("metric_name"),
+                ((F.col("c_custkey") * 100) % 100000)
+                .cast("double")
+                .alias("metric_value"),
+                F.lit("counter").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
+            F.struct(  # unsupported type: must be filtered out
+                F.lit("dropme").alias("metric_name"),
+                F.lit(1.0).alias("metric_value"),
+                F.lit("histogram").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
+        ).alias("metrics"),
+        F.array(
+            F.struct(  # comma in value exercises escaping
+                F.lit("iface").alias("dimension_name"),
+                F.concat(
+                    F.lit("eth"),
+                    (F.col("c_custkey") % 4).cast("string"),
+                    F.lit(",0"),
+                ).alias("dimension_value"),
+            ),
+            F.struct(  # space in value
+                F.lit("rack").alias("dimension_name"),
+                F.concat(
+                    F.lit("r "), (F.col("c_custkey") % 8).cast("string")
+                ).alias("dimension_value"),
+            ),
+            F.struct(  # collides with a resource tag key: must be dropped
+                F.lit("resource_class").alias("dimension_name"),
+                F.lit("OVERRIDE-ME").alias("dimension_value"),
+            ),
+        ).alias("dimensions"),
+    )
+    return to_line_protocol(groups).select(
+        F.col("resource.resource_id").alias("resource_id"), "line"
+    )
+
+
+# replacement '\\\1' (no escaping inside standard SQL literals): regex-level
+# \\ = literal backslash, \1 = captured char — same output as Spark's
+# '\\\\$1'. Sorted tag-key order is hardcoded: iface < rack < resource_class
+# < resource_endpoint < resource_site < resource_subclass < resource_type.
+_P8_ORACLE = r"""
+SELECT 'cust-' || CAST(c_custkey AS VARCHAR) AS resource_id,
+  'interface_metrics,'
+  || 'iface=' || regexp_replace('eth' || CAST(c_custkey % 4 AS VARCHAR) || ',0',
+                                '([,=\s])', '\\\1', 'g')
+  || ',rack=' || regexp_replace('r ' || CAST(c_custkey % 8 AS VARCHAR),
+                                '([,=\s])', '\\\1', 'g')
+  || ',resource_class=network'
+  || ',resource_endpoint=' || regexp_replace('host ' || CAST(c_custkey AS VARCHAR) || '.net',
+                                             '([,=\s])', '\\\1', 'g')
+  || ',resource_site=' || c_mktsegment
+  || ',resource_subclass=switch,resource_type=generic'
+  || ' bits_in__counter=' || CAST(CAST((c_custkey * 100) % 100000 AS BIGINT) AS VARCHAR)
+  || ',temp__gauge=' || CAST(c_custkey % 40 AS VARCHAR) || '.5'
+  || ' ' || CAST(CAST(c_custkey % 1000 + 1700000000 AS BIGINT) AS VARCHAR) AS line
+FROM customer
+"""
+
+
 def _s5_namespace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 — KV namespace scan with prefix pushdown
     (key_value_store.py:170-193 find_keys)."""
@@ -1154,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a5_ping_stats": _a5_ping_stats,
             "w3_ttl_upsert_expire": _w3_ttl_upsert,
             "s5_namespace_scan": _s5_namespace_scan,
+            "p8_line_protocol": _p8_line_protocol,
             "u1_groupset_union": _u1_groupset_union,
             "u2_set_ops": _u2_set_ops,
             "u3_multigroupset": _u_multigroupset,
@@ -1197,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
             "a5_ping_stats": _A5_ORACLE,
             "w3_ttl_upsert_expire": _W3_ORACLE,
             "s5_namespace_scan": _S5_ORACLE,
+            "p8_line_protocol": _P8_ORACLE,
             "u1_groupset_union": _U1_ORACLE,
             "u2_set_ops": _U2_ORACLE,
             "u3_multigroupset": _U_MULTIGROUPSET_ORACLE,
