@@ -155,8 +155,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(e.dtypes)["ts"] == "bigint":
         # integer div: nanos exceed 2^53, double division would round
         ts_ms = F.expr("ts div 1000000")
-    else:  # pragma: no cover - timestamp-typed variant
-        ts_ms = (F.unix_micros("ts") / F.lit(1000)).cast("long")
+    else:
+        # micros-precision TIMESTAMP or TIMESTAMP_NTZ; the session timezone
+        # is pinned to UTC (session.py) so the NTZ->LTZ cast is epoch-faithful
+        # and matches DuckDB's epoch_ms() on the same naive timestamps.
+        ts_ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     return e.withColumn("ts_ms", ts_ms)
 
 
