@@ -1198,6 +1198,175 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# W6: uniform scheduling splay (celery_manager.py:224-258) — exact unsigned
+# murmur3_x86_32 splay + resume-from-checkpoint semantics. The oracle
+# recomputes the identical hash via a DuckDB chained-CTE murmur3 twin
+# (operators/schedule.mmh3_cte_chain), so splay values are engine-exact.
+# ---------------------------------------------------------------------------
+
+_W6_NOW = 1700000000.0
+
+
+def _w6_uniform_splay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.schedule import uniform_schedule
+
+    flat = fx.resources_flat(spark, sf_dir)
+    ck = F.col("resource_creation_timestamp").cast("bigint")
+    base = flat.select(
+        "resource_id",
+        F.concat_ws(":", "resource_plugin", "resource_id").alias("schedule_name"),
+        (F.lit(15) + ck % 90).alias("interval_s"),
+        # ck%3==1: previous scheduler checkpoint still inside the window ->
+        # resume at last+interval; ck%3==2: stale checkpoint -> re-splay;
+        # ck%3==0: never scheduled (NULL) -> splay.
+        F.when(ck % 3 == 1, F.lit(_W6_NOW) - (F.lit(15) + ck % 90) + 7)
+        .when(ck % 3 == 2, F.lit(_W6_NOW) - 2 * (F.lit(15) + ck % 90))
+        .cast("double")
+        .alias("last_uniformly_scheduled_at"),
+    )
+    return uniform_schedule(base, _W6_NOW).select(
+        "resource_id", "interval_s", "splay_s", "resumed", "run_at"
+    )
+
+
+def _w6_oracle() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    resumed = (
+        "last_s IS NOT NULL AND last_s + interval_s >= 1700000000.0 "
+        "AND 1700000000.0 > last_s"
+    )
+    return f"""
+WITH {fx.RESOURCES_CTE},
+base AS (
+  SELECT resource_id,
+    resource_plugin || ':' || resource_id AS schedule_name,
+    15 + CAST(resource_creation_timestamp AS BIGINT) % 90 AS interval_s,
+    CASE WHEN CAST(resource_creation_timestamp AS BIGINT) % 3 = 1
+           THEN 1700000000.0 - (15 + CAST(resource_creation_timestamp AS BIGINT) % 90) + 7
+         WHEN CAST(resource_creation_timestamp AS BIGINT) % 3 = 2
+           THEN 1700000000.0 - 2 * (15 + CAST(resource_creation_timestamp AS BIGINT) % 90)
+    END AS last_s
+  FROM resources_flat
+),
+{mmh3_cte_chain('base', 'schedule_name', 'duckdb')}
+SELECT resource_id, interval_s,
+  __mm_hash % LEAST(interval_s, 60) AS splay_s,
+  COALESCE({resumed}, FALSE) AS resumed,
+  CASE WHEN {resumed} THEN last_s + interval_s
+       ELSE 1700000000.0 + CAST(__mm_hash % LEAST(interval_s, 60) AS DOUBLE)
+  END AS run_at
+FROM mmh3
+"""
+
+
+# ---------------------------------------------------------------------------
+# F14: hostname/IP helpers — ip version classification, unknown-hostname
+# fallback, and DNS resolution as a broadcast resolver-snapshot join
+# (helpers.py:99-178).
+# ---------------------------------------------------------------------------
+
+def _f14_ip_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.functions.scalar import ip_version, unknown_hostname
+    from panoptes_spark.operators.resolve import get_hostnames
+
+    flat = fx.resources_flat(spark, sf_dir)
+    ck = F.col("resource_creation_timestamp").cast("bigint")
+    v4 = F.concat_ws(
+        ".",
+        (ck % 256).cast("string"),
+        (ck * 3 % 256).cast("string"),
+        (ck * 7 % 256).cast("string"),
+        (ck * 11 % 256).cast("string"),
+    )
+    probe = (
+        F.when(ck % 4 == 0, v4)
+        .when(ck % 4 == 1, F.concat(F.lit("fe80::"), F.lower(F.hex(ck % 65536))))
+        .when(ck % 4 == 2, F.col("resource_endpoint"))
+        .otherwise(F.concat(F.lit("999.1.2."), (ck % 10).cast("string")))
+    )
+    base = flat.select(
+        "resource_id",
+        probe.alias("probe"),
+        v4.alias("ip"),
+        (ck % 3).alias("__m3"),
+    )
+    # resolver snapshot: every third resource's v4 appears in the table;
+    # synthesized v4s collide across resources, so pick the min hostname
+    # per address to keep the fixture deterministic on both engines
+    dns = (
+        base.where(F.col("__m3") == 0)
+        .groupBy(F.col("ip").alias("address"))
+        .agg(
+            F.min(
+                F.concat(F.col("resource_id"), F.lit(".example.com"))
+            ).alias("hostname")
+        )
+    )
+    out = get_hostnames(base, dns, ip_col="ip")
+    return out.select(
+        "resource_id",
+        "probe",
+        ip_version("probe").alias("ipv"),
+        unknown_hostname("probe").alias("unknown_name"),
+        "resolved_hostname",
+    )
+
+
+_IPV4_SQL_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+_IPV6_FULL_SQL_RE = r"^[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}$"
+_IPV6_COMP_SQL_RE = (
+    r"^(([0-9A-Fa-f]{1,4})(:[0-9A-Fa-f]{1,4}){0,6})?"
+    r"::(([0-9A-Fa-f]{1,4})(:[0-9A-Fa-f]{1,4}){0,6})?$"
+)
+
+_F14_ORACLE = f"""
+WITH {fx.RESOURCES_CTE},
+keyed AS (
+  SELECT resource_id, resource_endpoint,
+    CAST(resource_creation_timestamp AS BIGINT) AS ck
+  FROM resources_flat
+),
+base AS (
+  SELECT resource_id,
+    CASE WHEN ck % 4 = 0 THEN
+           CAST(ck % 256 AS VARCHAR) || '.' || CAST(ck * 3 % 256 AS VARCHAR) ||
+           '.' || CAST(ck * 7 % 256 AS VARCHAR) || '.' ||
+           CAST(ck * 11 % 256 AS VARCHAR)
+         WHEN ck % 4 = 1 THEN 'fe80::' || lower(to_hex(ck % 65536))
+         WHEN ck % 4 = 2 THEN resource_endpoint
+         ELSE '999.1.2.' || CAST(ck % 10 AS VARCHAR)
+    END AS probe,
+    CAST(ck % 256 AS VARCHAR) || '.' || CAST(ck * 3 % 256 AS VARCHAR) || '.' ||
+    CAST(ck * 7 % 256 AS VARCHAR) || '.' || CAST(ck * 11 % 256 AS VARCHAR) AS ip,
+    ck % 3 AS m3
+  FROM keyed
+),
+dns AS (
+  SELECT ip AS address, min(resource_id || '.example.com') AS hostname
+  FROM base WHERE m3 = 0 GROUP BY ip
+)
+SELECT b.resource_id, b.probe,
+  CASE WHEN regexp_matches(b.probe, '{_IPV4_SQL_RE}') THEN 4
+       WHEN regexp_matches(b.probe, '{_IPV6_FULL_SQL_RE}')
+         OR (regexp_matches(b.probe, '{_IPV6_COMP_SQL_RE}')
+             AND length(b.probe) - length(replace(b.probe, ':', '')) <= 7)
+         THEN 6
+  END AS ipv,
+  'unknown-' || regexp_replace(b.probe, '[.:]', '-', 'g') AS unknown_name,
+  CASE WHEN d.hostname IS NULL OR d.hostname = ''
+            OR d.hostname LIKE 'UNKNOWN%'
+       THEN 'unknown-' || regexp_replace(b.ip, '[.:]', '-', 'g')
+       ELSE d.hostname
+  END AS resolved_hostname
+FROM base b LEFT JOIN dns d ON b.ip = d.address
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1260,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "u2_set_ops": _u2_set_ops,
             "u3_multigroupset": _u_multigroupset,
             "f_scalar_functions": _f_functions,
+            "w6_uniform_splay": _w6_uniform_splay,
+            "f14_ip_resolve": _f14_ip_resolve,
             "p9_nested_roundtrip": _p9_nested_roundtrip,
             "w_sessionize_events": _sessionize_events,
             "p7_empty_dimension_policy": _p7_empty_dims,
@@ -1304,6 +1475,8 @@ def oracle_sql() -> dict[str, str]:
             "u2_set_ops": _U2_ORACLE,
             "u3_multigroupset": _U_MULTIGROUPSET_ORACLE,
             "f_scalar_functions": _F_FUNCTIONS_ORACLE,
+            "w6_uniform_splay": _w6_oracle(),
+            "f14_ip_resolve": _F14_ORACLE,
             "p9_nested_roundtrip": _P9_ORACLE,
             "w_sessionize_events": _SESSIONIZE_ORACLE,
             "p7_empty_dimension_policy": _P7_ORACLE,

@@ -265,3 +265,22 @@ class ResourceFilter:
                 if k not in keys:
                     keys.append(k)
         return keys
+
+
+def query_resources(df, filter_query: str, ordered: bool = True):
+    """P3+O2: filter a resources DataFrame with the DSL and return it in
+    the reference's result order.
+
+    The reference's compiled SQL ends in ``ORDER BY resource_metadata.id``
+    (``resources.py:770,786``), where ``id`` is the SQLite rowid shared by
+    the ``resources`` row — i.e. results come back in stable per-resource
+    order, not filter order. The engine's stable identity is
+    ``resource_id`` (serialization key, ``resources.py:284-292`` equality),
+    so the Spark twin orders by it. Pass ``ordered=False`` to skip the sort
+    (a global sort is a range-exchange at scale; only the sink that needs
+    canonical order should pay for it).
+    """
+    from pyspark.sql import functions as F
+
+    out = df.where(F.expr(ResourceFilter(filter_query).to_spark_sql()))
+    return out.orderBy("resource_id") if ordered else out

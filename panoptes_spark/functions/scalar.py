@@ -197,3 +197,41 @@ def if_type_desc(col) -> Column:
     return F.coalesce(
         F.element_at(m, _c(col).cast("int")), F.lit("unknown")
     )
+
+
+# -- F14: hostname / IP helpers (helpers.py:99-178) -------------------------
+
+# Strict dotted-quad (each octet 0-255). The reference's get_ip_version uses
+# socket.inet_aton, which also accepts short/octal forms ("127.1"); those
+# legacy forms never appear in panoptes endpoints and are rejected here.
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+# Well-formed hex groups with at most one '::' compression (inet_pton
+# equivalent for the canonical textual forms; no embedded-IPv4 tail).
+_IPV6_FULL_RE = r"^[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}$"
+_IPV6_COMP_RE = (
+    r"^(([0-9A-Fa-f]{1,4})(:[0-9A-Fa-f]{1,4}){0,6})?"
+    r"::(([0-9A-Fa-f]{1,4})(:[0-9A-Fa-f]{1,4}){0,6})?$"
+)
+
+
+def ip_version(col) -> Column:
+    """F14: 4 / 6 / NULL (reference raises ValueError; a column maps the
+    error case to NULL). ``helpers.py:164-176``."""
+    c = _c(col)
+    v6 = c.rlike(_IPV6_FULL_RE) | (
+        c.rlike(_IPV6_COMP_RE) & (F.length(c) - F.length(F.regexp_replace(c, ":", "")) <= 7)
+    )
+    return (
+        F.when(c.rlike(_IPV4_RE), F.lit(4))
+        .when(v6, F.lit(6))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def unknown_hostname(col) -> Column:
+    """F14: unresolvable IP -> 'unknown-x-x-x-x' (``helpers.py:123-135``:
+    ``'unknown-' + re.sub(r'[.:]', '-', ip)``)."""
+    return F.concat(F.lit("unknown-"), F.regexp_replace(_c(col), r"[.:]", "-"))

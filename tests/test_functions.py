@@ -91,3 +91,161 @@ def test_kv_codec_roundtrip(spark):
 def test_if_type_desc(spark):
     assert one(spark, s.if_type_desc(F.col("v")), 6, "v int") == "ethernetCsmacd"
     assert one(spark, s.if_type_desc(F.col("v")), 999, "v int") == "unknown"
+
+
+# -- W6: murmur3 / uniform splay scheduling ---------------------------------
+
+def test_murmur3_published_vectors():
+    """Canonical MurmurHash3_x86_32 vectors (smhasher / public test suites)."""
+    from panoptes_spark.operators.schedule import murmur3_x86_32 as mm
+
+    assert mm(b"", 0) == 0
+    assert mm(b"", 1) == 0x514E28B7
+    assert mm(b"", 0xFFFFFFFF) == 0x81F16F39
+    assert mm(b"\x00\x00\x00\x00", 0) == 0x2362F9DE
+    assert mm(b"test", 0) == 0xBA6BD213
+    assert mm(b"Hello, world!", 0) == 0xC0363E43
+    assert mm(b"The quick brown fox jumps over the lazy dog", 0x9747B28C) == 0x2FA826CD
+    # tail lengths 1-3
+    assert mm(b"a", 0x9747B28C) == 0x7FA09EA6
+    assert mm(b"aa", 0x9747B28C) == 0x5D211726
+    assert mm(b"aaa", 0x9747B28C) == 0x283E0130
+    assert mm(b"aaaa", 0x9747B28C) == 0x5A97808A
+    # signed variant (mmh3.hash default)
+    assert mm(b"test", 0, signed=True) == 0xBA6BD213 - (1 << 32)
+
+
+def test_murmur3_sql_twins_match_python(spark):
+    """The Spark SQL and DuckDB SQL murmur3 pipelines are byte-exact with
+    the canonical implementation (empty string, all tail lengths, long)."""
+    import random
+    import string
+
+    import duckdb
+
+    from panoptes_spark.operators.schedule import (
+        mmh3_cte_chain,
+        mmh3_sql_steps,
+        murmur3_x86_32,
+    )
+
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + ":._-#|"
+    names = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(n)) for n in range(1, 18)
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+         for _ in range(20)]
+
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    for alias, expr in mmh3_sql_steps("nm", "spark"):
+        df = df.withColumn(alias, F.expr(expr))
+    for r in df.select("nm", "__mm_hash").collect():
+        assert r["__mm_hash"] == murmur3_x86_32(r["nm"]), r["nm"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base AS SELECT * FROM (VALUES "
+        + ",".join(f"('{n}')" for n in names)
+        + ") t(nm)"
+    )
+    sql = "WITH " + mmh3_cte_chain("base", "nm", "duckdb") + \
+        " SELECT nm, __mm_hash FROM mmh3"
+    for nm, h in con.execute(sql).fetchall():
+        assert h == murmur3_x86_32(nm), nm
+
+
+def test_uniform_schedule_semantics(spark):
+    """celery_manager.py:234-255: resume iff last+interval >= now > last,
+    else splay = mmh3 % min(interval, 60)."""
+    from panoptes_spark.operators.schedule import murmur3_x86_32, uniform_schedule
+
+    now = 1000.0
+    rows = [
+        # never scheduled -> splay
+        ("polling:r1", 120, None),
+        # checkpoint inside window (last + 120 = 1060 >= 1000 > 940) -> resume
+        ("polling:r2", 120, 940.0),
+        # stale checkpoint (last + 120 = 900 < 1000) -> re-splay
+        ("polling:r3", 120, 780.0),
+        # sub-60 interval: splay cap is the interval itself
+        ("polling:r4", 20, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "schedule_name string, interval_s int, last_uniformly_scheduled_at double"
+    )
+    out = {r["schedule_name"]: r for r in uniform_schedule(df, now).collect()}
+
+    s1 = murmur3_x86_32("polling:r1") % 60
+    assert not out["polling:r1"]["resumed"]
+    assert out["polling:r1"]["splay_s"] == s1
+    assert out["polling:r1"]["run_at"] == now + s1
+
+    assert out["polling:r2"]["resumed"]
+    assert out["polling:r2"]["run_at"] == 940.0 + 120
+
+    assert not out["polling:r3"]["resumed"]
+    assert out["polling:r3"]["run_at"] == now + murmur3_x86_32("polling:r3") % 60
+
+    s4 = murmur3_x86_32("polling:r4") % 20
+    assert out["polling:r4"]["splay_s"] == s4 < 20
+
+
+# -- F14: hostname / IP helpers ---------------------------------------------
+
+def test_ip_version(spark):
+    cases = {
+        "10.0.0.1": 4, "255.255.255.255": 4, "0.0.0.0": 4,
+        "fe80::1": 6, "::1": 6, "::": 6,
+        "2001:db8:0:0:0:0:2:1": 6, "2001:db8::2:1": 6,
+        "999.1.2.3": None, "10.0.0": None, "host.example.com": None,
+        "1:2:3:4:5:6:7:8:9": None,
+    }
+    for val, exp in cases.items():
+        assert one(spark, s.ip_version(F.col("v")), val) == exp, val
+
+
+def test_unknown_hostname(spark):
+    # helpers.py:123-135
+    assert one(spark, s.unknown_hostname(F.col("v")), "10.1.2.3") == "unknown-10-1-2-3"
+    assert one(spark, s.unknown_hostname(F.col("v")), "fe80::1") == "unknown-fe80--1"
+
+
+def test_resolve_joins(spark):
+    from panoptes_spark.operators.resolve import get_hostnames, resolve_hostnames
+
+    dns = spark.createDataFrame(
+        [("a.example.com", "10.0.0.1"), ("b.example.com", "10.0.0.2"),
+         ("UNKNOWN-stale", "10.0.0.3")],
+        "hostname string, address string",
+    )
+    hosts = spark.createDataFrame(
+        [("a.example.com",), ("missing.example.com",)], "hostname string"
+    )
+    got = {r["hostname"]: r["address"]
+           for r in resolve_hostnames(hosts, dns).collect()}
+    assert got == {"a.example.com": "10.0.0.1", "missing.example.com": None}
+
+    ips = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.0.3",), ("10.9.9.9",)], "ip string"
+    )
+    got = {r["ip"]: r["resolved_hostname"]
+           for r in get_hostnames(ips, dns).collect()}
+    # reverse-resolved; 'UNKNOWN'-prefixed and missing both fall back
+    assert got == {
+        "10.0.0.1": "a.example.com",
+        "10.0.0.3": "unknown-10-0-0-3",
+        "10.9.9.9": "unknown-10-9-9-9",
+    }
+
+
+# -- O2: DSL result ordering -------------------------------------------------
+
+def test_query_resources_ordered(spark):
+    from panoptes_spark.dsl.resource_filter import query_resources
+
+    df = spark.createDataFrame(
+        [("r3", "network"), ("r1", "network"), ("r2", "system"), ("r0", "network")],
+        "resource_id string, resource_class string",
+    )
+    out = query_resources(df, 'resource_class = "network"')
+    assert [r["resource_id"] for r in out.collect()] == ["r0", "r1", "r3"]
