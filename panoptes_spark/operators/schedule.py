@@ -186,6 +186,31 @@ def mmh3_sql_steps(
     ]
 
 
+def mmh3_sql_expr(name_sql: str, dialect: str, seed: int = 0) -> str:
+    """Single-expression murmur3_x86_32 with TRUE let-bindings.
+
+    Folds :func:`mmh3_sql_steps` into one expression where each
+    intermediate is bound as a single-element-array lambda variable
+    (``transform(array(e), x -> body)[1]``). Without this, a chain of
+    ``withColumn`` steps gets collapsed by Catalyst into one projection
+    that textually inlines every reference — the duplication is
+    exponential (measured: a 6 MiB task binary and ~3 s of planning per
+    query for two chained hashes). Lambda variables are evaluated once,
+    keeping the expression linear in the step count.
+    """
+
+    def let(var: str, value: str, body: str) -> str:
+        if dialect == "spark":
+            return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+        return f"list_transform([{value}], {var} -> {body})[1]"
+
+    steps = mmh3_sql_steps(name_sql, dialect, seed=seed)
+    expr = steps[-1][1]
+    for alias, value in reversed(steps[:-1]):
+        expr = let(alias, value, expr)
+    return expr
+
+
 def mmh3_cte_chain(base_rel: str, name_sql: str, dialect: str = "duckdb") -> str:
     """CTE bodies chaining the murmur3 steps over relation ``base_rel``.
 
@@ -225,8 +250,7 @@ def uniform_schedule(
     no Python; scales as a map-only stage over any resource count.
     """
     out_cols = df.columns
-    for alias, expr in mmh3_sql_steps(name_col, "spark"):
-        df = df.withColumn(alias, F.expr(expr))
+    df = df.withColumn("__mm_hash", F.expr(mmh3_sql_expr(name_col, "spark")))
     interval = F.col(interval_col).cast("bigint")
     last = F.col(last_col).cast("double")
     splay = F.col("__mm_hash") % F.least(interval, F.lit(SPLAY_CAP_S))

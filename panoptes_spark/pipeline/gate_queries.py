@@ -514,6 +514,123 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic splits / sampling (murmur3-bucketed, engine-exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.splits import assign_split, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = assign_split(docs, "doc_id", salt="v1")
+    # downsample English to 30%, keep the rest — deterministic per doc
+    sampled = stratified_sample(
+        assigned, {"en": 0.3}, "lang", id_col="doc_id", salt="rebalance"
+    )
+    return sampled.select("doc_id", "lang", "split_bucket", "split")
+
+
+def _o_split_assignment() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    split_chain = mmh3_cte_chain(
+        "base", "'v1' || ':' || cast(doc_id as varchar)", "duckdb"
+    ).replace("__mm_", "__sp_").replace("mmh3 AS", "split_hashed AS")
+    sample_chain = mmh3_cte_chain(
+        "split_hashed", "'rebalance' || ':' || cast(doc_id as varchar)", "duckdb"
+    ).replace("mmh3 AS", "sample_hashed AS")
+    return f"""
+WITH base AS (SELECT doc_id, lang FROM documents),
+{split_chain},
+{sample_chain}
+SELECT doc_id, lang,
+  __sp_hash % 10000 AS split_bucket,
+  CASE WHEN __sp_hash % 10000 < 9800 THEN 'train'
+       WHEN __sp_hash % 10000 < 9900 THEN 'val'
+       WHEN __sp_hash % 10000 < 10000 THEN 'test'
+  END AS split
+FROM sample_hashed
+WHERE __mm_hash % 10000 < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (sharded running-sum window)
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # whitespace token count; identical expression on the oracle side
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        with_tokens,
+        _PACK_SEQ_LEN,
+        tokens_col="n_tokens",
+        order_col="doc_id",
+        shard_cols=["source"],
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "seq_offset",
+    )
+
+
+O_PACK_SEQUENCES = f"""
+WITH with_tokens AS (
+  SELECT doc_id, source,
+    CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_start
+  FROM with_tokens
+)
+SELECT doc_id, source, n_tokens, tok_start,
+  tok_start // {_PACK_SEQ_LEN} AS seq_first,
+  (tok_start + GREATEST(n_tokens, 1) - 1) // {_PACK_SEQ_LEN} AS seq_last,
+  tok_start % {_PACK_SEQ_LEN} AS seq_offset
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus token frequencies (vocabulary top-k)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 40
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.text import token_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_frequencies(docs, "text", k=_VOCAB_K)
+
+
+O_TOKEN_FREQUENCIES = f"""
+SELECT token, CAST(n AS BIGINT) AS n FROM (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+)
+ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -528,6 +645,9 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
+    "split_assignment": q_split_assignment,
+    "pack_sequences": q_pack_sequences,
+    "token_frequencies": q_token_frequencies,
 }
 
 ORACLES = {
@@ -544,4 +664,7 @@ ORACLES = {
     "multimodal_features": O_MULTIMODAL_FEATURES,
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,
     "dedup_components": O_DEDUP_COMPONENTS,
+    "split_assignment": _o_split_assignment(),
+    "pack_sequences": O_PACK_SEQUENCES,
+    "token_frequencies": O_TOKEN_FREQUENCIES,
 }

@@ -1,0 +1,102 @@
+"""Deterministic dataset splitting / sampling for training-data pipelines.
+
+Beyond-reference operators (SURVEY "training-data pipeline" section): a
+100 TB corpus needs train/val/test assignment and downsampling that are
+
+- **deterministic** — re-running the pipeline (or adding shards) never
+  moves a document between splits, because membership depends only on
+  (salt, id), never on partitioning, row order, or cluster size;
+- **map-only** — a pure column expression over the scan, no shuffle, no
+  state, trivially parallel at any scale.
+
+Both properties come from bucketing an unsigned murmur3 of ``salt:id``
+(the same exact hash family the reference uses for its scheduling splay,
+``celery_manager.py:252`` — implementation shared via
+``operators/schedule.mmh3_sql_steps``, which also gives every operator
+here a byte-exact DuckDB oracle twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from panoptes_spark.operators.schedule import mmh3_sql_expr
+
+#: bucket granularity for fraction -> threshold conversion (1 bp = 0.01%)
+N_BUCKETS = 10_000
+
+DEFAULT_FRACTIONS = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+
+
+def _with_bucket(
+    df: DataFrame, id_col: str, salt: str, out_col: str = "split_bucket"
+) -> DataFrame:
+    """Attach ``murmur3('{salt}:' || id) % N_BUCKETS`` as a column."""
+    key = f"concat('{salt}', ':', cast({id_col} as string))"
+    return df.withColumn(
+        out_col, F.expr(f"({mmh3_sql_expr(key, 'spark')}) % {N_BUCKETS}")
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    fractions: tuple[tuple[str, float], ...] = DEFAULT_FRACTIONS,
+) -> DataFrame:
+    """Add ``split_bucket`` (0..9999) and ``split`` label columns.
+
+    Fractions are cumulative bucket ranges in declaration order; they must
+    sum to <= 1 (any remainder is labelled NULL, i.e. held out entirely).
+    """
+    total = sum(f for _, f in fractions)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out = _with_bucket(df, id_col, salt)
+    expr: Column = F.lit(None).cast("string")
+    hi = 0.0
+    cases = []
+    for name, frac in fractions:
+        hi += frac
+        cases.append((int(round(hi * N_BUCKETS)), name))
+    for threshold, name in reversed(cases):
+        expr = F.when(F.col("split_bucket") < threshold, F.lit(name)).otherwise(expr)
+    return out.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` subsample: keep iff bucket < fraction*1e4.
+
+    Unlike ``df.sample()``, membership is a pure function of the id — re-runs
+    and incremental appends see a consistent subset, and changing the salt
+    draws an independent subset.
+    """
+    out = _with_bucket(df, id_col, salt, out_col="__sample_bucket")
+    keep = F.col("__sample_bucket") < int(round(fraction * N_BUCKETS))
+    return out.where(keep).drop("__sample_bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (e.g. rebalance languages:
+    ``{'en': 0.3}`` keeps 30% of English docs, everything else intact).
+
+    The keep decision is a when-chain on the stratum column over the same
+    id-hash bucket — still map-only; no join, no shuffle.
+    """
+    out = _with_bucket(df, id_col, salt, out_col="__sample_bucket")
+    thr: Column = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * N_BUCKETS)))
+        ).otherwise(thr)
+    return out.where(F.col("__sample_bucket") < thr).drop("__sample_bucket")

@@ -126,3 +126,24 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """Corpus token frequency table (vocabulary building): lowercase
+    alpha tokens -> (token, n), optionally top-k with a deterministic
+    tie-break (count desc, token asc).
+
+    Shape at scale: explode -> two-phase aggregate (Catalyst inserts the
+    map-side partial, so the shuffle carries one row per distinct token
+    per task, not one per occurrence); top-k is TakeOrderedAndProject,
+    never a global sort of the vocabulary.
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    if k is None:
+        return counts
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)

@@ -139,8 +139,13 @@ def test_murmur3_sql_twins_match_python(spark):
     df = spark.createDataFrame([(n,) for n in names], "nm string")
     for alias, expr in mmh3_sql_steps("nm", "spark"):
         df = df.withColumn(alias, F.expr(expr))
-    for r in df.select("nm", "__mm_hash").collect():
+    from panoptes_spark.operators.schedule import mmh3_sql_expr
+
+    df = df.withColumn("__let_hash", F.expr(mmh3_sql_expr("nm", "spark")))
+    for r in df.select("nm", "__mm_hash", "__let_hash").collect():
         assert r["__mm_hash"] == murmur3_x86_32(r["nm"]), r["nm"]
+        # the let-bound single-expression form is identical
+        assert r["__let_hash"] == r["__mm_hash"], r["nm"]
 
     con = duckdb.connect()
     con.execute(

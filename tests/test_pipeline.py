@@ -307,3 +307,87 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
         by_vec.setdefault(r.vec_id, []).append((r.band, r.code))
     assert by_vec[1] == by_vec[2]      # identical vectors, identical codes
     assert by_vec[1] != by_vec[3]      # opposite vectors differ somewhere
+
+
+# -- deterministic splits / packing / vocabulary ----------------------------
+
+def test_assign_split_deterministic_and_complete(spark):
+    from panoptes_spark.operators.schedule import murmur3_x86_32
+    from panoptes_spark.pipeline.splits import N_BUCKETS, assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = assign_split(df, "doc_id", salt="v1").collect()
+    assert len(out) == 500
+    for r in out:
+        b = murmur3_x86_32(f"v1:{r['doc_id']}") % N_BUCKETS
+        assert r["split_bucket"] == b
+        exp = "train" if b < 9800 else ("val" if b < 9900 else "test")
+        assert r["split"] == exp
+    # rough uniformity: train should dominate
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert n_train > 450
+
+
+def test_hash_sample_stable_under_append(spark):
+    from panoptes_spark.pipeline.splits import hash_sample
+
+    base = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    more = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    kept1 = {r["doc_id"] for r in hash_sample(base, 0.25).collect()}
+    kept2 = {r["doc_id"] for r in hash_sample(more, 0.25).collect()}
+    # appending rows never changes membership of existing ids
+    assert kept1 == {i for i in kept2 if i < 300}
+
+
+def test_stratified_sample_rates(spark):
+    from panoptes_spark.pipeline.splits import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, {"en": 0.2}, "lang").groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    assert counts["de"] == 500              # untouched stratum
+    assert 60 <= counts["en"] <= 140        # ~20% of 500, hash variance
+
+
+def test_pack_sequences_invariants(spark):
+    from panoptes_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, "s%d" % (i % 2), 10 + (i * 37) % 300) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = pack_sequences(df, 128, shard_cols=["source"]).collect()
+    by_shard: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard, rs in by_shard.items():
+        expected_start = 0
+        for r in rs:
+            # contiguous: each doc starts where the previous one ended
+            assert r["tok_start"] == expected_start
+            assert r["seq_first"] == r["tok_start"] // 128
+            assert r["seq_offset"] == r["tok_start"] % 128
+            end = r["tok_start"] + max(r["n_tokens"], 1) - 1
+            assert r["seq_last"] == end // 128 >= r["seq_first"]
+            expected_start += r["n_tokens"]
+
+
+def test_pack_sequences_requires_sharding(spark):
+    import pytest
+
+    from panoptes_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="shard_cols"):
+        pack_sequences(df, 128)
+    assert pack_sequences(df, 128, allow_global=True).count() == 1
+
+
+def test_token_frequencies_topk_deterministic(spark):
+    from panoptes_spark.pipeline.text import token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b. C!")], "doc_id long, text string"
+    )
+    out = [(r["token"], r["n"]) for r in token_frequencies(df, "text", k=3).collect()]
+    # a:3 b:3 c:2 -> tie between a and b broken by token asc
+    assert out == [("a", 3), ("b", 3), ("c", 2)]
