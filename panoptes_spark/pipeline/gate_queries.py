@@ -631,6 +631,87 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# intra-document repetition features (Gopher/C4-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.text import add_repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return add_repetition_features(docs).select(
+        "doc_id", "dup_word_frac", "dup_2gram_frac", "top_word_frac"
+    )
+
+
+O_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(ws) = 0 THEN 0.0 ELSE
+    1 - CAST(length(list_distinct(ws)) AS DOUBLE) / length(ws) END
+    AS dup_word_frac,
+  CASE WHEN length(ws) < 2 THEN 0.0 ELSE
+    1 - CAST(length(list_distinct(list_transform(range(1, length(ws)),
+          i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE) / (length(ws) - 1) END
+    AS dup_2gram_frac,
+  CASE WHEN length(ws) = 0 THEN 0.0 ELSE
+    CAST(list_reduce(list_prepend(0,
+           list_transform(list_distinct(ws),
+             d -> length(list_filter(ws, x -> x = d)))),
+         (m, x) -> greatest(m, x)) AS DOUBLE) / length(ws) END
+    AS top_word_frac
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap, broadcast semi-join)
+# ---------------------------------------------------------------------------
+
+# production uses 8-13-gram overlap; the synthetic corpus draws from a
+# ~30-word vocabulary where 8-grams never collide, so the gate exercises
+# the identical machinery at n=3 to get a non-trivial hit set
+_DECON_N = 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.decontaminate import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, benchmark, n=_DECON_N)
+
+
+O_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(CASE WHEN length(ws) >= {_DECON_N} THEN
+      list_transform(range(1, length(ws) - {_DECON_N - 2}),
+        i -> md5(array_to_string(array_slice(ws, i, i + {_DECON_N - 1}), ' ')))
+      ELSE [] END) AS gram_hash
+  FROM w
+),
+bench AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 97 = 0),
+corp AS (
+  SELECT DISTINCT doc_id, gram_hash FROM grams WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corp c JOIN bench b USING (gram_hash)
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -648,6 +729,8 @@ QUERIES = {
     "split_assignment": q_split_assignment,
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
+    "text_repetition": q_text_repetition,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES = {
@@ -667,4 +750,6 @@ ORACLES = {
     "split_assignment": _o_split_assignment(),
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,
+    "text_repetition": O_TEXT_REPETITION,
+    "decontaminate": O_DECONTAMINATE,
 }

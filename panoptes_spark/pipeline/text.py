@@ -147,3 +147,51 @@ def token_frequencies(
     if k is None:
         return counts
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher/C4-style quality rules):
+
+    - ``dup_word_frac``   — 1 - distinct/total words
+    - ``dup_2gram_frac``  — 1 - distinct/total word bigrams
+    - ``top_word_frac``   — occurrences of the most common word / total
+
+    All higher-order array expressions over one tokenization — per-row
+    compute, no shuffle, no Python. ``top_word_frac`` is O(distinct ×
+    total) per document, bounded by document length (not corpus size), so
+    it stays scan-shaped at any corpus scale.
+    """
+    words = "filter(split(lower({c}), '[^a-z]+'), w -> w <> '')".format(c=text_col)
+    n = f"size({words})"
+    grams = (
+        f"transform(sequence(1, {n} - 1),"
+        f" i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1)))"
+    )
+    top = (
+        f"aggregate(array_distinct({words}), 0,"
+        f" (m, d) -> greatest(m, size(filter({words}, w -> w = d))))"
+    )
+    return (
+        df.withColumn(
+            "dup_word_frac",
+            F.expr(
+                f"CASE WHEN {n} = 0 THEN 0.0D ELSE"
+                f" 1.0D - cast(size(array_distinct({words})) as double) / {n} END"
+            ),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.expr(
+                f"CASE WHEN {n} < 2 THEN 0.0D ELSE"
+                f" 1.0D - cast(size(array_distinct({grams})) as double)"
+                f" / ({n} - 1) END"
+            ),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.expr(
+                f"CASE WHEN {n} = 0 THEN 0.0D ELSE"
+                f" cast({top} as double) / {n} END"
+            ),
+        )
+    )

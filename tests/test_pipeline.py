@@ -391,3 +391,57 @@ def test_token_frequencies_topk_deterministic(spark):
     out = [(r["token"], r["n"]) for r in token_frequencies(df, "text", k=3).collect()]
     # a:3 b:3 c:2 -> tie between a and b broken by token asc
     assert out == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_repetition_features_exact(spark):
+    from panoptes_spark.pipeline.text import add_repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct / 4 words, 1 distinct bigram of 3
+            (2, "a b c d"),          # all distinct
+            (3, ""),                 # empty
+            (4, "x y x y x"),        # bigrams: xy yx xy yx -> 2 distinct of 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in add_repetition_features(df).collect()}
+    assert out[1]["dup_word_frac"] == 1 - 1 / 4
+    assert out[1]["dup_2gram_frac"] == 1 - 1 / 3
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 1 / 4
+    assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_word_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 1 - 2 / 5
+    assert out[4]["dup_2gram_frac"] == 1 - 2 / 4
+    assert out[4]["top_word_frac"] == 3 / 5
+
+
+def test_ngram_decontamination(spark):
+    from panoptes_spark.pipeline.decontaminate import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram "quick brown fox jumps over the lazy dog"
+            (1, "he said quick brown fox jumps over the lazy dog again"),
+            # no 8-gram overlap
+            (2, "completely different words with no overlap at all here today"),
+            # shorter than 8 words -> no grams at all
+            (3, "too short for any gram"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["n_shared"]
+               for r in ngram_contamination(corpus, bench, n=8).collect()}
+    assert set(flagged) == {1} and flagged[1] >= 1
+
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {2, 3}
