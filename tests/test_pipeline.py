@@ -445,3 +445,55 @@ def test_ngram_decontamination(spark):
 
     kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
     assert kept == {2, 3}
+
+
+def test_packing_matches_python_reference_property(spark):
+    """Property: for random token sequences, pack_sequences equals a
+    direct python simulation of concat-then-chunk packing."""
+    import random
+
+    from panoptes_spark.pipeline.packing import pack_sequences
+
+    rng = random.Random(23)
+    for trial in range(3):
+        seq_len = rng.choice([64, 128, 1000])
+        rows = [
+            (i, "s%d" % (i % 3), rng.randint(0, 4 * seq_len))
+            for i in range(rng.randint(1, 120))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        got = {
+            r["doc_id"]: r
+            for r in pack_sequences(df, seq_len, shard_cols=["source"]).collect()
+        }
+        # python reference
+        for shard in {"s0", "s1", "s2"}:
+            cursor = 0
+            for doc_id, src, toks in sorted(rows):
+                if src != shard:
+                    continue
+                r = got[doc_id]
+                assert r["tok_start"] == cursor
+                assert r["seq_first"] == cursor // seq_len
+                assert r["seq_last"] == (cursor + max(toks, 1) - 1) // seq_len
+                assert r["seq_offset"] == cursor % seq_len
+                cursor += toks
+
+
+def test_split_fractions_converge(spark):
+    """Property: split sizes converge to requested fractions (law of large
+    numbers over the murmur3 buckets) and splits are disjoint+exhaustive."""
+    from panoptes_spark.pipeline.splits import assign_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = (
+        assign_split(df, "doc_id", salt="conv",
+                     fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split").count().collect()
+    )
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
