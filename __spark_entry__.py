@@ -1051,6 +1051,12 @@ def _p8_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("histogram").alias("metric_type"),
                 F.lit(0.0).alias("metric_creation_timestamp"),
             ),
+            F.struct(  # DSL-declared float type, integral value: repr '5.0'
+                F.lit("load_avg").alias("metric_name"),
+                (F.col("c_custkey") % 7).cast("double").alias("metric_value"),
+                F.lit("gauge").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            ),
         ).alias("metrics"),
         F.array(
             F.struct(  # comma in value exercises escaping
@@ -1073,7 +1079,7 @@ def _p8_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dimensions"),
     )
-    return to_line_protocol(groups).select(
+    return to_line_protocol(groups, float_typed={"load_avg", "temp"}).select(
         F.col("resource.resource_id").alias("resource_id"), "line"
     )
 
@@ -1095,6 +1101,7 @@ SELECT 'cust-' || CAST(c_custkey AS VARCHAR) AS resource_id,
   || ',resource_site=' || c_mktsegment
   || ',resource_subclass=switch,resource_type=generic'
   || ' bits_in__counter=' || CAST(CAST((c_custkey * 100) % 100000 AS BIGINT) AS VARCHAR)
+  || ',load_avg__gauge=' || CAST(CAST(c_custkey % 7 AS BIGINT) AS VARCHAR) || '.0'
   || ',temp__gauge=' || CAST(c_custkey % 40 AS VARCHAR) || '.5'
   || ' ' || CAST(CAST(c_custkey % 1000 + 1700000000 AS BIGINT) AS VARCHAR) AS line
 FROM customer

@@ -763,6 +763,19 @@ class MetricDSLCompiler:
             out = out.unionByName(d)
         return out.groupBy("device_id").agg(F.collect_list("entry").alias(colname))
 
+    def float_typed_metrics(self) -> frozenset:
+        """Metric names the program declares ``type: float`` — the set
+        ``to_line_protocol`` needs to render python-``repr``-faithful
+        field values (float-typed integral values keep their '.0',
+        consumer.py:142; the all-double metrics schema otherwise loses
+        the int/float distinction)."""
+        return frozenset(
+            name
+            for g in self.program["metrics_groups"]
+            for name, tmap in g["metrics"].items()
+            if _PY_CASTS.get(tmap["type"]) is float
+        )
+
     def compile(self) -> DataFrame:
         """All metrics_groups unioned, canonical array order applied."""
         outs = [self.compile_group(g) for g in self.program["metrics_groups"]]

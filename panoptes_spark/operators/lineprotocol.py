@@ -45,7 +45,13 @@ def _repr_num(e: str) -> str:
     )
 
 
-def to_line_protocol(groups: DataFrame) -> DataFrame:
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def to_line_protocol(
+    groups: DataFrame, float_typed: "set[str] | frozenset[str] | None" = None
+) -> DataFrame:
     """Nested metrics groups -> one line-protocol string per group.
 
     measurement,tag1=v1,... field1__gauge=1,... ts_seconds
@@ -54,6 +60,15 @@ def to_line_protocol(groups: DataFrame) -> DataFrame:
     dimensions + resource_class/subclass/type/endpoint/site, sorted by
     key; only tag values are escaped. Fields keep only supported metric
     types (gauge/counter, consumer.py:139-140).
+
+    ``float_typed`` names metrics the DSL declares ``type: float``
+    (``MetricDSLCompiler.float_typed_metrics()``). The reference keeps the
+    python int/float distinction through JSON, so ``repr`` of a float-typed
+    metric with an integral value is ``5.0`` while an integer-typed one is
+    ``5`` (consumer.py:142). The all-double metrics schema loses that bit;
+    this reinstates it per metric name. Remaining accepted divergence:
+    doubles outside plain-decimal range render Java-style (``1.0E-5``) vs
+    python ``1e-05``.
     """
     # The reference builds a tags *dict* (dims first, then the five
     # resource fields overwrite on key collision, consumer.py:113-121) and
@@ -77,12 +92,23 @@ def to_line_protocol(groups: DataFrame) -> DataFrame:
         f" t -> concat(t.k, '=', {_esc('t.v')})), ',')"
     )
     supported = ", ".join(f"'{t}'" for t in METRICS_TYPE_SUPPORTED)
+    if float_typed:
+        names = ", ".join(_sql_str(n) for n in sorted(float_typed))
+        # float-typed: Java's Double.toString keeps the '.0' on integral
+        # values, matching python repr in the plain-decimal range
+        value_sql = (
+            f"CASE WHEN m.metric_name IN ({names})"
+            " THEN cast(m.metric_value as string)"
+            f" ELSE {_repr_num('m.metric_value')} END"
+        )
+    else:
+        value_sql = _repr_num("m.metric_value")
     # fields dict is likewise sorted by key = '{name}__{type}' (consumer.py:142)
     fields = F.expr(
         "array_join(transform(array_sort(transform("
         f" filter(metrics, m -> m.metric_type IN ({supported})),"
         " m -> struct(concat(m.metric_name, '__', m.metric_type) as k,"
-        f"            {_repr_num('m.metric_value')} as v))),"
+        f"            {value_sql} as v))),"
         " f -> concat(f.k, '=', f.v)), ',')"
     )
     measurement = F.regexp_replace(

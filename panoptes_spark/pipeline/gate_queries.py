@@ -670,6 +670,105 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# document quality filter (C4/Gopher rules over quality+repetition feats)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.text import filter_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filter_quality(docs).select("doc_id", "keep", "reject_reason")
+
+
+def _o_quality_filter() -> str:
+    # reuse the two already-verified oracle bodies as CTEs; precedence
+    # mirrors text.QUALITY_FILTER_RULES
+    from panoptes_spark.pipeline.text import QUALITY_FILTER_RULES
+
+    case = " ".join(
+        f"WHEN {cond} THEN '{name}'" for name, cond in QUALITY_FILTER_RULES
+    )
+    return f"""
+WITH q AS ({O_TEXT_FEATURES}),
+r AS ({O_TEXT_REPETITION}),
+j AS (SELECT q.*, r.dup_word_frac, r.dup_2gram_frac, r.top_word_frac
+      FROM q JOIN r USING (doc_id))
+SELECT doc_id,
+       (CASE {case} ELSE NULL END) IS NULL AS keep,
+       CASE {case} ELSE NULL END AS reject_reason
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regexp redaction chain; map-only)
+# ---------------------------------------------------------------------------
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents rarely contain literal PII, so append a deterministic
+    # per-doc trailer (email + IPv4 + 9-digit id) that the oracle mirrors —
+    # the gate then proves redaction order, patterns, and staged counts
+    from panoptes_spark.pipeline.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct "),
+            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(seeded, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_idnum").cast("long").alias("n_idnum"),
+        F.col("text_scrubbed").alias("scrubbed"),
+    )
+
+
+def _o_text_pii_scrub() -> str:
+    from panoptes_spark.pipeline.text import PII_RULES
+
+    (e_pat, e_rep), (i_pat, i_rep), (d_pat, d_rep) = (
+        (p, r) for _, p, r in PII_RULES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    text || ' u' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com from 192.168.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.7 acct '
+      || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t0, '{e_pat}')) AS n_email,
+         regexp_replace(t0, '{e_pat}', '{e_rep}', 'g') AS t1
+  FROM base
+),
+s2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(t1, '{i_pat}')) AS n_ipv4,
+         regexp_replace(t1, '{i_pat}', '{i_rep}', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{d_pat}')) AS BIGINT) AS n_idnum,
+       regexp_replace(t2, '{d_pat}', '{d_rep}', 'g') AS scrubbed
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap, broadcast semi-join)
 # ---------------------------------------------------------------------------
 
@@ -730,6 +829,8 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
     "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
+    "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
 }
 
@@ -751,5 +852,7 @@ ORACLES = {
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "text_repetition": O_TEXT_REPETITION,
+    "text_pii_scrub": _o_text_pii_scrub(),
+    "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,
 }

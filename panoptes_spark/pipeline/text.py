@@ -149,6 +149,62 @@ def token_frequencies(
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
+# Quality-filter thresholds (C4/Gopher-flavored, deterministic). Order is
+# the reject precedence; each row gets the FIRST failing reason.
+QUALITY_FILTER_RULES = [
+    ("too_short", "n_tokens_ws < 5"),
+    ("high_punct", "punct_ratio > 0.3"),
+    ("repetitive", "dup_2gram_frac > 0.5"),
+    ("low_quality", "quality_score < 0.5"),
+]
+
+
+def filter_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document curation decision: computes quality + repetition features,
+    then adds ``keep`` (boolean) and ``reject_reason`` (first failing rule
+    name, NULL when kept). All map-only column expressions — the filter
+    itself costs nothing beyond the feature scan at 100 TB; callers route
+    with ``.where("keep")`` / quarantine with ``.where("NOT keep")``.
+    """
+    out = add_quality_features(df, text_col)
+    out = add_repetition_features(out, text_col)
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(QUALITY_FILTER_RULES):
+        reason = F.when(F.expr(cond), F.lit(name)).otherwise(reason)
+    return out.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+# PII patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB/engines with linear-time regex): no lookaround, no backrefs.
+# Replacement order is part of the contract: emails first (their host part
+# would otherwise be half-eaten by the IP rule), then IPv4, then long digit
+# runs. Counts are measured on the input of each stage.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("idnum", r"[0-9]{9,}", "<ID>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 literals / ≥9-digit identifier runs.
+
+    Adds ``{text_col}_scrubbed`` plus ``n_email``/``n_ipv4``/``n_idnum``
+    redaction counts. Pure regexp_replace/regexp_count chain — codegen'd,
+    map-only, no Python, so it runs at scan speed over 100 TB. The count
+    columns let a pipeline route high-PII documents to quarantine without
+    a second pass.
+    """
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn(f"{text_col}_scrubbed", cur)
+
+
 def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition signals (Gopher/C4-style quality rules):
 

@@ -497,3 +497,77 @@ def test_split_fractions_converge(spark):
     assert abs(counts["train"] / 20000 - 0.8) < 0.02
     assert abs(counts["val"] / 20000 - 0.1) < 0.01
     assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_scrub_pii_patterns(spark):
+    from panoptes_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or call 123456789012"),
+        (2, "server 10.0.255.3 and 8.8.8.8 ok; short 12345678 stays"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].text_scrubbed == "mail me at <EMAIL> or call <ID>"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_idnum) == (1, 0, 1)
+    # 8-digit run is below the >=9 threshold and survives
+    assert got[2].text_scrubbed == "server <IP> and <IP> ok; short 12345678 stays"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_idnum) == (0, 2, 0)
+    assert got[3].text_scrubbed == "no pii here"
+
+
+def test_dedup_exact_stream_cross_batch(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches are dropped by the
+    watermark-bounded fingerprint state (dropDuplicatesWithinWatermark)."""
+    from panoptes_spark.streaming.dedup_stream import dedup_exact_stream
+
+    schema = "doc_id long, ts_ms long, text string"
+    b1 = spark.createDataFrame(
+        [(1, 1000, "alpha beta"), (2, 2000, "gamma delta")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(3, 3000, "Alpha,  BETA!"),  # same fingerprint as doc 1
+         (4, 4000, "epsilon zeta")], schema
+    )
+    src = str(tmp_path / "dedup_src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT doc_id, fingerprint FROM dedup_stream").collect()
+    fps = [r.fingerprint for r in out]
+    assert len(fps) == len(set(fps)) == 3  # alpha-beta kept once
+    kept = {r.doc_id for r in out}
+    assert 4 in kept and 2 in kept and len({1, 3} & kept) == 1
+
+
+def test_quality_filter_reasons(spark):
+    from panoptes_spark.pipeline.text import filter_quality
+
+    rows = [
+        (1, "a b"),                                        # < 5 tokens
+        (2, ",,,, !!!! ;;;; :::: ####"),                   # punct-heavy (also short? 5 tokens)
+        (3, "go go go go go go go go go go go go"),        # repetitive bigrams
+        (4, "the cat and the dog ran to the park with a friend and "
+            "they played for hours in the warm sun that day"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in filter_quality(df).collect()}
+    assert got[1].reject_reason == "too_short" and not got[1].keep
+    assert got[2].reject_reason == "high_punct"
+    assert got[3].reject_reason == "repetitive"
+    assert got[4].keep and got[4].reject_reason is None

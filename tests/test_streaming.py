@@ -171,6 +171,45 @@ def test_line_protocol_filters_unsupported_metric_types(spark):
     ).select("line").collect()[0].line.count("=0.4") == 2
 
 
+def test_line_protocol_float_typed_repr(spark):
+    # DSL `type: float` metrics keep the '.0' on integral values like
+    # python repr(5.0) (consumer.py:142); integer-typed collapse to '5'.
+    df = _group_df(spark)  # bits_in=800.0, bits_out=1600.0 (integral)
+    line = (
+        to_line_protocol(df, float_typed={"bits_out"})
+        .select("line").collect()[0].line
+    )
+    assert "bits_in__counter=800," in line  # integer-typed unchanged
+    assert "bits_out__gauge=1600.0 " in line  # float-typed keeps .0
+
+
+def test_compiler_reports_float_typed_metrics(spark):
+    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler
+
+    program = {
+        "oids": {},
+        "metrics_groups": [
+            {
+                "group_name": "env",
+                "metrics": {
+                    "temp_f": {"metric_type": "gauge", "value": 1.0,
+                               "type": "float"},
+                    "fans": {"metric_type": "gauge", "value": 2},
+                    "implicit_float": {"metric_type": "gauge", "value": 2.5},
+                },
+            }
+        ],
+    }
+    comp = MetricDSLCompiler(
+        spark, program,
+        spark.createDataFrame(
+            [("d1", "t", "0", "1")],
+            "device_id string, table_name string, index string, value string",
+        ),
+    )
+    assert comp.float_typed_metrics() == {"temp_f", "implicit_float"}
+
+
 def _file_send(dirpath, reject_batches=False):
     """Test sink factory: each accepted chunk lands as one file.
 
