@@ -129,6 +129,78 @@ def test_golden_results_no_service_active(spark):
             frozenset({("polling_status", "gauge", 7.0)})) in got
 
 
+def test_golden_line_protocol_render(spark):
+    """End-to-end: compile the healthy corpus, render to line protocol with
+    the compiler's float-typed set, and byte-compare each line against the
+    reference consumer's algorithm (consumer.py:84-169) applied in pure
+    python to the checked-in golden JSON. Proves repr parity on reference
+    data: temperature_fahrenheit is ``type: float`` so 0.0 must render
+    '0.0', while integer metrics (fans_ok, memory_used, ...) render '5'."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from panoptes_spark.operators.lineprotocol import to_line_protocol
+
+    program = corpus.load_program(f"{DATA}/enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{DATA}/recording/public.snmprec")
+    oid_maps, _ = corpus.build_oid_fixture(program, snmprec)
+    tables = corpus.oid_tables_df(spark, oid_maps, program, DEVICE)
+    compiler = MetricDSLCompiler(
+        spark, program, tables, interval_sec=60, schema_version="0.1",
+        static_devices=spark.createDataFrame([(DEVICE,)], "device_id string"),
+    )
+    res_tags = {
+        "resource_site": "lab", "resource_class": "network",
+        "resource_subclass": "switch", "resource_type": "juniper",
+        "resource_endpoint": DEVICE,
+    }
+    ts = 1700000000
+    groups = compiler.compile().select(
+        F.struct(
+            *[F.lit(v).alias(k) for k, v in res_tags.items()],
+            F.lit("r1").alias("resource_id"),
+        ).alias("resource"),
+        "metrics_group_type",
+        F.lit(float(ts)).alias("metrics_group_creation_timestamp"),
+        "metrics",
+        "dimensions",
+    )
+    got = sorted(
+        r.line
+        for r in to_line_protocol(
+            groups, float_typed=compiler.float_typed_metrics()
+        ).collect()
+    )
+
+    def esc(v):
+        return re.sub(r"([,=\s])", r"\\\1", v)
+
+    expected = []
+    for g in json.load(open(f"{DATA}/results.json")):
+        if g["metrics_group_type"] == "status":  # appended outside compiler
+            continue
+        tags = {
+            d["dimension_name"]: d["dimension_value"] for d in g["dimensions"]
+        }
+        tags.update(res_tags)
+        fields = {
+            f'{m["metric_name"]}__{m["metric_type"]}': m["metric_value"]
+            for m in g["metrics"]
+            if m["metric_type"] in ("gauge", "counter")
+        }
+        expected.append(
+            re.sub("[^0-9a-zA-Z_]+", "_", g["metrics_group_type"])
+            + ","
+            + ",".join(f"{k}={esc(v)}" for k, v in sorted(tags.items()))
+            + " "
+            + ",".join(f"{k}={v!r}" for k, v in sorted(fields.items()))
+            + f" {ts}"
+        )
+    assert got == sorted(expected)
+    assert any("temperature_fahrenheit__gauge=0.0" in l for l in got)
+
+
 def test_snmprec_decode_hex_octet_strings():
     snmprec = corpus.parse_snmprec(f"{DATA}/recording/public.snmprec")
     walked = corpus.bulk_walk(snmprec, ".1.3.6.1.4.1.2636.3.1.13.1.7")
