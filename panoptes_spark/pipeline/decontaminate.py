@@ -8,10 +8,11 @@ benchmark is contaminated and must be dropped or scrubbed before training.
 Scale shape: the benchmark side is tiny (benchmarks are MBs; the corpus is
 100 TB), so its distinct n-gram hash set broadcasts and the membership
 probe costs the corpus **zero shuffles** — n-gram explosion is map-side,
-the broadcast semi-join filters in place. Only the optional per-document
-match count (``n_shared``) adds one doc_id-keyed aggregate shuffle over
-the (rare) contaminated rows. N-grams are md5-hashed before the join so
-shuffle/broadcast width is 32 bytes per gram regardless of n.
+the broadcast semi-join filters in place, and per-document dedup of shared
+grams happens AFTER the broadcast filter (count_distinct over hits), so
+the only shuffle carries the (rare) contaminated grams, never the corpus
+gram set. N-grams are md5-hashed before the join so shuffle/broadcast
+width is 32 bytes per gram regardless of n.
 """
 
 from __future__ import annotations
@@ -21,12 +22,18 @@ from pyspark.sql import functions as F
 
 
 def _ngram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: int) -> DataFrame:
+    # let-bind the tokenization via a one-element transform so the regex
+    # split runs ONCE per row (referencing it inline would re-evaluate it
+    # in the guard, the sequence bound, and every slice — see the
+    # expression-duplication note on schedule.mmh3_sql_expr)
     words = f"filter(split(lower({text_col}), '[^a-z]+'), w -> w <> '')"
-    grams = (
-        f"transform(sequence(1, size({words}) - {n - 1}),"
-        f" i -> md5(concat_ws(' ', slice({words}, i, {n}))))"
+    guarded = (
+        f"transform(array({words}), ws ->"
+        f" CASE WHEN size(ws) >= {n} THEN"
+        f"  transform(sequence(1, size(ws) - {n - 1}),"
+        f"   i -> md5(concat_ws(' ', slice(ws, i, {n}))))"
+        f" ELSE array() END)[0]"
     )
-    guarded = f"CASE WHEN size({words}) >= {n} THEN {grams} ELSE array() END"
     cols = [F.col(id_col)] if id_col else []
     return df.select(*cols, F.explode(F.expr(guarded)).alias("gram_hash"))
 
@@ -40,15 +47,19 @@ def ngram_contamination(
     benchmark_text_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_shared) for corpus documents sharing >= 1 word ``n``-gram
-    with the benchmark. ``n_shared`` counts distinct shared n-grams."""
+    with the benchmark. ``n_shared`` counts distinct shared n-grams.
+
+    Corpus grams are NOT pre-deduped — that would shuffle every gram in
+    the corpus; instead the broadcast join filters first and the distinct
+    count collapses repeats among the surviving (rare) hits."""
     bench_grams = _ngram_hashes(
         benchmark, benchmark_text_col or text_col, None, n
     ).dropDuplicates(["gram_hash"])
-    corpus_grams = _ngram_hashes(corpus, text_col, id_col, n).dropDuplicates(
-        [id_col, "gram_hash"]
-    )
+    corpus_grams = _ngram_hashes(corpus, text_col, id_col, n)
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram_hash", "inner")
-    return hits.groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram_hash").alias("n_shared")
+    )
 
 
 def decontaminate(
