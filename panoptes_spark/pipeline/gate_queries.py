@@ -514,6 +514,35 @@ FROM documents
 """
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video frame-sampling plan over the same derived media table:
+    # one row per (video, sampled timestamp), decode deliberately absent
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+            " ELSE 'video' END"
+        ).alias("media_type"),
+        (F.lit(2500) + F.col("doc_id") * 7).cast("long").alias("duration_ms"),
+        F.lit("mp4").alias("format"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+# Spark sequence(0, dur-1, 1000) is bound-inclusive; DuckDB range(0, dur,
+# 1000) is stop-exclusive — identical sets for dur >= 1.
+O_MEDIA_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT doc_id, 2500 + doc_id * 7 AS dur FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       unnest(range(0, dur, 1000)) AS frame_ts_ms,
+       'mp4' AS format
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic splits / sampling (murmur3-bucketed, engine-exact oracle)
 # ---------------------------------------------------------------------------
@@ -702,6 +731,54 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# URL / domain features (blocklist inputs; map-only regex)
+# ---------------------------------------------------------------------------
+
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same seeding idea as the PII gate: append two deterministic URLs per
+    # document so the extraction paths are exercised on every row
+    from panoptes_spark.pipeline.text import add_url_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://sub"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://m"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".test.io"),
+        ).alias("text"),
+    )
+    out = add_url_features(seeded)
+    return out.select(
+        "doc_id", F.col("n_urls").cast("long").alias("n_urls"), "first_domain"
+    )
+
+
+def _o_url_features() -> str:
+    from panoptes_spark.pipeline.text import URL_DOMAIN_PATTERN, URL_PATTERN
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      || ' and http://m' || CAST(doc_id % 3 AS VARCHAR) || '.test.io' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{URL_PATTERN}')) AS BIGINT) AS n_urls,
+       NULLIF(regexp_extract(t, '{URL_DOMAIN_PATTERN}', 1), '') AS first_domain
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (regexp redaction chain; map-only)
 # ---------------------------------------------------------------------------
 
@@ -823,6 +900,7 @@ QUERIES = {
     "ann_lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
+    "media_frame_sample": q_media_frame_sample,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
     "split_assignment": q_split_assignment,
@@ -830,6 +908,7 @@ QUERIES = {
     "token_frequencies": q_token_frequencies,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
+    "url_features": q_url_features,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
 }
@@ -846,6 +925,7 @@ ORACLES = {
     "ann_lsh_topk": O_LSH_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
+    "media_frame_sample": O_MEDIA_FRAME_SAMPLE,
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,
     "dedup_components": O_DEDUP_COMPONENTS,
     "split_assignment": _o_split_assignment(),
@@ -853,6 +933,7 @@ ORACLES = {
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
+    "url_features": _o_url_features(),
     "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,
 }

@@ -149,6 +149,54 @@ def token_frequencies(
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
+# URL syntax shared by Java regex and RE2 (no lookaround). The domain is
+# captured by group 1 of URL_DOMAIN_PATTERN.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?"
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def add_url_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``n_urls`` (count of http(s) URLs) and ``first_domain`` (host of
+    the first URL, NULL when none). Map-only regex expressions — feeds
+    domain blocklist filtering and URL-keyed routing at scan speed."""
+    first = F.regexp_extract(F.col(text_col), URL_DOMAIN_PATTERN, 1)
+    return df.withColumn(
+        "n_urls", F.regexp_count(F.col(text_col), F.lit(URL_PATTERN))
+    ).withColumn(
+        "first_domain", F.when(first != "", first)
+    )
+
+
+def domain_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level (domain, n) over every URL occurrence — the input to
+    a blocklist/allowlist decision. explode -> two-phase count like
+    ``token_frequencies``: the shuffle carries one row per distinct
+    domain per task."""
+    doms = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{URL_DOMAIN_PATTERN}', 1)")
+        ).alias("domain")
+    )
+    return doms.groupBy("domain").agg(F.count("*").alias("n"))
+
+
+def filter_by_domain_blocklist(
+    df: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop documents whose first URL domain is on the blocklist
+    (``blocklist``: one ``domain`` column — tiny, so broadcast anti-join;
+    the corpus never shuffles)."""
+    feat = add_url_features(df, text_col)
+    return (
+        feat.join(
+            F.broadcast(blocklist.select("domain")),
+            feat["first_domain"] == F.col("domain"),
+            "left_anti",
+        )
+        .drop("n_urls", "first_domain")
+    )
+
+
 # Quality-filter thresholds (C4/Gopher-flavored, deterministic). Order is
 # the reject precedence; each row gets the FIRST failing reason.
 QUALITY_FILTER_RULES = [

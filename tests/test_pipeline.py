@@ -571,3 +571,27 @@ def test_quality_filter_reasons(spark):
     assert got[2].reject_reason == "high_punct"
     assert got[3].reject_reason == "repetitive"
     assert got[4].keep and got[4].reject_reason is None
+
+
+def test_url_domain_ops(spark):
+    from panoptes_spark.pipeline.text import (
+        add_url_features, domain_frequencies, filter_by_domain_blocklist,
+    )
+
+    rows = [
+        (1, "read https://a.example.com/x and https://b.example.com/y"),
+        (2, "only http://a.example.com here"),
+        (3, "no links at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {r.doc_id: r for r in add_url_features(df).collect()}
+    assert (feats[1].n_urls, feats[1].first_domain) == (2, "a.example.com")
+    assert (feats[2].n_urls, feats[2].first_domain) == (1, "a.example.com")
+    assert (feats[3].n_urls, feats[3].first_domain) == (0, None)
+
+    freqs = {r.domain: r.n for r in domain_frequencies(df).collect()}
+    assert freqs == {"a.example.com": 2, "b.example.com": 1}
+
+    block = spark.createDataFrame([("a.example.com",)], "domain string")
+    kept = {r.doc_id for r in filter_by_domain_blocklist(df, block).collect()}
+    assert kept == {3}  # doc 1's FIRST domain is a.example.com -> dropped

@@ -261,3 +261,48 @@ def test_metric_expr_differential(spark, expr):
         except Exception:
             continue
     assert spark_vals == sorted(py_vals), f"expr: {expr}"
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: Spark (Java regex) vs python re on adversarial random text
+# ---------------------------------------------------------------------------
+
+pii_fragment = st.one_of(
+    st.sampled_from([
+        "a@b.co", "x.y-z@host.example.org", "not@an@email", "@nope",
+        "1.2.3.4", "255.255.255.255", "999.1.1.1", "1.2.3", "1.2.3.4.5",
+        "123456789", "12345678", "12345678901234567890",
+        "a@b", "ip:10.0.0.1.", "v1.2.3.4x",
+    ]),
+    st.text(
+        alphabet="abz019 .@-_%+,\n\t",
+        min_size=0, max_size=12,
+    ),
+)
+pii_text = st.lists(pii_fragment, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(pii_text, min_size=1, max_size=8))
+def test_scrub_pii_matches_python_re(spark, texts):
+    """Differential: the Java-regex scrub chain must equal python `re`
+    applying the same rules in the same order (three dialects agree: the
+    gate already proves Java == RE2)."""
+    import re
+
+    from panoptes_spark.pipeline.text import PII_RULES, scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    for i, t in enumerate(texts):
+        cur = t
+        counts = {}
+        for name, pat, repl in PII_RULES:
+            counts[name] = len(re.findall(pat, cur))
+            cur = re.sub(pat, repl, cur)
+        assert got[i].text_scrubbed == cur, (t, got[i].text_scrubbed, cur)
+        assert (got[i].n_email, got[i].n_ipv4, got[i].n_idnum) == (
+            counts["email"], counts["ipv4"], counts["idnum"]
+        ), t
