@@ -170,6 +170,47 @@ def lsh_candidates(
     )
 
 
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus-level line dedup: every distinct line survives only
+    at its first occurrence (min ``(doc, position)`` — deterministic under
+    any partitioning); repeats elsewhere are removed and documents are
+    re-assembled from their surviving lines in order. Documents left with
+    no lines drop out.
+
+    Scale shape: survivor pick is a groupBy on the 16-byte line hash with
+    map-side partial min, so boilerplate lines (millions of identical
+    footers) collapse to one row per task before the shuffle. The
+    survivor join back to the line set is hash-keyed and skew-prone on
+    those same footers — AQE skew-split handles it (enabled in
+    session.py). Re-assembly is one groupBy doc. The survivor side of the
+    join carries only (hash, doc, pos); line text rides the probe side
+    into re-assembly.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    first = lines.groupBy("line_hash").agg(
+        F.min(F.struct(id_col, "pos")).alias("keep")
+    )
+    kept = lines.join(first, "line_hash").where(
+        (F.col(f"keep.{id_col}") == F.col(id_col))
+        & (F.col("keep.pos") == F.col("pos"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, line))),"
+                       " s -> s.line)"),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sig_df: DataFrame,

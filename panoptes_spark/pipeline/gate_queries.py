@@ -731,6 +731,54 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# corpus-level line dedup (C4 rule: distinct line survives once)
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seed every document with a universal boilerplate line and a footer
+    # shared by doc_id % 5 — both must survive only at their minimal
+    # (doc_id, pos) occurrence corpus-wide
+    from panoptes_spark.pipeline.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter\nfooter "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(seeded)
+
+
+O_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id,
+    string_split(text || chr(10) || 'subscribe to our newsletter'
+                      || chr(10) || 'footer ' || CAST(doc_id % 5 AS VARCHAR),
+                 chr(10)) AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(range(1, len(ls) + 1)) AS pos,
+         unnest(ls) AS line
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL / domain features (blocklist inputs; map-only regex)
 # ---------------------------------------------------------------------------
 
@@ -908,6 +956,7 @@ QUERIES = {
     "token_frequencies": q_token_frequencies,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
+    "line_dedup": q_line_dedup,
     "url_features": q_url_features,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
@@ -933,6 +982,7 @@ ORACLES = {
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
+    "line_dedup": O_LINE_DEDUP,
     "url_features": _o_url_features(),
     "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,

@@ -79,6 +79,44 @@ def hash_sample(
     return out.where(keep).drop("__sample_bucket")
 
 
+def assign_shard(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id", salt: str = "shard"
+) -> DataFrame:
+    """Add ``shard`` (0..n_shards-1) — same deterministic murmur3 bucket
+    family as splits, so shard membership survives re-runs, appends, and
+    cluster-size changes."""
+    out = _with_bucket(df, id_col, salt, out_col="__shard_bucket")
+    return out.withColumn(
+        "shard", F.col("__shard_bucket") % n_shards
+    ).drop("__shard_bucket")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    mode: str = "error",
+) -> None:
+    """Materialize a curated corpus as ``shard=K/`` parquet directories.
+
+    The sink half of the training pipeline: downstream loaders read one
+    shard per worker, and determinism of the shard hash means incremental
+    re-runs append the same documents to the same shards. One shuffle
+    (repartition on shard) so each shard directory is written by a single
+    task as one file at this scale; on a cluster raise n_shards until
+    shard size ~ a few hundred MB and the same code holds.
+    """
+    sharded = assign_shard(df, n_shards, id_col, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -595,3 +595,46 @@ def test_url_domain_ops(spark):
     block = spark.createDataFrame([("a.example.com",)], "domain string")
     kept = {r.doc_id for r in filter_by_domain_blocklist(df, block).collect()}
     assert kept == {3}  # doc 1's FIRST domain is a.example.com -> dropped
+
+
+def test_line_dedup_first_occurrence(spark):
+    from panoptes_spark.pipeline.dedup import line_dedup
+
+    rows = [
+        (1, "unique one\nshared footer\nunique two"),
+        (2, "shared footer\nunique three"),
+        (3, "shared footer"),  # every line a repeat -> doc drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert got == {
+        1: "unique one\nshared footer\nunique two",  # first occurrence kept
+        2: "unique three",
+    }
+
+
+def test_training_shard_writer_roundtrip(spark, tmp_path):
+    from panoptes_spark.pipeline.splits import assign_shard, write_training_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    # each shard dir written by a single task -> one data file
+    for d in dirs:
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # membership is the deterministic hash, not write-order
+    expected = {
+        (r.doc_id, r.shard) for r in assign_shard(df, 4).collect()
+    }
+    got = {(r.doc_id, r.shard) for r in back.collect()}
+    assert got == expected
