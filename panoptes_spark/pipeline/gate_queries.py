@@ -379,6 +379,44 @@ SELECT * FROM final WHERE rank <= {_TOPK}
 """
 
 
+_SEMDEDUP_THRESH = 0.45  # same corpus-density choice as embedding_neardup
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.semdedup_prune(
+        emb, n_cells=_IVF_CELLS, threshold=_SEMDEDUP_THRESH
+    ).select("vec_id")
+
+
+O_SEMDEDUP = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+      6) >= {_SEMDEDUP_THRESH}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT DISTINCT b FROM pairs)
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_neardup_pairs(emb, threshold=0.45)
@@ -947,6 +985,7 @@ QUERIES = {
     "ann_ivf_topk": q_ivf_topk,
     "ann_lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
     "media_frame_sample": q_media_frame_sample,
     "dedup_simhash_pairs": q_simhash_pairs,
@@ -973,6 +1012,7 @@ ORACLES = {
     "ann_ivf_topk": O_IVF_TOPK,
     "ann_lsh_topk": O_LSH_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "semdedup": O_SEMDEDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
     "media_frame_sample": O_MEDIA_FRAME_SAMPLE,
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,

@@ -395,6 +395,51 @@ def lsh_topk(
     )
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic pruning: coarse-cluster the embeddings,
+    find near-duplicate pairs WITHIN each cluster, drop the higher id of
+    every pair. Returns the surviving rows of ``corpus``.
+
+    The point vs ``embedding_neardup_pairs``: the pair search is confined
+    to a cluster, so compute is sum of per-cell |cell|² instead of the
+    full |C|² grid — the standard accuracy/cost trade (cross-cluster
+    duplicates are deliberately not searched). Scale: one narrow
+    assignment pass (broadcast centroid matmul), one shuffle on cell_id,
+    one BLAS matmul per cell; size ``n_cells`` so a cell fits an
+    executor's Arrow group (~|C|/n_cells rows).
+    """
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        ai, bi = np.where(cos >= threshold)
+        mask = ids[ai] < ids[bi]
+        return pd.DataFrame(
+            {"a": ids[ai][mask], "b": ids[bi][mask], "cosine": cos[ai, bi][mask]}
+        )
+
+    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    pairs = assigned.groupBy("cell_id").applyInPandas(
+        cell_pairs, schema="a long, b long, cosine double"
+    )
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

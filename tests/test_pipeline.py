@@ -638,3 +638,19 @@ def test_training_shard_writer_roundtrip(spark, tmp_path):
     }
     got = {(r.doc_id, r.shard) for r in back.collect()}
     assert got == expected
+
+
+def test_semdedup_prunes_within_cluster(spark):
+    from panoptes_spark.pipeline.similarity import semdedup_prune
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.0]),     # dup pair -> 2 dropped
+        (3, [0.0, 1.0]), (4, [0.0, 1.0]),     # dup pair -> 4 dropped
+        (5, [0.7, 0.7]),                       # near both, dup of neither
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r.vec_id
+        for r in semdedup_prune(df, n_cells=2, threshold=0.95).collect()
+    }
+    assert kept == {1, 3, 5}
