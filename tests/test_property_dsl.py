@@ -306,3 +306,38 @@ def test_scrub_pii_matches_python_re(spark, texts):
         assert (got[i].n_email, got[i].n_ipv4, got[i].n_idnum) == (
             counts["email"], counts["ipv4"], counts["idnum"]
         ), t
+
+
+# ---------------------------------------------------------------------------
+# line dedup: Spark min-(doc,pos) survivor rule vs python first-seen scan
+# ---------------------------------------------------------------------------
+
+line_strategy = st.sampled_from(
+    ["alpha", "beta", "gamma", "footer", "subscribe now", "", "x y z"]
+)
+doc_strategy = st.lists(line_strategy, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(doc_strategy, min_size=1, max_size=8))
+def test_line_dedup_matches_python_scan(spark, texts):
+    """Differential: corpus line dedup must equal a sequential first-seen
+    scan over (doc_id asc, pos asc) — the min-(doc,pos) survivor rule."""
+    from panoptes_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in line_dedup(df).collect()}
+
+    seen: set = set()
+    expected = {}
+    for i, t in enumerate(texts):
+        kept = []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            expected[i] = "\n".join(kept)
+    assert got == expected
