@@ -171,13 +171,17 @@ def lsh_candidates(
 
 
 def line_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
 ) -> DataFrame:
     """C4-style corpus-level line dedup: every distinct line survives only
     at its first occurrence (min ``(doc, position)`` — deterministic under
     any partitioning); repeats elsewhere are removed and documents are
     re-assembled from their surviving lines in order. Documents left with
-    no lines drop out.
+    no lines drop out. ``sep='\\n\\n'`` gives paragraph-level dedup with
+    the same machinery.
 
     Scale shape: survivor pick is a groupBy on the 16-byte line hash with
     map-side partial min, so boilerplate lines (millions of identical
@@ -188,9 +192,13 @@ def line_dedup(
     join carries only (hash, doc, pos); line text rides the probe side
     into re-assembly.
     """
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn("line_hash", F.md5("line"))
     first = lines.groupBy("line_hash").agg(
         F.min(F.struct(id_col, "pos")).alias("keep")
@@ -205,7 +213,7 @@ def line_dedup(
             F.array_join(
                 F.expr("transform(array_sort(collect_list(struct(pos, line))),"
                        " s -> s.line)"),
-                "\n",
+                sep,
             ).alias(text_col)
         )
     )

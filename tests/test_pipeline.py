@@ -654,3 +654,53 @@ def test_semdedup_prunes_within_cluster(spark):
         for r in semdedup_prune(df, n_cells=2, threshold=0.95).collect()
     }
     assert kept == {1, 3, 5}
+
+
+def test_paragraph_dedup_with_custom_sep(spark):
+    from panoptes_spark.pipeline.dedup import line_dedup
+
+    rows = [
+        (1, "first para\n\nshared para"),
+        (2, "shared para\n\nsecond para"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in line_dedup(df, sep="\n\n").collect()}
+    assert got == {1: "first para\n\nshared para", 2: "second para"}
+
+
+def test_curation_ops_run_on_streams(spark, tmp_path):
+    """The stateless curation chain (PII scrub -> quality filter -> URL
+    features) is pure column expressions, so the SAME functions must
+    apply unchanged to a streaming DataFrame."""
+    from panoptes_spark.pipeline.text import (
+        add_url_features, filter_quality, scrub_pii,
+    )
+
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co at https://x.example.com, "
+             "the cat and the dog ran to the park with a friend and "
+             "they played for hours in the warm sun that day"),
+         (2, "a b")],
+        schema,
+    )
+    src = str(tmp_path / "cur_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = add_url_features(filter_quality(scrub_pii(stream), "text_scrubbed"))
+    q = (
+        out.select("doc_id", "n_email", "n_urls", "keep", "reject_reason")
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r
+        for r in spark.sql("SELECT * FROM curation_stream").collect()
+    }
+    assert got[1].n_email == 1 and got[1].n_urls == 1 and got[1].keep
+    assert not got[2].keep and got[2].reject_reason == "too_short"
