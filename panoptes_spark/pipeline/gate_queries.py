@@ -769,6 +769,32 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# unicode NFC normalization (pandas-UDF fallback; DuckDB nfc_normalize twin)
+# ---------------------------------------------------------------------------
+
+# decomposed forms that NFC must compose: e+U+0301 -> é, o+U+0308 -> ö
+_NFC_SUFFIX = " Cafe\u0301 schl o\u0308de"  # noqa: explicit decomposed
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.text import add_nfc_normalized
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text")
+    )
+    return add_nfc_normalized(seeded).select(
+        "doc_id", F.col("text_nfc").alias("normalized")
+    )
+
+
+O_NFC_NORMALIZE = f"""
+SELECT doc_id, nfc_normalize(text || '{_NFC_SUFFIX}') AS normalized
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus-level line dedup (C4 rule: distinct line survives once)
 # ---------------------------------------------------------------------------
 
@@ -996,6 +1022,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
+    "nfc_normalize": q_nfc_normalize,
     "url_features": q_url_features,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
@@ -1023,6 +1050,7 @@ ORACLES = {
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,
+    "nfc_normalize": O_NFC_NORMALIZE,
     "url_features": _o_url_features(),
     "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,

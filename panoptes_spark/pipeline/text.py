@@ -149,6 +149,59 @@ def token_frequencies(
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
 
+def add_nfc_normalized(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalization — unify composed/decomposed forms BEFORE
+    any hashing/dedup so 'Café' (e+combining accent) and 'Café' (precomposed)
+    fingerprint identically.
+
+    Spark SQL has no NFC builtin, so this is the declared Arrow-batched
+    python fallback (`pandas_udf` over `unicodedata.normalize`) — map-only
+    and vectorized per batch, the accepted shape when a builtin genuinely
+    doesn't exist. DuckDB's ``nfc_normalize`` gives the oracle twin.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    udf = pandas_udf(_nfc, "string")
+    return df.withColumn(out_col or f"{text_col}_nfc", udf(F.col(text_col)))
+
+
+def add_compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """``compression_ratio`` = zlib-compressed bytes / raw utf-8 bytes
+    (6dp; 1.0 for empty). Low ratios flag boilerplate/repetitive documents
+    (the CCNet/Gopher signal that pure token statistics miss). Arrow-batched
+    python fallback — zlib has no SQL twin, so correctness is pinned by a
+    direct python differential test instead of a DuckDB oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    udf = pandas_udf(_ratio, "double")
+    return df.withColumn("compression_ratio", udf(F.col(text_col)))
+
+
 # URL syntax shared by Java regex and RE2 (no lookaround). The domain is
 # captured by group 1 of URL_DOMAIN_PATTERN.
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?"

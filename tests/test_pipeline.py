@@ -704,3 +704,28 @@ def test_curation_ops_run_on_streams(spark, tmp_path):
     }
     assert got[1].n_email == 1 and got[1].n_urls == 1 and got[1].keep
     assert not got[2].keep and got[2].reject_reason == "too_short"
+
+
+def test_nfc_and_compression_ratio(spark):
+    import unicodedata
+    import zlib
+
+    from panoptes_spark.pipeline.text import (
+        add_compression_ratio, add_nfc_normalized,
+    )
+
+    decomposed = "Café ö"
+    rows = [(1, decomposed), (2, "go go go go go go go go"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: r for r in add_nfc_normalized(df).collect()}
+    assert got[1].text_nfc == unicodedata.normalize("NFC", decomposed)
+    assert got[1].text_nfc != decomposed  # composition actually happened
+
+    got = {r.doc_id: r for r in add_compression_ratio(df).collect()}
+    for i, t in rows:
+        raw = t.encode("utf-8")
+        expect = 1.0 if not raw else round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[i].compression_ratio == expect
+    # repetitive text compresses harder than mixed text
+    assert got[2].compression_ratio < got[1].compression_ratio
