@@ -622,6 +622,48 @@ WHERE __mm_hash % 10000 < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
 """
 
 
+# below the corpus size at every test SF, so per-source keep fractions are
+# genuinely < 1 and the flattening (not just the cap) is exercised
+_MIX_TARGET = 200
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.splits import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(
+        docs, "lang", target_rows=_MIX_TARGET, alpha=0.5, salt="mix"
+    ).select("doc_id", "lang")
+
+
+def _o_temperature_mixture() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    chain = mmh3_cte_chain(
+        "base", "'mix' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS __n FROM documents GROUP BY lang),
+tot AS (
+  SELECT sum(CAST(sqrt(CAST(__n AS DOUBLE)) AS DECIMAL(30,10))) AS __wsum
+  FROM counts
+),
+dim AS (
+  SELECT lang,
+    CAST(floor(least(CAST(1.0 AS DOUBLE),
+      {_MIX_TARGET} * sqrt(CAST(__n AS DOUBLE))
+      / (CAST(__wsum AS DOUBLE) * CAST(__n AS DOUBLE))) * 10000) AS INT)
+      AS thr
+  FROM counts, tot
+),
+base AS (SELECT doc_id, lang FROM documents),
+{chain}
+SELECT h.doc_id, h.lang
+FROM mmh3 h JOIN dim USING (lang)
+WHERE h.__mm_hash % 10000 < dim.thr
+"""
+
+
 # ---------------------------------------------------------------------------
 # token-budget sequence packing (sharded running-sum window)
 # ---------------------------------------------------------------------------
@@ -1017,6 +1059,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
     "split_assignment": q_split_assignment,
+    "temperature_mixture": q_temperature_mixture,
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
     "text_repetition": q_text_repetition,
@@ -1045,6 +1088,7 @@ ORACLES = {
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,
     "dedup_components": O_DEDUP_COMPONENTS,
     "split_assignment": _o_split_assignment(),
+    "temperature_mixture": _o_temperature_mixture(),
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "text_repetition": O_TEXT_REPETITION,

@@ -79,6 +79,55 @@ def hash_sample(
     return out.where(keep).drop("__sample_bucket")
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the GPT-3/mBERT resampling rule):
+    source ``i`` is sampled with probability ∝ ``n_i^alpha``, flattening
+    the source distribution (alpha<1 upweights low-resource sources), and
+    per-source keep fractions are solved so the expected output is
+    ``target_rows``. Membership is the same murmur3(salt:id) bucket as
+    every other sampler here — deterministic, map-only after a dim-sized
+    count aggregate that broadcasts back.
+
+    Cross-engine note: ``alpha=0.5`` computes weights via ``sqrt``
+    (correctly-rounded IEEE — bit-identical across engines, so the gate
+    oracle reproduces thresholds exactly); other alphas use ``power``,
+    whose last-ulp behavior is libm-specific — fine in production, not
+    oracle-exact.
+    """
+    w_sql = (
+        "sqrt(cast(__n as double))"
+        if alpha == 0.5
+        else f"power(cast(__n as double), {alpha!r})"
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    # decimal sum: order-independent across partitions/engines
+    tot = counts.agg(
+        F.expr(f"sum(cast({w_sql} as decimal(30,10)))").alias("__wsum")
+    )
+    dim = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.expr(
+            f"cast(floor(least(cast(1.0 as double),"
+            f" {target_rows} * {w_sql}"
+            f" / (cast(__wsum as double) * cast(__n as double)))"
+            f" * {N_BUCKETS}) as int)"
+        ).alias("__thr"),
+    )
+    out = _with_bucket(df, id_col, salt, out_col="__mix_bucket")
+    return (
+        out.join(F.broadcast(dim), source_col)
+        .where(F.col("__mix_bucket") < F.col("__thr"))
+        .drop("__mix_bucket", "__thr")
+    )
+
+
 def assign_shard(
     df: DataFrame, n_shards: int, id_col: str = "doc_id", salt: str = "shard"
 ) -> DataFrame:

@@ -729,3 +729,24 @@ def test_nfc_and_compression_ratio(spark):
         assert got[i].compression_ratio == expect
     # repetitive text compresses harder than mixed text
     assert got[2].compression_ratio < got[1].compression_ratio
+
+
+def test_temperature_sample_flattens_sources(spark):
+    from panoptes_spark.pipeline.splits import temperature_sample
+
+    # 1900 'big' vs 100 'small' docs; alpha=0.5 should keep a much larger
+    # FRACTION of the small source than of the big one
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1900, "big").otherwise("small").alias("src"),
+    )
+    out = temperature_sample(df, "src", target_rows=500, alpha=0.5)
+    counts = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    frac_big = counts["big"] / 1900
+    frac_small = counts["small"] / 100
+    assert frac_small > 2 * frac_big  # sqrt flattening upweights 19x-smaller source
+    total = sum(counts.values())
+    assert 400 <= total <= 600  # expected ~target_rows
+    # determinism: exact same membership on re-run
+    again = {r.doc_id for r in temperature_sample(df, "src", 500, 0.5).collect()}
+    assert again == {r.doc_id for r in out.collect()}
