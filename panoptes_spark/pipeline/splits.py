@@ -86,6 +86,7 @@ def temperature_sample(
     alpha: float = 0.5,
     id_col: str = "doc_id",
     salt: str = "mix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled source mixing (the GPT-3/mBERT resampling rule):
     source ``i`` is sampled with probability ∝ ``n_i^alpha``, flattening
@@ -94,6 +95,11 @@ def temperature_sample(
     ``target_rows``. Membership is the same murmur3(salt:id) bucket as
     every other sampler here — deterministic, map-only after a dim-sized
     count aggregate that broadcasts back.
+
+    ``weight_col`` (e.g. a token count) switches the source masses from
+    row counts to column sums — the usual production setting where the
+    mixture targets token budgets rather than document counts; the keep
+    decision stays per-document.
 
     Cross-engine note: ``alpha=0.5`` computes weights via ``sqrt``
     (correctly-rounded IEEE — bit-identical across engines, so the gate
@@ -106,7 +112,10 @@ def temperature_sample(
         if alpha == 0.5
         else f"power(cast(__n as double), {alpha!r})"
     )
-    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    mass = (
+        F.sum(F.col(weight_col).cast("bigint")) if weight_col else F.count("*")
+    )
+    counts = df.groupBy(source_col).agg(mass.alias("__n"))
     # decimal sum: order-independent across partitions/engines
     tot = counts.agg(
         F.expr(f"sum(cast({w_sql} as decimal(30,10)))").alias("__wsum")

@@ -750,3 +750,26 @@ def test_temperature_sample_flattens_sources(spark):
     # determinism: exact same membership on re-run
     again = {r.doc_id for r in temperature_sample(df, "src", 500, 0.5).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_temperature_sample_token_weighted(spark):
+    from panoptes_spark.pipeline.splits import temperature_sample
+
+    # 'big' has few docs but huge token mass; weighting by tokens must
+    # shrink big's keep fraction vs the row-count weighting
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, "big").otherwise("small").alias("src"),
+        F.when(F.col("id") < 500, 1000).otherwise(10).alias("n_tokens"),
+    )
+    by_tokens = temperature_sample(
+        df, "src", target_rows=100_000, alpha=0.5, weight_col="n_tokens"
+    )
+    kept_tokens = {
+        r.src: r.s
+        for r in by_tokens.groupBy("src").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    total = sum(kept_tokens.values())
+    assert 80_000 <= total <= 120_000  # expected ~target token mass
+    # sqrt flattening: small source keeps ~10x the token fraction of big
+    assert kept_tokens["small"] / 5_000 > 2 * (kept_tokens["big"] / 500_000)
