@@ -811,6 +811,58 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# corpus statistics report (exact percentiles per group)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.corpus_stats(docs, "lang")
+
+
+O_CORPUS_STATS = """
+WITH t AS (
+  SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(tok, 0.99), 6) AS p99_tokens
+FROM t GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group diversity cap (top-k by quality per domain/source)
+# ---------------------------------------------------------------------------
+
+_CAP_K = 50
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text.add_quality_features(docs)
+    return text.cap_per_group(scored, "lang", _CAP_K).select("doc_id", "lang")
+
+
+def _o_cap_per_group() -> str:
+    return f"""
+WITH q AS ({O_TEXT_FEATURES}),
+j AS (SELECT d.doc_id, d.lang, q.quality_score
+      FROM documents d JOIN q USING (doc_id)),
+r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY quality_score DESC, doc_id ASC) AS rk
+  FROM j
+)
+SELECT doc_id, lang FROM r WHERE rk <= {_CAP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # unicode NFC normalization (pandas-UDF fallback; DuckDB nfc_normalize twin)
 # ---------------------------------------------------------------------------
 
@@ -1066,6 +1118,8 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
     "nfc_normalize": q_nfc_normalize,
+    "corpus_stats": q_corpus_stats,
+    "cap_per_group": q_cap_per_group,
     "url_features": q_url_features,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
@@ -1095,6 +1149,8 @@ ORACLES = {
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,
     "nfc_normalize": O_NFC_NORMALIZE,
+    "corpus_stats": O_CORPUS_STATS,
+    "cap_per_group": _o_cap_per_group(),
     "url_features": _o_url_features(),
     "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,

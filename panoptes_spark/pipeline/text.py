@@ -306,6 +306,48 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(f"{text_col}_scrubbed", cur)
 
 
+def corpus_stats(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus report: doc count, token mass, and exact p50/p90/p99
+    whitespace-token-count percentiles (linear interpolation — Spark
+    ``percentile``; groups are few, so the exact sort-based percentile is
+    a per-group aggregate, not a global sort). The first look any curation
+    run takes at a new crawl."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(group_col), toks.alias("__t"))
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("__t").cast("bigint")).alias("n_tokens"),
+        F.round(F.expr("percentile(__t, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__t, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(__t, 0.99)"), 6).alias("p99_tokens"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diversity cap: keep at most ``k`` documents per group (domain,
+    source, ...), preferring higher ``quality_col``; ties break on id asc
+    for determinism. One keyed window shuffle — the standard guard against
+    a single domain dominating a crawl-scale corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition signals (Gopher/C4-style quality rules):
 

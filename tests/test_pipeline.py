@@ -773,3 +773,20 @@ def test_temperature_sample_token_weighted(spark):
     assert 80_000 <= total <= 120_000  # expected ~target token mass
     # sqrt flattening: small source keeps ~10x the token fraction of big
     assert kept_tokens["small"] / 5_000 > 2 * (kept_tokens["big"] / 500_000)
+
+
+def test_corpus_stats_and_group_cap(spark):
+    from panoptes_spark.pipeline.text import cap_per_group, corpus_stats
+
+    rows = [(i, "s1" if i < 8 else "s2", "w " * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    stats = {r.lang: r for r in corpus_stats(df, "lang").collect()}
+    assert stats["s1"].n_docs == 8 and stats["s2"].n_docs == 2
+    # 'w ' * n -> n 'w' tokens (trailing space trimmed); s2 docs have 9,10
+    assert stats["s2"].p50_tokens == 9.5 and stats["s2"].n_tokens == 19
+
+    scored = df.withColumn("quality_score", F.col("doc_id").cast("double"))
+    capped = cap_per_group(scored, "lang", 3)
+    got = {(r.lang, r.doc_id) for r in capped.collect()}
+    # top-3 by quality desc per group
+    assert got == {("s1", 7), ("s1", 6), ("s1", 5), ("s2", 8), ("s2", 9)}
