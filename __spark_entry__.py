@@ -871,6 +871,107 @@ ORDER BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# J8/J9: generic temporal joins (as-of alignment, point-in-interval).
+# Beyond-reference: generalizes the rate transform's previous-sample
+# lookup (polling_plugin_agent.py:178-242) to arbitrary key/time joins.
+# The as-of oracle is DuckDB's native ASOF JOIN — an independent engine
+# implementation of the same semantics; the interval oracle is the plain
+# inequality join our binned equi-join must reproduce exactly.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MS = 7 * 86_400_000  # 7-day staleness ceiling
+_IV_LEN_MS = 3 * 86_400_000  # 3-day interval per purchase
+
+
+def _asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.temporal import asof_join
+
+    e = fx.read_events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_ms", "value"
+    )
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purch,
+        by=["user_id"],
+        ts_col="ts_ms",
+        right_cols=["purchase_value"],
+        tolerance_ms=_ASOF_TOL_MS,
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "value",
+        "matched_ts_ms",
+        "matched_purchase_value",
+        "staleness_ms",
+    )
+
+
+_ASOF_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+m AS (
+  SELECT c.user_id, c.event_id, c.ts_ms, c.value,
+         p.ts_ms AS m_ts, p.purchase_value AS m_v
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts_ms >= p.ts_ms
+)
+SELECT user_id, event_id, ts_ms, value,
+  CASE WHEN ts_ms - m_ts <= {_ASOF_TOL_MS} THEN m_ts END AS matched_ts_ms,
+  CASE WHEN ts_ms - m_ts <= {_ASOF_TOL_MS} THEN m_v END
+    AS matched_purchase_value,
+  CASE WHEN ts_ms - m_ts <= {_ASOF_TOL_MS} THEN ts_ms - m_ts END
+    AS staleness_ms
+FROM m
+"""
+
+
+def _interval_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.temporal import interval_join
+
+    e = fx.read_events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts_ms").alias("start_ms"),
+        (F.col("ts_ms") + _IV_LEN_MS).alias("end_ms"),
+    )
+    return interval_join(clicks, iv, by=["user_id"], bin_ms=86_400_000)
+
+
+_INTERVAL_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'click'
+),
+iv AS (
+  SELECT user_id, event_id AS interval_id, epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + {_IV_LEN_MS} AS end_ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, c.ts_ms, iv.interval_id, iv.start_ms, iv.end_ms
+FROM clicks c JOIN iv
+  ON c.user_id = iv.user_id
+ AND c.ts_ms >= iv.start_ms AND c.ts_ms < iv.end_ms
+"""
+
+
+# ---------------------------------------------------------------------------
 # P9/J7: relational points -> nested metrics-group wire shape -> flatten
 # round-trip. Exercises group assembly (collect_list -> sorted arrays),
 # the embedded-resource struct, and the flatten projection.
@@ -1442,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w_sessionize_events": _sessionize_events,
             "p7_empty_dimension_policy": _p7_empty_dims,
             "w_tumbling_window_agg": _w_tumbling_agg,
+            "j8_asof_align": _asof_align,
+            "j9_interval_join": _interval_contain,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1488,6 +1591,8 @@ def oracle_sql() -> dict[str, str]:
             "w_sessionize_events": _SESSIONIZE_ORACLE,
             "p7_empty_dimension_policy": _P7_ORACLE,
             "w_tumbling_window_agg": _W_TUMBLING_ORACLE,
+            "j8_asof_align": _ASOF_ORACLE,
+            "j9_interval_join": _INTERVAL_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
