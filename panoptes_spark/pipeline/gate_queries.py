@@ -326,6 +326,62 @@ SELECT * FROM final WHERE rank <= {_TOPK}
 """
 
 
+_KM_DIM, _KM_ITERS = 64, 2
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
+    refined = similarity.kmeans_refine(emb, cents, iters=_KM_ITERS)
+    return refined.select(
+        "cell_id", F.posexplode("centroid").alias("pos", "m")
+    )
+
+
+def _km_round_sql(prev: str, a: str, m: str, n: str, nxt: str) -> str:
+    """One unrolled Lloyd round: assign to `prev`, mean per (cell, pos),
+    rebuild arrays, keep previous centroid for empty cells."""
+    cos = (
+        f"round(list_dot_product(e.embedding::DOUBLE[], c.centroid)"
+        f" / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        f"    * sqrt(list_dot_product(c.centroid, c.centroid))), 6)"
+    )
+    return f"""
+{a} AS (
+  SELECT vec_id, cv, cell_id FROM (
+    SELECT e.vec_id, e.embedding AS cv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+{m} AS (
+  SELECT cell_id, CAST(i AS INT) AS pos,
+    round(CAST(sum(CAST(cv[i+1]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)
+          / count(*), 6) AS m
+  FROM {a}, range({_KM_DIM}) t(i) GROUP BY 1, 2
+),
+{n} AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+        FROM {m} GROUP BY cell_id),
+{nxt} AS (
+  SELECT c.cell_id, COALESCE(nn.centroid, c.centroid) AS centroid
+  FROM {prev} c LEFT JOIN {n} nn USING (cell_id)
+)"""
+
+
+O_KMEANS_REFINE = f"""
+WITH cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+{_km_round_sql('cents0', 'a1', 'm1', 'n1', 'cents1')},
+{_km_round_sql('cents1', 'a2', 'm2', 'n2', 'cents2')}
+SELECT cell_id, CAST(i AS INT) AS pos, centroid[i+1] AS m
+FROM cents2, range({_KM_DIM}) t(i)
+"""
+
+
 _LSH_NPLANES, _LSH_BANDS, _LSH_DIM = 24, 4, 64
 
 
@@ -1104,6 +1160,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ivf_topk,
     "ann_lsh_topk": q_lsh_topk,
+    "ann_kmeans_refine": q_kmeans_refine,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
@@ -1135,6 +1192,7 @@ ORACLES = {
     "ann_cosine_topk": O_ANN_TOPK,
     "ann_ivf_topk": O_IVF_TOPK,
     "ann_lsh_topk": O_LSH_TOPK,
+    "ann_kmeans_refine": O_KMEANS_REFINE,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "semdedup": O_SEMDEDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,

@@ -227,6 +227,75 @@ def seed_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of coarse IVF centroids: ``iters`` rounds of
+    (assign to nearest cell by cosine) → (per-cell component mean).
+    Returns (cell_id, centroid array<double>).
+
+    The deterministic twin of MLlib's KMeans for the IVF seeding path —
+    fixed iteration count, fixed seeds (``seed_centroids``), and
+    cross-engine-exact arithmetic so a SQL oracle can replay it:
+    component sums go through DECIMAL(30,12) (order-independent), the
+    mean is a single correctly-rounded double division, rounded to 6dp
+    like every cosine in this module.
+
+    Scale shape per iteration: one narrow Arrow-batched assignment pass
+    (`ivf_assign` — broadcast centroid matmul, no shuffle) + one
+    partial-aggregating shuffle of N×dim (cell_id, pos, comp) rows keyed
+    by (cell_id, pos) — the classic MapReduce k-means; shuffle volume is
+    ~the corpus itself, map-side combine collapses it to |cells|×dim per
+    partition. Cells left empty by an iteration keep their previous
+    centroid (Lloyd convention).
+    """
+    cents = centroids
+    for _ in range(int(iters)):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        means = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                # float -> double first (exact widening) so both engines
+                # quantize the same binary value to DECIMAL, not Spark's
+                # shortest-string float repr
+                F.round(
+                    F.sum(
+                        F.col("comp").cast("double").cast("decimal(30,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+        )
+        new_cents = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("new_centroid")
+        )
+        cents = (
+            cents.select(
+                "cell_id",
+                F.transform(
+                    F.col("centroid"), lambda x: x.cast("double")
+                ).alias("centroid"),
+            )
+            .join(new_cents, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

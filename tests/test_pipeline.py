@@ -102,6 +102,26 @@ def test_ivf_recall_on_clusters(spark):
     assert nbrs <= set(range(10)) and len(nbrs) == 3
 
 
+def test_kmeans_refine_converges_and_keeps_empty_cells(spark):
+    """Two tight clusters + one far-off seed: after 2 Lloyd rounds the
+    live centroids sit at the (rounded) cluster means and the cell that
+    never attracts a vector keeps its seed centroid verbatim."""
+    rows = [(i, [10.0 + i, 0.0]) for i in range(4)]          # mean x=11.5
+    rows += [(100 + i, [0.0, 20.0 + i]) for i in range(4)]   # mean y=21.5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, -1.0])],
+        "cell_id int, centroid array<float>",
+    )
+    out = {
+        r.cell_id: r.centroid
+        for r in similarity.kmeans_refine(df, cents, iters=2).collect()
+    }
+    assert out[0] == [11.5, 0.0]
+    assert out[1] == [0.0, 21.5]
+    assert out[2] == [-1.0, -1.0]  # empty cell: Lloyd keeps the seed
+
+
 def test_seed_centroids_plan_and_determinism(spark):
     """Centroid seeding must plan as TakeOrderedAndProject (partition-
     local top-n) — never a global row_number window that drags the whole
