@@ -678,6 +678,38 @@ WHERE __mm_hash % 10000 < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
 """
 
 
+_WSAMPLE_K = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.splits import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs, k=_WSAMPLE_K, weight_col="n_chars", salt="ws1"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _o_weighted_sample() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    chain = mmh3_cte_chain(
+        "base", "'ws1' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0),
+{chain},
+keyed AS (
+  SELECT doc_id, lang, n_chars,
+    round(ln((__mm_hash + 0.5) / 4294967296.0)
+          / CAST(n_chars AS DOUBLE), 9) AS wkey
+  FROM mmh3
+)
+SELECT doc_id, lang, n_chars FROM keyed
+ORDER BY wkey DESC, doc_id ASC LIMIT {_WSAMPLE_K}
+"""
+
+
 # below the corpus size at every test SF, so per-source keep fractions are
 # genuinely < 1 and the flattening (not just the cap) is exercised
 _MIX_TARGET = 200
@@ -1168,6 +1200,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
     "split_assignment": q_split_assignment,
+    "weighted_sample": q_weighted_sample,
     "temperature_mixture": q_temperature_mixture,
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
@@ -1200,6 +1233,7 @@ ORACLES = {
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,
     "dedup_components": O_DEDUP_COMPONENTS,
     "split_assignment": _o_split_assignment(),
+    "weighted_sample": _o_weighted_sample(),
     "temperature_mixture": _o_temperature_mixture(),
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,

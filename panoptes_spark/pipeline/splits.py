@@ -137,6 +137,44 @@ def temperature_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-Res rule): each row draws a reproducible
+    uniform ``u`` from its murmur3(salt:id) hash and ranks by
+    ``ln(u) / w`` (order-equivalent to the classic ``u^(1/w)`` key —
+    log-domain avoids underflow for large weights); the global top-``k``
+    keys win. Rows with ``w <= 0`` are excluded, as the rule requires.
+
+    Map-only + ``orderBy().limit()`` = TakeOrderedAndProject: each
+    partition keeps a local top-``k`` and only ``k`` rows ever move —
+    no global sort, no full shuffle, any corpus size. Re-runs and
+    appends keep previous picks unless a heavier newcomer displaces
+    them. Keys round to 9dp (ties break on id) so the DuckDB oracle —
+    same hash CTE, same formula — selects the identical set; ``ln`` is
+    within 1 ulp on both engines, far inside the 9dp quantization.
+    """
+    key_sql = mmh3_sql_expr(
+        f"concat('{salt}', ':', cast({id_col} as string))", "spark"
+    )
+    wkey = (
+        f"round(ln(({key_sql} + 0.5) / 4294967296.0)"
+        f" / cast({weight_col} as double), 9)"
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__wkey", F.expr(wkey))
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__wkey")
+    )
+
+
 def assign_shard(
     df: DataFrame, n_shards: int, id_col: str = "doc_id", salt: str = "shard"
 ) -> DataFrame:

@@ -331,6 +331,29 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
 
 # -- deterministic splits / packing / vocabulary ----------------------------
 
+def test_weighted_sample_semantics_and_plan(spark):
+    """Efraimidis–Spirakis top-k: deterministic across re-runs, a
+    dominating weight always wins, non-positive weights are excluded,
+    and the plan is TakeOrderedAndProject (local top-k, no global
+    sort/window)."""
+    from panoptes_spark.pipeline.splits import weighted_sample
+
+    rows = [(i, 1.0) for i in range(50)] + [(999, 1e9), (1000, 0.0), (1001, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    picked = weighted_sample(df, k=5, weight_col="w", salt="t1")
+    ids = {r.doc_id for r in picked.collect()}
+    assert 999 in ids                        # ln(u)/1e9 ~ 0 beats every unit weight
+    assert ids.isdisjoint({1000, 1001})      # w <= 0 never sampled
+    assert len(ids) == 5
+    again = {r.doc_id for r in weighted_sample(df, k=5, weight_col="w", salt="t1").collect()}
+    assert again == ids                      # pure function of (salt, id, w)
+
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_assign_split_deterministic_and_complete(spark):
     from panoptes_spark.operators.schedule import murmur3_x86_32
     from panoptes_spark.pipeline.splits import N_BUCKETS, assign_split
