@@ -828,6 +828,44 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+_CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(
+        docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+O_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+    greatest(1, (len(toks) - {_CHUNK_OVERLAP} + {_CHUNK_STRIDE - 1})
+                // {_CHUNK_STRIDE}) AS n_chunks
+  FROM t
+),
+ex AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+  array_to_string(
+    toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_MAX}], ' '
+  ) AS chunk_text,
+  CAST(len(toks[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_MAX}]) AS INT)
+    AS n_chunk_tokens
+FROM ex
+"""
+
+
 # ---------------------------------------------------------------------------
 # intra-document repetition features (Gopher/C4-style quality rules)
 # ---------------------------------------------------------------------------
@@ -1204,6 +1242,7 @@ QUERIES = {
     "temperature_mixture": q_temperature_mixture,
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
+    "chunk_documents": q_chunk_documents,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1237,6 +1276,7 @@ ORACLES = {
     "temperature_mixture": _o_temperature_mixture(),
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,
+    "chunk_documents": O_CHUNK_DOCUMENTS,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

@@ -128,6 +128,53 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into whitespace-token chunks of at most
+    ``max_tokens`` with ``overlap`` tokens repeated between neighbors
+    (stride = max_tokens - overlap) — the standard long-document →
+    context-window preprocessing step. Every token lands in at least one
+    chunk; the last chunk may be short; a doc shorter than one window is
+    a single chunk.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens). Narrow plan:
+    tokenize → integer chunk-count arithmetic → ``posexplode(sequence)``
+    over chunk starts → array slice/join; fan-out ≈ n_tokens/stride per
+    doc, no shuffle, no Python. Chunk count uses integer ceil-div so the
+    DuckDB oracle reproduces boundaries exactly.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens: {overlap}, {max_tokens}")
+    stride = max_tokens - overlap
+    out = df.withColumn(
+        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    ).withColumn(
+        "__nc",
+        F.expr(
+            f"greatest(1, (size(__toks) - {overlap} + {stride - 1})"
+            f" div {stride})"
+        ),
+    )
+    sl = f"slice(__toks, __start + 1, {max_tokens})"
+    return out.select(
+        id_col,
+        "__toks",
+        F.posexplode(
+            F.expr(f"sequence(0, (__nc - 1) * {stride}, {stride})")
+        ).alias("chunk_id", "__start"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(F.expr(sl), " ").alias("chunk_text"),
+        F.size(F.expr(sl)).alias("n_chunk_tokens"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", k: int | None = None
 ) -> DataFrame:

@@ -331,6 +331,40 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
 
 # -- deterministic splits / packing / vocabulary ----------------------------
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in some chunk; neighbors share exactly
+    `overlap` tokens; short docs yield one chunk; stride boundary cases
+    (n == max, n == max+1) split correctly."""
+    from panoptes_spark.pipeline.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, words(10)), (2, words(8)), (3, words(9)), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=8, overlap=2)  # stride 6
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+
+    assert [len(c) for _, c in sorted(chunks[1].items())] == [8, 4]
+    assert chunks[1][0][-2:] == chunks[1][1][:2]        # 2-token overlap
+    assert sorted(set(w for c in chunks[1].values() for w in c)) == sorted(
+        f"w{i}" for i in range(10)
+    )                                                    # full coverage
+    assert list(chunks[2]) == [0] and len(chunks[2][0]) == 8   # n == max
+    assert [len(c) for _, c in sorted(chunks[3].items())] == [8, 3]  # n == max+1
+    assert chunks[4] == {0: ["solo"]}
+    assert 5 in chunks                                   # empty doc: 1 chunk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
 def test_weighted_sample_semantics_and_plan(spark):
     """Efraimidis–Spirakis top-k: deterministic across re-runs, a
     dominating weight always wins, non-positive weights are excluded,
