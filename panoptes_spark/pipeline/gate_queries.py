@@ -828,6 +828,23 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+_BM25_TERMS = ["hash", "merge", "vector"]
+_BM25_K = 50
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.search import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _o_bm25_search() -> str:
+    from panoptes_spark.pipeline.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=_BM25_K)
+
+
 _CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
 
 
@@ -1243,6 +1260,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "token_frequencies": q_token_frequencies,
     "chunk_documents": q_chunk_documents,
+    "bm25_search": q_bm25_search,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1277,6 +1295,7 @@ ORACLES = {
     "pack_sequences": O_PACK_SEQUENCES,
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "chunk_documents": O_CHUNK_DOCUMENTS,
+    "bm25_search": _o_bm25_search(),
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

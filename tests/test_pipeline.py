@@ -331,6 +331,34 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
 
 # -- deterministic splits / packing / vocabulary ----------------------------
 
+def test_bm25_ranking_semantics(spark):
+    """Rarer query terms outrank common ones (idf), more mentions beat
+    fewer (tf), and docs without any query term never appear. Plan stays
+    window-free (top-k via TakeOrderedAndProject)."""
+    from panoptes_spark.pipeline.search import bm25_search
+
+    rows = [
+        (1, "rare topic here " + "filler " * 20),
+        (2, "common common common " + "filler " * 20),
+        (3, "common word soup " + "filler " * 20),
+        (4, "filler " * 23),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["rare", "common"], k=10)
+    ranked = [r.doc_id for r in out.collect()]
+    assert 4 not in ranked
+    assert ranked[0] == 1          # df('rare')=1 < df('common')=2 -> higher idf
+    assert ranked.index(2) < ranked.index(3)  # tf 3 beats tf 1
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(df, [])
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     """Every token appears in some chunk; neighbors share exactly
     `overlap` tokens; short docs yield one chunk; stride boundary cases
