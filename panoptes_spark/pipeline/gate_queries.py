@@ -828,6 +828,37 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.bloom import novel_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    # new batch = genuinely novel docs + re-ingested copies of seen ones
+    new = docs.where(F.col("doc_id") % 3 == 0).unionByName(
+        docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 1))
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    return novel_docs(new, seen, fpp=0.01).select("doc_id")
+
+
+O_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+        'g'), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+seen AS (SELECT f FROM fp WHERE doc_id % 3 <> 0),
+newb AS (
+  SELECT doc_id, f FROM fp WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, f FROM fp
+  WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+)
+SELECT n.doc_id FROM newb n ANTI JOIN seen s ON n.f = s.f
+"""
+
+
 _BM25_TERMS = ["hash", "merge", "vector"]
 _BM25_K = 50
 
@@ -1261,6 +1292,7 @@ QUERIES = {
     "token_frequencies": q_token_frequencies,
     "chunk_documents": q_chunk_documents,
     "bm25_search": q_bm25_search,
+    "incremental_dedup": q_incremental_dedup,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1296,6 +1328,7 @@ ORACLES = {
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "bm25_search": _o_bm25_search(),
+    "incremental_dedup": O_INCREMENTAL_DEDUP,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

@@ -331,6 +331,37 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
 
 # -- deterministic splits / packing / vocabulary ----------------------------
 
+def test_novel_docs_exact_and_prefilter_effective(spark):
+    """Bloom path result == plain anti-join (exactness regardless of
+    fpp), and the prefilter passes the vast majority of novel docs
+    without reaching the join (no false negatives by construction)."""
+    from panoptes_spark.pipeline.bloom import (
+        bloom_params, build_fp_bloom, novel_docs,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"fresh document number {i}") for i in range(100)]
+        + [(2000 + i, f"seen document number {i}") for i in range(0, 200, 4)],
+        "doc_id long, text string",
+    )
+    exact = {r.doc_id for r in novel_docs(new, seen, use_bloom=False).collect()}
+    bloom = {r.doc_id for r in novel_docs(new, seen, fpp=0.01).collect()}
+    assert bloom == exact == {1000 + i for i in range(100)}
+
+    from panoptes_spark.pipeline.dedup import normalize_text_col
+
+    m, k = bloom_params(200, 0.01)
+    assert m % 8 == 0 and k >= 1
+    bm = build_fp_bloom(
+        seen.withColumn("__fp", F.md5(normalize_text_col("text"))), m, k
+    )
+    assert any(b != 0 for b in bm)
+
+
 def test_bm25_ranking_semantics(spark):
     """Rarer query terms outrank common ones (idf), more mentions beat
     fewer (tf), and docs without any query term never appear. Plan stays
