@@ -9,10 +9,12 @@ terms in more than half the corpus) is the standard lexical ranker.
 Scale shape: the corpus is touched by exactly two scan-shaped passes —
 one partial-agg for (N, avgdl), one tokenize+filter that keeps only
 postings of the query terms (the term list is a literal IN filter, so
-the explode output is hits-only, not the full posting list). Everything
-downstream — tf, per-term document frequency, idf — operates on the
-hits relation; the final score is one keyed aggregation over hits and a
-``TakeOrderedAndProject`` top-k. No global windows, no driver loops.
+the explode output is hits-only, not the full posting list; the doc
+length rides along each posting, so no corpus-wide join reattaches it).
+Everything downstream — tf, per-term document frequency, idf — operates
+on the hits relation; the final score is one keyed aggregation over
+hits and a ``TakeOrderedAndProject`` top-k. No global windows, no
+driver loops, no shuffle proportional to the corpus.
 
 Determinism: identical expression text runs on both engines (``ln`` is
 within 1 ulp each side), scores round to 6dp with id tiebreak, so the
@@ -52,16 +54,21 @@ def bm25_search(
     toks = docs.select(
         F.col(id_col), F.expr(_TOKENIZE.format(col=text_col)).alias("__tk")
     )
-    dl = toks.select(id_col, F.size("__tk").alias("dl"))
-    stats = dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    stats = toks.select(F.size("__tk").alias("__dl")).agg(
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n"),
     )
+    # dl rides along the exploded postings (constant per doc), so the
+    # per-doc length never needs a corpus-wide join back in
     hits = (
-        toks.select(id_col, F.explode("__tk").alias("term"))
+        toks.select(
+            id_col,
+            F.size("__tk").alias("__dl"),
+            F.explode("__tk").alias("term"),
+        )
         .where(F.expr(f"term IN ({in_list})"))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
     )
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
@@ -71,7 +78,6 @@ def bm25_search(
     )
     scored = (
         hits.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(F.expr(contrib)), 6).alias("score"))
