@@ -828,6 +828,47 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+_QUANT_PS = [0.5, 0.9, 0.99, 1.0]
+
+
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.stats import global_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return global_quantiles(docs, "n_chars", _QUANT_PS)
+
+
+O_GLOBAL_QUANTILES = f"""
+WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM h),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM h)
+SELECT p, min(v) AS q
+FROM cum CROSS JOIN tot
+CROSS JOIN (VALUES {", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _QUANT_PS)})
+  ps(p)
+WHERE cm >= CAST(ceil(p * n) AS BIGINT)
+GROUP BY p
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.stats import skew_report
+    from panoptes_spark.sources import tpch_fixtures as _fx
+
+    e = _fx.read_events(spark, sf_dir)
+    return skew_report(e, ["user_id"], top_n=20)
+
+
+O_SKEW_REPORT = """
+WITH counts AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+SELECT user_id, n_rows, round(n_rows / CAST(total AS DOUBLE), 6) AS share,
+       n_keys
+FROM counts CROSS JOIN tot
+ORDER BY n_rows DESC, user_id ASC LIMIT 20
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.bloom import novel_docs
 
@@ -1293,6 +1334,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
+    "global_quantiles": q_global_quantiles,
+    "skew_report": q_skew_report,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1329,6 +1372,8 @@ ORACLES = {
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "bm25_search": _o_bm25_search(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    "global_quantiles": O_GLOBAL_QUANTILES,
+    "skew_report": O_SKEW_REPORT,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

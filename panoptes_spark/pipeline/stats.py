@@ -1,0 +1,113 @@
+"""Corpus-scale distribution statistics without global sorts.
+
+- ``global_quantiles``: EXACT type-1 quantiles (lowest value whose
+  cumulative count reaches ``ceil(p*N)``) of an integer-valued column
+  over the whole corpus. One keyed shuffle builds the value histogram
+  (map-side partial counts collapse the corpus to |distinct values|
+  rows); the histogram folds into a single row where each quantile is a
+  JVM ``aggregate`` scan over the sorted (value, count) array. No global
+  row sort, no unpartitioned window, no driver loop. Requires a BOUNDED
+  value domain (lengths, token counts, grades) — the histogram row
+  buffers |distinct values| entries; refuse continuous doubles.
+
+- ``skew_report``: the heaviest keys with their share of total rows —
+  the diagnostic run before choosing salting/bucketing for a hot-key
+  join or aggregation. Group-count (partial-agg) + broadcast total +
+  ``TakeOrderedAndProject`` top-n.
+
+- ``filter_by_quantile_range``: winsorizing filter — keep rows whose
+  value lies within the [p_lo, p_hi] type-1 quantile thresholds
+  (computed by ``global_quantiles``); thresholds broadcast back, the
+  filter itself is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["global_quantiles", "skew_report", "filter_by_quantile_range"]
+
+
+def global_quantiles(
+    df: DataFrame, value_col: str, ps: list[float]
+) -> DataFrame:
+    """Exact type-1 quantiles of integer-valued ``value_col``.
+
+    Returns one row per ``p``: (p double, q bigint). ``p = 1.0`` is the
+    maximum; ``p`` must be in (0, 1].
+    """
+    if not ps or any(not 0 < p <= 1 for p in ps):
+        raise ValueError(f"quantiles must lie in (0, 1]: {ps}")
+    hist = df.groupBy(
+        F.col(value_col).cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    one = hist.agg(
+        F.sort_array(F.collect_list(F.struct("v", "c"))).alias("h"),
+        F.sum("c").alias("n"),
+    )
+    structs = []
+    for p in sorted(set(ps)):
+        tgt = f"cast(ceil({p!r} * n) as bigint)"
+        fold = (
+            "aggregate(h,"
+            " struct(cast(0 as bigint) as cum, cast(null as bigint) as ans),"
+            " (a, x) -> struct(a.cum + x.c,"
+            f"   coalesce(a.ans, if(a.cum + x.c >= {tgt}, x.v,"
+            "     cast(null as bigint)))),"
+            " a -> a.ans)"
+        )
+        structs.append(
+            f"struct(cast({p!r} as double) as p, ({fold}) as q)"
+        )
+    return one.select(
+        F.explode(F.expr(f"array({', '.join(structs)})")).alias("__s")
+    ).select("__s.p", "__s.q")
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_n: int = 20
+) -> DataFrame:
+    """Top-``top_n`` heaviest key groups with their row count and share
+    of the total — deterministic order (count desc, keys asc)."""
+    if not keys:
+        raise ValueError("skew_report requires key columns")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            "n_keys",
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(int(top_n))
+    )
+
+
+def filter_by_quantile_range(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the corpus's
+    [type-1 q(p_lo), type-1 q(p_hi)] — the standard outlier trim on
+    document lengths. Thresholds broadcast back; the filter is map-only."""
+    qs = global_quantiles(df, value_col, [p_lo, p_hi])
+    lo_hi = qs.agg(
+        F.min(F.when(F.col("p") == float(p_lo), F.col("q"))).alias("__lo"),
+        F.min(F.when(F.col("p") == float(p_hi), F.col("q"))).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(lo_hi))
+        .where(
+            (F.col(value_col) >= F.col("__lo"))
+            & (F.col(value_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

@@ -331,6 +331,48 @@ def test_lsh_band_codes_narrow_and_deterministic(spark):
 
 # -- deterministic splits / packing / vocabulary ----------------------------
 
+def test_global_quantiles_type1_and_outlier_filter(spark):
+    """Type-1 semantics on a known distribution (incl. duplicates and
+    p=1.0 = max), no unpartitioned window in the plan, and the
+    winsorizing filter keeps exactly the in-range rows."""
+    from panoptes_spark.pipeline.stats import (
+        filter_by_quantile_range, global_quantiles,
+    )
+
+    vals = [1] * 5 + [2] * 3 + [10] * 1 + [100] * 1  # N=10
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(4)
+    q = global_quantiles(df, "x", [0.5, 0.8, 0.9, 1.0])
+    got = {r.p: r.q for r in q.collect()}
+    # ceil(p*10) = 5, 8, 9, 10 -> cum counts 5(at 1), 8(at 2), 9(at 10), 10(at 100)
+    assert got == {0.5: 1, 0.8: 2, 0.9: 10, 1.0: 100}
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort " not in plan.split("Exchange")[0]
+
+    kept = sorted(
+        r.x for r in filter_by_quantile_range(df, "x", 0.5, 0.9).collect()
+    )
+    assert kept == [1] * 5 + [2] * 3 + [10]  # 100 trimmed, lows kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_quantiles(df, "x", [0.0])
+
+
+def test_skew_report_shares(spark):
+    from panoptes_spark.pipeline.stats import skew_report
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(8)] + [("a", 1), ("b", 2)],
+        "k string, v long",
+    )
+    rows = skew_report(df, ["k"], top_n=2).collect()
+    assert [r.k for r in rows] == ["hot", "a"]  # count desc, key asc tiebreak
+    assert rows[0].n_rows == 8 and rows[0].share == 0.8
+    assert rows[0].n_keys == 3
+
+
 def test_novel_docs_exact_and_prefilter_effective(spark):
     """Bloom path result == plain anti-join (exactness regardless of
     fpp), and the prefilter passes the vast majority of novel docs
