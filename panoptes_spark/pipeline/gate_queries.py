@@ -828,6 +828,45 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+_LEAK_FRACS = (("train", 0.5), ("val", 0.25), ("test", 0.25))
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.splits import assign_split, split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    splits = assign_split(
+        docs, "doc_id", salt="leak", fractions=_LEAK_FRACS
+    ).select("doc_id", "split")
+    return split_leakage(pairs, splits).select(
+        "a", "b", "jaccard", "split_a", "split_b"
+    )
+
+
+def _o_split_leakage() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    chain = mmh3_cte_chain(
+        "base", "'leak' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    return f"""
+WITH pairs AS ({O_DEDUP_MINHASH}),
+base AS (SELECT doc_id FROM documents),
+{chain},
+sp AS (
+  SELECT doc_id,
+    CASE WHEN __mm_hash % 10000 < 5000 THEN 'train'
+         WHEN __mm_hash % 10000 < 7500 THEN 'val'
+         ELSE 'test' END AS split
+  FROM mmh3
+)
+SELECT p.a, p.b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pairs p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id
+WHERE sa.split IS DISTINCT FROM sb.split
+"""
+
+
 _QUANT_PS = [0.5, 0.9, 0.99, 1.0]
 
 
@@ -1335,6 +1374,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
     "global_quantiles": q_global_quantiles,
+    "split_leakage": q_split_leakage,
     "skew_report": q_skew_report,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1373,6 +1413,7 @@ ORACLES = {
     "bm25_search": _o_bm25_search(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "global_quantiles": O_GLOBAL_QUANTILES,
+    "split_leakage": _o_split_leakage(),
     "skew_report": O_SKEW_REPORT,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),

@@ -137,6 +137,37 @@ def temperature_sample(
     )
 
 
+def split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate pairs whose members landed in DIFFERENT splits —
+    the leakage audit run after dedup + splitting (a test doc with a
+    train near-twin silently inflates eval scores). ``pairs`` is any
+    (a, b, ...) near-dup relation (minhash/simhash/embedding);
+    ``splits`` maps id → split label.
+
+    Two equi-joins of the (small) pair set against the split dim; the
+    corpus never re-shuffles. NULL splits (held-out remainder) count as
+    distinct from every label.
+    """
+    sa = splits.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, a_col)
+        .join(sb, b_col)
+        .where(~F.col("split_a").eqNullSafe(F.col("split_b")))
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
