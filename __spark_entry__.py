@@ -972,6 +972,52 @@ FROM clicks c JOIN iv
 
 
 # ---------------------------------------------------------------------------
+# W5b: SCD2 history — the temporal materialization of the reconcile
+# family: every distinct per-identity state with its validity interval,
+# instead of only the latest winner (manager.py:109-135 keeps winners;
+# a warehouse keeps the history).
+# ---------------------------------------------------------------------------
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.reconcile import scd2_history
+
+    e = fx.read_events(spark, sf_dir)
+    snaps = e.select(
+        "user_id", "event_id", "ts_ms", F.col("event_type").alias("status")
+    )
+    return scd2_history(
+        snaps,
+        identity_cols=["user_id"],
+        attr_cols=["status"],
+        ts_col="ts_ms",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "status", "valid_from", "valid_to", "is_current")
+
+
+_SCD2_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type AS status
+  FROM events
+),
+m AS (
+  SELECT *, lag(status) OVER w AS prev, lag(ts_ms) OVER w AS prev_ts
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+ch AS (
+  SELECT user_id, event_id, ts_ms, status FROM m
+  WHERE prev_ts IS NULL OR status IS DISTINCT FROM prev
+)
+SELECT user_id, status, ts_ms AS valid_from,
+  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    AS valid_to,
+  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+    AS is_current
+FROM ch
+"""
+
+
+# ---------------------------------------------------------------------------
 # P9/J7: relational points -> nested metrics-group wire shape -> flatten
 # round-trip. Exercises group assembly (collect_list -> sorted arrays),
 # the embedded-resource struct, and the flatten projection.
@@ -1545,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w_tumbling_window_agg": _w_tumbling_agg,
             "j8_asof_align": _asof_align,
             "j9_interval_join": _interval_contain,
+            "w5_scd2_history": _scd2_history,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1593,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
             "w_tumbling_window_agg": _W_TUMBLING_ORACLE,
             "j8_asof_align": _ASOF_ORACLE,
             "j9_interval_join": _INTERVAL_ORACLE,
+            "w5_scd2_history": _SCD2_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

@@ -68,6 +68,50 @@ def reconcile(
     return j.withColumn("action", action)
 
 
+def scd2_history(
+    snapshots: DataFrame,
+    identity_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts_ms",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a pile of timestamped snapshots into SCD2 history: one
+    row per (identity, attribute-change) with ``valid_from`` /
+    ``valid_to`` (exclusive, NULL = open) and ``is_current``.
+
+    The temporal materialization of the reconcile family (W5): where
+    ``apply_reconciliation`` keeps only the latest winning row, this
+    keeps every distinct state with its validity interval — the shape
+    warehouses call a type-2 slowly-changing dimension.
+
+    A row opens a new interval iff any ``attr_cols`` value IS DISTINCT
+    FROM the previous snapshot of the same identity (null-safe), or it
+    is the identity's first snapshot. One hash shuffle on the identity;
+    both windows (the change flag and the ``lead`` close-off) share that
+    partitioning, so the plan is Exchange-once + two sorts.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*identity_cols).orderBy(*order)
+    changed = F.lag(ts_col).over(w).isNull()  # first snapshot
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    ch = (
+        snapshots.withColumn("__chg", changed)
+        .where(F.col("__chg"))
+        .drop("__chg")
+    )
+    return ch.select(
+        *identity_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def apply_reconciliation(
     current: DataFrame,
     incoming: DataFrame,

@@ -120,3 +120,35 @@ def test_reference_fixture_deletion(spark):
     assert len(rows) == 1
     assert rows[0].resource_id == "test_id_2"
     assert rows[0].resource_endpoint == "test_endpoint_2"
+
+
+def test_scd2_history_intervals(spark):
+    """Intervals chain per identity (valid_to = next change, open tail),
+    unchanged snapshots collapse, null attrs compare null-safely, and
+    the plan shuffles once."""
+    from panoptes_spark.operators.reconcile import scd2_history
+
+    rows = [
+        ("r1", 1, 100, "up"),
+        ("r1", 2, 200, "up"),      # unchanged -> collapses into row 1
+        ("r1", 3, 300, "down"),    # change
+        ("r1", 4, 400, None),      # change to NULL
+        ("r1", 5, 500, None),      # NULL == NULL -> collapses
+        ("r2", 6, 100, "up"),
+    ]
+    df = spark.createDataFrame(rows, "rid string, eid long, ts_ms long, status string")
+    out = scd2_history(df, ["rid"], ["status"], "ts_ms", ["eid"])
+    # plan BEFORE any action: post-collect AQE toString() echoes the
+    # initial plan a second time, double-counting Exchange lines
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    got = sorted(
+        (r.rid, r.valid_from, r.valid_to, r.status, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        ("r1", 100, 300, "up", False),
+        ("r1", 300, 400, "down", False),
+        ("r1", 400, None, None, True),
+        ("r2", 100, None, "up", True),
+    ]
