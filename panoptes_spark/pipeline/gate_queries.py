@@ -435,6 +435,86 @@ SELECT * FROM final WHERE rank <= {_TOPK}
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs the exact brute-force baseline — the
+    quality report any ANN deployment publishes alongside latency. Both
+    sides are gate-proven operators; per-query recall = |IVF ∩ BF| / k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK).select(
+        "query_id", "nbr_id"
+    )
+    cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
+    iv = similarity.ivf_topk(
+        emb, queries, cents, k=_TOPK, nprobe=_IVF_NPROBE
+    ).select("query_id", "nbr_id")
+    both = bf.join(iv, ["query_id", "nbr_id"], "left_semi")
+    return (
+        both.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .select(
+            "query_id",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(_TOPK)), 6).alias("recall"),
+        )
+    )
+
+
+def _o_ann_recall() -> str:
+    return f"""
+WITH bf AS ({O_ANN_TOPK}),
+iv AS ({O_IVF_TOPK}),
+m AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN iv ON bf.query_id = iv.query_id AND bf.nbr_id = iv.nbr_id
+)
+SELECT query_id, count(*) AS n_match,
+       round(count(*) / CAST({_TOPK} AS DOUBLE), 6) AS recall
+FROM m GROUP BY query_id
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of all token occurrences covered by the top-k vocabulary
+    — the tokenizer-sizing report."""
+    from panoptes_spark.pipeline.text import token_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = token_frequencies(docs, "text", k=_VOCAB_K)
+    tot = token_frequencies(docs, "text").agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return top.agg(F.sum("n").alias("covered_tokens")).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        "covered_tokens",
+        "total_tokens",
+        "n_distinct",
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+def _o_vocab_coverage() -> str:
+    return f"""
+WITH counts AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY token
+),
+top AS (SELECT n FROM counts ORDER BY n DESC, token ASC LIMIT {_VOCAB_K})
+SELECT (SELECT sum(n) FROM top) AS covered_tokens,
+       sum(n) AS total_tokens,
+       count(*) AS n_distinct,
+       round((SELECT sum(n) FROM top) / CAST(sum(n) AS DOUBLE), 6)
+         AS coverage
+FROM counts
+"""
+
+
 _SEMDEDUP_THRESH = 0.45  # same corpus-density choice as embedding_neardup
 
 
@@ -1359,6 +1439,8 @@ QUERIES = {
     "ann_ivf_topk": q_ivf_topk,
     "ann_lsh_topk": q_lsh_topk,
     "ann_kmeans_refine": q_kmeans_refine,
+    "ann_recall": q_ann_recall,
+    "vocab_coverage": q_vocab_coverage,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
@@ -1398,6 +1480,8 @@ ORACLES = {
     "ann_ivf_topk": O_IVF_TOPK,
     "ann_lsh_topk": O_LSH_TOPK,
     "ann_kmeans_refine": O_KMEANS_REFINE,
+    "ann_recall": _o_ann_recall(),
+    "vocab_coverage": _o_vocab_coverage(),
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "semdedup": O_SEMDEDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
