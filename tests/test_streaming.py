@@ -346,3 +346,45 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
     assert out[(0, "click")] == 2
     assert out[(0, "view")] == 1  # 120s falls in [0,5) window
     assert out[(10, "click")] == 1
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Streaming twin of the J1 enrichment attach: a point stream joined
+    against the static enrichment dim (broadcast; stream-static joins
+    are stateless — the dim re-resolves every micro-batch, which is the
+    Spark-native analogue of the reference's per-poll Redis lookup)."""
+    points = spark.createDataFrame(
+        [
+            ("r1", 1000, 10.0),
+            ("r2", 2000, 20.0),
+            ("r3", 3000, 30.0),  # no enrichment row -> left join keeps it
+        ],
+        "resource_id string, ts_ms long, metric_value double",
+    )
+    src = str(tmp_path / "pts")
+    points.coalesce(1).write.parquet(src)
+
+    enrich = spark.createDataFrame(
+        [("r1", "eth0", 1000), ("r2", "eth7", 10000)],
+        "resource_id string, interface_name string, speed_mbps long",
+    )
+
+    stream = spark.readStream.schema(points.schema).parquet(src)
+    joined = stream.join(F.broadcast(enrich), "resource_id", "left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enriched_pts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.resource_id: (r.interface_name, r.speed_mbps)
+        for r in spark.sql("SELECT * FROM enriched_pts").collect()
+    }
+    assert got == {
+        "r1": ("eth0", 1000),
+        "r2": ("eth7", 10000),
+        "r3": (None, None),
+    }
