@@ -972,6 +972,109 @@ FROM clicks c JOIN iv
 
 
 # ---------------------------------------------------------------------------
+# W7/P12/A9: the classic analytic shapes a telemetry warehouse runs —
+# per-series moving average (RANGE frame), long->wide pivot, retention
+# cohorts. All single-keyed-shuffle plans.
+# ---------------------------------------------------------------------------
+
+_MAVG_RANGE_MS = 6 * 3600 * 1000  # trailing 6h per user
+
+
+def _w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-range moving average per series: RANGE BETWEEN frame on
+    the keyed window — smoothing rates/temps is the standard dashboard
+    transform. One hash shuffle on the series key; RANGE frames stay
+    whole-stage where ROWS would mis-handle irregular sampling."""
+    from pyspark.sql import Window
+
+    e = fx.read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc())
+        .rangeBetween(-_MAVG_RANGE_MS, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.round(
+            F.avg(F.col("value").cast("decimal(20,2)")).over(w).cast("double"),
+            6,
+        ).alias("mavg_6h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+_W_MOVING_AVG_ORACLE = f"""
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+  round(CAST(avg(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE), 6)
+    AS mavg_6h,
+  count(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+  RANGE BETWEEN {_MAVG_RANGE_MS} PRECEDING AND CURRENT ROW)
+"""
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _p_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide: one row per user, one column per event type with
+    its count — Spark's pivot over an EXPLICIT value list (never the
+    discovery scan), which compiles to conditional aggregation: a single
+    keyed shuffle, schema fixed at plan time."""
+    e = fx.read_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
+        )
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {", ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _PIVOT_TYPES
+  )}
+FROM events GROUP BY user_id
+"""
+
+
+def _a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, distinct
+    active users per (cohort_day, active_day). Two keyed aggregations +
+    one equi-join back on user — no window at all, so the plan scales
+    as plain shuffles."""
+    e = fx.read_events(spark, sf_dir)
+    day = F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd")
+    act = e.select("user_id", day.alias("active_day"))
+    first = act.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", "active_day")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS active_day
+  FROM events
+),
+first AS (SELECT user_id, min(active_day) AS cohort_day FROM act GROUP BY 1)
+SELECT cohort_day, active_day, count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY cohort_day, active_day
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5b: SCD2 history — the temporal materialization of the reconcile
 # family: every distinct per-identity state with its validity interval,
 # instead of only the latest winner (manager.py:109-135 keeps winners;
@@ -1592,6 +1695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "j8_asof_align": _asof_align,
             "j9_interval_join": _interval_contain,
             "w5_scd2_history": _scd2_history,
+            "w7_moving_avg": _w_moving_avg,
+            "p12_pivot_wide": _p_pivot_wide,
+            "a9_retention_cohorts": _a_retention_cohorts,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1641,6 +1747,9 @@ def oracle_sql() -> dict[str, str]:
             "j8_asof_align": _ASOF_ORACLE,
             "j9_interval_join": _INTERVAL_ORACLE,
             "w5_scd2_history": _SCD2_ORACLE,
+            "w7_moving_avg": _W_MOVING_AVG_ORACLE,
+            "p12_pivot_wide": _PIVOT_ORACLE,
+            "a9_retention_cohorts": _RETENTION_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
