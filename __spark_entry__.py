@@ -972,6 +972,117 @@ FROM clicks c JOIN iv
 
 
 # ---------------------------------------------------------------------------
+# A10/A11: multi-join OLAP over the TPC-H-ish tables — the join-planning
+# showcases (selective dim broadcast into fact-fact shuffle joins, then
+# keyed agg + bounded top-k). Decimal-exact money arithmetic as in the
+# pricing summary.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(28,6)"
+
+
+def _olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: un-shipped revenue per order for one market segment.
+    The filtered customer dim broadcasts into the orders⋈lineitem keyed
+    join; group on (order, date) then TakeOrdered top-20."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast(_DEC) - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
+_OLAP_Q3_ORACLE = """
+SELECT l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 20
+"""
+
+
+def _olap_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation where customer and supplier share the
+    nation, one region, one order-year. Every dim broadcasts; the only
+    shuffle is lineitem⋈orders on the order key + the final nation agg."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast(_DEC) - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_OLAP_Q5_ORACLE = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # W7/P12/A9: the classic analytic shapes a telemetry warehouse runs —
 # per-series moving average (RANGE frame), long->wide pivot, retention
 # cohorts. All single-keyed-shuffle plans.
@@ -1698,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w7_moving_avg": _w_moving_avg,
             "p12_pivot_wide": _p_pivot_wide,
             "a9_retention_cohorts": _a_retention_cohorts,
+            "a10_shipping_priority": _olap_shipping_priority,
+            "a11_regional_volume": _olap_regional_volume,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1750,6 +1863,8 @@ def oracle_sql() -> dict[str, str]:
             "w7_moving_avg": _W_MOVING_AVG_ORACLE,
             "p12_pivot_wide": _PIVOT_ORACLE,
             "a9_retention_cohorts": _RETENTION_ORACLE,
+            "a10_shipping_priority": _OLAP_Q3_ORACLE,
+            "a11_regional_volume": _OLAP_Q5_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
