@@ -1082,6 +1082,68 @@ GROUP BY n_name
 """
 
 
+def _olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-granularity totals — (flag, status), per-flag, and
+    grand total in ONE pass: Catalyst expands grouping sets into a
+    single Expand + keyed aggregate, not three scans."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias(
+                "sum_qty"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_OLAP_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _olap_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated 'above group average' — the correlated-subquery
+    shape (s.acctbal > avg of s's nation) rewritten as a dim-sized
+    aggregate broadcast back; the supplier table is scanned once."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    avgs = s.groupBy("s_nationkey").agg(
+        F.sum(F.col("s_acctbal").cast(_DEC)).alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # bal > sum/n expressed division-free (bal*n > sum): exact decimal
+    # arithmetic on both engines, immune to decimal-division scale rules
+    return (
+        s.join(F.broadcast(avgs), "s_nationkey")
+        .where(F.col("s_acctbal").cast(_DEC) * F.col("__n") > F.col("__sum"))
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+
+
+_OLAP_ABOVE_AVG_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal
+FROM supplier s
+WHERE CAST(s_acctbal AS DECIMAL(28,6)) * (
+  SELECT count(*) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+) > (
+  SELECT sum(CAST(s2.s_acctbal AS DECIMAL(28,6)))
+  FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # W7/P12/A9: the classic analytic shapes a telemetry warehouse runs —
 # per-series moving average (RANGE frame), long->wide pivot, retention
@@ -1811,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a9_retention_cohorts": _a_retention_cohorts,
             "a10_shipping_priority": _olap_shipping_priority,
             "a11_regional_volume": _olap_regional_volume,
+            "a12_rollup_totals": _olap_rollup,
+            "a13_above_nation_avg": _olap_above_nation_avg,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -1865,6 +1929,8 @@ def oracle_sql() -> dict[str, str]:
             "a9_retention_cohorts": _RETENTION_ORACLE,
             "a10_shipping_priority": _OLAP_Q3_ORACLE,
             "a11_regional_volume": _OLAP_Q5_ORACLE,
+            "a12_rollup_totals": _OLAP_ROLLUP_ORACLE,
+            "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
