@@ -201,3 +201,58 @@ def test_enrichment_validation_neighbor_namespace(spark):
     assert {r.key for r in invalid.collect()} == {"nomac", "broken"}
     v = valid.collect()[0].value
     assert v.layer == 2 and v.ipv4_address == ["10.0.0.1/31"]
+
+
+def test_read_documents_jsonl_tolerates_corruption(spark, tmp_path):
+    """Malformed lines and parseable-but-incomplete records both land in
+    the corrupt stream with their raw line; valid docs survive."""
+    from panoptes_spark.sources.text_corpus import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+                '{"doc_id": 2, "text": "hola", "source": "web"}',
+                "{not json at all",
+                '{"doc_id": 3, "lang": "de"}',  # parses, but text missing
+            ]
+        )
+    )
+    valid, corrupt = read_documents_jsonl(spark, str(p))
+    assert {r.doc_id for r in valid.collect()} == {1, 2}
+    bad = [r.raw_line for r in corrupt.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+
+
+def test_write_sorted_by_range_partitions(spark, tmp_path):
+    """Export is globally ordered across files via a range shuffle —
+    plan shows RangePartitioning, never a single-partition global sort;
+    files are disjoint, ordered ranges."""
+    from panoptes_spark.sources.text_corpus import write_sorted_by
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(200)], "id long, score long"
+    )
+    shuffled = df.repartition(8)
+    plan = (
+        shuffled.repartitionByRange(4, "score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+    out = str(tmp_path / "sorted")
+    write_sorted_by(shuffled, out, ["score"], n_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        vals = [r.score for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)          # ordered within file
+        if vals:
+            ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                    # files are disjoint ranges
