@@ -1082,6 +1082,49 @@ GROUP BY n_name
 """
 
 
+def _w8_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one keyed window: row_number,
+    rank, dense_rank, percent_rank, ntile(4), cumulative sum — all share
+    a single (user) partitioning, so the plan is one shuffle + one sort
+    feeding every function."""
+    from pyspark.sql import Window
+
+    e = fx.read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(F.col("value").cast("decimal(20,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("cum_value"),
+    )
+
+
+_W8_RANK_ORACLE = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+  CAST(row_number() OVER w AS INT) AS rn,
+  CAST(rank() OVER w AS INT) AS rnk,
+  CAST(dense_rank() OVER w AS INT) AS drnk,
+  round(percent_rank() OVER w, 6) AS prnk,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (
+    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+
 def _olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-granularity totals — (flag, status), per-flag, and
     grand total in ONE pass: Catalyst expands grouping sets into a
@@ -1874,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a10_shipping_priority": _olap_shipping_priority,
             "a11_regional_volume": _olap_regional_volume,
             "a12_rollup_totals": _olap_rollup,
+            "w8_rank_suite": _w8_rank_suite,
             "a13_above_nation_avg": _olap_above_nation_avg,
         }
     )
@@ -1930,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
             "a10_shipping_priority": _OLAP_Q3_ORACLE,
             "a11_regional_volume": _OLAP_Q5_ORACLE,
             "a12_rollup_totals": _OLAP_ROLLUP_ORACLE,
+            "w8_rank_suite": _W8_RANK_ORACLE,
             "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
         }
     )

@@ -968,3 +968,16 @@ def test_corpus_stats_and_group_cap(spark):
     got = {(r.lang, r.doc_id) for r in capped.collect()}
     # top-3 by quality desc per group
     assert got == {("s1", 7), ("s1", 6), ("s1", 5), ("s2", 8), ("s2", 9)}
+
+
+def test_approx_distinct_sketch_within_tolerance(spark):
+    """HyperLogLog++ distinct sketch (approx_count_distinct): no SQL
+    oracle can hash-match an approximation, so pin it by tolerance
+    against the exact count — the standard rsd contract (default 5%)."""
+    df = spark.range(0, 20000).select((F.col("id") % 5000).alias("v"))
+    row = df.agg(
+        F.approx_count_distinct("v").alias("approx"),
+        F.count_distinct("v").alias("exact"),
+    ).collect()[0]
+    assert row.exact == 5000
+    assert abs(row.approx - row.exact) / row.exact < 0.10  # 2x default rsd

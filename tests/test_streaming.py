@@ -388,3 +388,59 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         "r2": ("eth7", 10000),
         "r3": (None, None),
     }
+
+
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time range constraint —
+    the streaming interval join: each click matches purchases by the
+    same user within the following hour. Watermarks on both sides bound
+    the join state (Spark evicts rows older than watermark + range)."""
+    clicks = spark.createDataFrame(
+        [("u1", 1_000_000, 1), ("u1", 10_000_000, 2), ("u2", 1_000_000, 3)],
+        "user string, ts_ms long, click_id long",
+    )
+    purchases = spark.createDataFrame(
+        [
+            ("u1", 1_500_000, 101),   # within 1h of click 1
+            ("u1", 9_000_000, 102),   # before click 2 -> no match for it
+            ("u2", 99_000_000, 103),  # far after u2's click -> no match
+        ],
+        "user string, ts_ms long, purchase_id long",
+    )
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    clicks.coalesce(1).write.parquet(cdir)
+    purchases.coalesce(1).write.parquet(pdir)
+
+    cs = (
+        spark.readStream.schema(clicks.schema).parquet(cdir)
+        .withColumn("c_ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("c_ts", "1 hour")
+        .drop("ts_ms")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema).parquet(pdir)
+        .withColumnRenamed("user", "p_user")
+        .withColumn("p_ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("p_ts", "1 hour")
+        .drop("ts_ms")
+    )
+    joined = cs.join(
+        ps,
+        F.expr(
+            "user = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT click_id, purchase_id FROM ss_join").collect()
+    }
+    assert got == {(1, 101)}
