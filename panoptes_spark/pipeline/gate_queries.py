@@ -908,6 +908,66 @@ ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
 """
 
 
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain a corpus run executes, as ONE plan:
+    quality filter -> exact dedup -> split assignment -> shard
+    assignment. Every stage is individually gate-proven; this gate
+    proves the COMPOSITION (the production artifact: doc -> split/shard
+    routing for the kept, deduped corpus)."""
+    from panoptes_spark.pipeline.splits import assign_shard, assign_split
+    from panoptes_spark.pipeline.text import filter_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = filter_quality(docs).where("keep").select("doc_id", "text", "lang")
+    deduped = dedup.exact_dedup(
+        kept.withColumn("norm", dedup.normalize_text_col("text")),
+        ["norm"],
+        "doc_id",
+    )
+    split = assign_split(deduped, "doc_id", salt="v1")
+    sharded = assign_shard(split, 8, "doc_id", salt="shard")
+    return sharded.select("doc_id", "lang", "split", "shard")
+
+
+def _o_curation_e2e() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    split_chain = mmh3_cte_chain(
+        "base", "'v1' || ':' || cast(doc_id as varchar)", "duckdb"
+    ).replace("__mm_", "__sp_").replace("mmh3 AS", "split_hashed AS")
+    shard_chain = mmh3_cte_chain(
+        "split_hashed", "'shard' || ':' || cast(doc_id as varchar)", "duckdb"
+    ).replace("mmh3 AS", "shard_hashed AS")
+    return f"""
+WITH qf AS ({_o_quality_filter()}),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN qf USING (doc_id) WHERE qf.keep
+),
+normed AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+        'g'), '\\s+', ' ', 'g')) AS norm
+  FROM kept
+),
+base AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+      row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM normed
+  ) WHERE rn = 1
+),
+{split_chain},
+{shard_chain}
+SELECT doc_id, lang,
+  CASE WHEN __sp_hash % 10000 < 9800 THEN 'train'
+       WHEN __sp_hash % 10000 < 9900 THEN 'val'
+       ELSE 'test' END AS split,
+  (__mm_hash % 10000) % 8 AS shard
+FROM shard_hashed
+"""
+
+
 _LEAK_FRACS = (("train", 0.5), ("val", 0.25), ("test", 0.25))
 
 
@@ -1457,6 +1517,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "global_quantiles": q_global_quantiles,
     "split_leakage": q_split_leakage,
+    "curation_e2e": q_curation_e2e,
     "skew_report": q_skew_report,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1498,6 +1559,7 @@ ORACLES = {
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "global_quantiles": O_GLOBAL_QUANTILES,
     "split_leakage": _o_split_leakage(),
+    "curation_e2e": _o_curation_e2e(),
     "skew_report": O_SKEW_REPORT,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
