@@ -968,6 +968,20 @@ FROM shard_hashed
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.lm import score_documents, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, vocab = train_bigram_lm(docs)
+    return score_documents(docs, uni, bi, vocab)
+
+
+def _o_lm_perplexity() -> str:
+    from panoptes_spark.pipeline.lm import lm_oracle_sql
+
+    return lm_oracle_sql()
+
+
 _LEAK_FRACS = (("train", 0.5), ("val", 0.25), ("test", 0.25))
 
 
@@ -1518,6 +1532,7 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "split_leakage": q_split_leakage,
     "curation_e2e": q_curation_e2e,
+    "lm_perplexity": q_lm_perplexity,
     "skew_report": q_skew_report,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1560,6 +1575,7 @@ ORACLES = {
     "global_quantiles": O_GLOBAL_QUANTILES,
     "split_leakage": _o_split_leakage(),
     "curation_e2e": _o_curation_e2e(),
+    "lm_perplexity": _o_lm_perplexity(),
     "skew_report": O_SKEW_REPORT,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),

@@ -1,0 +1,122 @@
+"""N-gram language-model scoring — the CCNet/KenLM-style quality signal.
+
+Corpus curation's classic ranking: train a smoothed bigram LM on the
+corpus (or a trusted reference corpus), score every document by its
+average negative log-probability; gibberish and boilerplate score high,
+fluent text low. A full KenLM is a binary artifact; the bigram variant
+is exactly expressible as DataFrame ops AND as SQL, which makes it both
+the honest in-engine implementation and oracle-checkable.
+
+Model: add-k smoothing. ``p(w_i | w_{i-1}) = (c(prev,w) + k) /
+(c(prev) + k*V)`` with a ``<s>`` start token per document and V = the
+unigram vocabulary size (incl. ``<s>``).
+
+Scale shape: training = two keyed count aggregations over exploded
+grams (map-side partials collapse repeats). Scoring = one explode +
+two equi-joins against the count tables (bigram dim is corpus-vocab²
+bounded, usually modest; unigram dim broadcastable) + one per-doc
+aggregation. Everything JVM-side; ``ln`` differs across engines by at
+most 1 ulp, far inside the 6 dp quantization of the final average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "score_documents"]
+
+START = "<s>"
+
+_TOKENIZE = "filter(split(lower({col}), '[^a-z]+'), x -> x != '')"
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, cur) rows: one per bigram, with a <s> start token."""
+    toks = f"array_insert({_TOKENIZE.format(col=text_col)}, 1, '{START}')"
+    pairs = (
+        f"transform(slice({toks}, 1, size({toks}) - 1),"
+        f" (w, i) -> struct(w as prev, element_at({toks}, i + 2) as cur))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(pairs)).alias("__bg"))
+        .select(id_col, "__bg.prev", "__bg.cur")
+    )
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (unigram_counts(prev, cu), bigram_counts(prev, cur, cb),
+    vocab_size — a 1-row DataFrame (v)). Unigram counts are the
+    CONTEXT counts (how often ``prev`` opens a bigram), which is what
+    the conditional denominator needs."""
+    bg = _doc_bigrams(corpus, text_col, id_col)
+    bigrams = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    unigrams = bigrams.groupBy("prev").agg(F.sum("cb").alias("cu"))
+    vocab = bg.select(F.col("cur").alias("w")).union(
+        bg.select(F.col("prev"))
+    ).agg(F.count_distinct("w").alias("v"))
+    return unigrams, bigrams, vocab
+
+
+def score_documents(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, avg_neg_logp): average negative log bigram
+    probability, rounded to 6 dp. Unseen grams get the smoothed floor.
+    Documents with zero alphabetic tokens have no bigrams and drop out
+    — route them through the quality filter's min-length rule instead.
+    """
+    bg = _doc_bigrams(docs, text_col, id_col)
+    term = (
+        f"-ln((coalesce(cb, 0) + {k!r})"
+        f" / (coalesce(cu, 0) + {k!r} * v))"
+    )
+    return (
+        bg.join(bigrams, ["prev", "cur"], "left")
+        .join(unigrams, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.expr(term)), 6).alias("avg_neg_logp"),
+        )
+    )
+
+
+def lm_oracle_sql(k: float = 0.5) -> str:
+    """DuckDB twin over the ``documents`` view — same tokenization,
+    same smoothing, same expression text."""
+    toks = (
+        "list_prepend('<s>', list_filter("
+        "string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur
+  FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+),
+bigrams AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+unigrams AS (SELECT prev, sum(cb) AS cu FROM bigrams GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (
+    SELECT cur AS w FROM bg UNION ALL SELECT prev FROM bg
+  )
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  round(avg(-ln((coalesce(cb, 0) + {k!r})
+              / (coalesce(cu, 0) + {k!r} * v))), 6) AS avg_neg_logp
+FROM bg
+LEFT JOIN bigrams USING (prev, cur)
+LEFT JOIN unigrams USING (prev)
+CROSS JOIN vocab
+GROUP BY doc_id
+"""

@@ -981,3 +981,48 @@ def test_approx_distinct_sketch_within_tolerance(spark):
     ).collect()[0]
     assert row.exact == 5000
     assert abs(row.approx - row.exact) / row.exact < 0.10  # 2x default rsd
+
+
+def test_lm_perplexity_ranks_fluency(spark):
+    """A bigram LM trained on a repetitive corpus must score in-domain
+    word order lower (better) than scrambled order, and unseen-vocab
+    docs worst; hand-checked smoothed probability on a tiny case."""
+    import math
+
+    from panoptes_spark.pipeline.lm import score_documents, train_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(10 + i, "the dog sat on the rug") for i in range(5)],
+        "doc_id long, text string",
+    )
+    uni, bi, vocab = train_bigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),   # in-domain order
+            (101, "mat the on sat cat the"),   # same words, scrambled
+            (102, "zebra quantum flux banana"),  # unseen vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_neg_logp
+        for r in score_documents(probe, uni, bi, vocab).collect()
+    }
+    # fluent in-domain text beats both degenerate probes; note the
+    # scrambled doc scores WORSE than the short unseen-vocab doc — add-k
+    # smoothing gives unseen contexts a mild floor (0.5/(0+0.5V)), while
+    # scrambling burns known, well-populated contexts
+    assert got[100] < got[101] and got[100] < got[102]
+
+    # exact hand computation, e.g. doc 100's first bigram (<s>, the):
+    # p = (c(<s>,the)+0.5) / (c(<s>)+0.5*V) = 10.5 / (10+4), V=8
+    def p(cb, cu):
+        return -math.log((cb + 0.5) / (cu + 0.5 * 8))
+
+    want_100 = round(
+        (p(10, 10) + p(5, 20) + p(5, 5) + p(10, 10) + p(10, 10) + p(5, 20))
+        / 6,
+        6,
+    )
+    assert got[100] == want_100
