@@ -968,6 +968,114 @@ FROM shard_hashed
 """
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices (en vs the
+    rest): per-token probability in each slice plus the pointwise
+    Jensen-Shannon term, summed to the JS divergence — the drift report
+    run when a new crawl lands. Two grouped counts + one full-outer
+    token join (vocab-sized, not corpus-sized) + one scalar agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.col("lang"),
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).where(F.col("token") != "")
+    a = toks.where(F.col("lang") == "en").groupBy("token").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = toks.where(F.col("lang") != "en").groupBy("token").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    joined = a.join(b, "token", "full_outer").na.fill(0, ["ca", "cb"])
+    tot = joined.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    term = (
+        "CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0.0 END"
+        " + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0.0 END"
+    )
+    probs = joined.crossJoin(F.broadcast(tot)).selectExpr(
+        "token",
+        "ca / cast(na as double) AS pa",
+        "cb / cast(nb as double) AS pb",
+        "(ca / cast(na as double) + cb / cast(nb as double)) / 2 AS m",
+    )
+    return probs.agg(
+        F.round(F.expr(f"sum({term}) / 2"), 6).alias("js_divergence"),
+        F.count(F.lit(1)).alias("n_tokens_union"),
+    )
+
+
+O_CORPUS_DIVERGENCE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+tt AS (SELECT * FROM toks WHERE token <> ''),
+a AS (SELECT token, count(*) AS ca FROM tt WHERE lang = 'en' GROUP BY 1),
+b AS (SELECT token, count(*) AS cb FROM tt WHERE lang <> 'en' GROUP BY 1),
+j AS (
+  SELECT coalesce(a.token, b.token) AS token,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b USING (token)
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j),
+p AS (
+  SELECT token, ca / CAST(na AS DOUBLE) AS pa, cb / CAST(nb AS DOUBLE) AS pb,
+    (ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE)) / 2 AS m
+  FROM j CROSS JOIN tot
+)
+SELECT round(sum(
+    CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0.0 END
+    + CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0.0 END) / 2, 6)
+  AS js_divergence,
+  count(*) AS n_tokens_union
+FROM p
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs grouped by the
+    (lang_a, lang_b) slice pair — which sources re-publish each other.
+    Pair-set-sized joins against the doc dim; corpus never re-shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    dim_a = docs.select(
+        F.col("doc_id").alias("a"), F.col("source").alias("src_a")
+    )
+    dim_b = docs.select(
+        F.col("doc_id").alias("b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(dim_a, "a")
+        .join(dim_b, "b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("src_x"),
+            F.greatest("src_a", "src_b").alias("src_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(10,6)")).cast("double"),
+                6,
+            ).alias("sum_jaccard"),
+        )
+    )
+
+
+def _o_source_overlap() -> str:
+    return f"""
+WITH pairs AS ({O_DEDUP_MINHASH})
+SELECT least(da.source, db.source) AS src_x,
+       greatest(da.source, db.source) AS src_y,
+       count(*) AS n_pairs,
+       CAST(sum(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE) AS sum_jaccard
+FROM pairs p
+JOIN documents da ON p.a = da.doc_id
+JOIN documents db ON p.b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.lm import score_documents, train_bigram_lm
 
@@ -1533,6 +1641,8 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "curation_e2e": q_curation_e2e,
     "lm_perplexity": q_lm_perplexity,
+    "corpus_divergence": q_corpus_divergence,
+    "source_overlap": q_source_overlap,
     "skew_report": q_skew_report,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1576,6 +1686,8 @@ ORACLES = {
     "split_leakage": _o_split_leakage(),
     "curation_e2e": _o_curation_e2e(),
     "lm_perplexity": _o_lm_perplexity(),
+    "corpus_divergence": O_CORPUS_DIVERGENCE,
+    "source_overlap": _o_source_overlap(),
     "skew_report": O_SKEW_REPORT,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
