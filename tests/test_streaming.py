@@ -444,3 +444,55 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
         for r in spark.sql("SELECT click_id, purchase_id FROM ss_join").collect()
     }
     assert got == {(1, 101)}
+
+
+def test_rate_stream_state_survives_restart(spark, tmp_path):
+    """Kill the query, append new data, restart with the SAME
+    checkpoint: the stateful rate must compute batch-2 rates against
+    batch-1's last sample (state recovered from the checkpoint, not
+    rebuilt), and must not re-emit batch-1 output (exactly-once over
+    the file source + memory sink)."""
+    import os
+
+    from panoptes_spark.streaming.rate_stream import rate_stream
+
+    schema = POINTS_SCHEMA
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    spark.createDataFrame(
+        [("r1", "iface", 1000, 10.0), ("r1", "iface", 61000, 70.0)], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src + "/b1").schema
+        ).parquet(src + "/*")
+        q = (
+            # big interval -> processing-time state TTL (3x interval) of
+            # 30 min, so slow local restarts cannot expire state mid-test
+            rate_stream(stream, interval_sec=600)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once("restart_a")
+    first = {(r.ts_ms, r.rate) for r in spark.read.parquet(out).collect()}
+    assert first == {(61000, 1.0)}
+
+    # second incarnation: new file, same checkpoint
+    spark.createDataFrame(
+        [("r1", "iface", 121000, 190.0)], schema  # vs state 70@61000 -> 2/s
+    ).coalesce(1).write.parquet(src + "/b2")
+    run_once("restart_b")
+    both = {(r.ts_ms, r.rate) for r in spark.read.parquet(out).collect()}
+    # batch-1 rows not re-emitted; batch-2 rate used the RECOVERED state
+    assert both == {(61000, 1.0), (121000, 2.0)}
