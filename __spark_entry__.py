@@ -1082,6 +1082,93 @@ GROUP BY n_name
 """
 
 
+def _olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate-then-semi-join: the HAVING aggregate keys filter the fact
+    join instead of re-scanning; broadcast of the qualifying key set."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey", F.col("__q").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_OLAP_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 250
+)
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d')
+         AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
+def _olap_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer over a quarter —
+    selective fact filter, keyed fact-fact join, broadcast customer/
+    nation dims, top-20 by revenue."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast(_DEC) - disc))
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_OLAP_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE)
+    AS lost_revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
 def _w8_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-function family over one keyed window: row_number,
     rank, dense_rank, percent_rank, ntile(4), cumulative sum — all share
@@ -1918,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a11_regional_volume": _olap_regional_volume,
             "a12_rollup_totals": _olap_rollup,
             "w8_rank_suite": _w8_rank_suite,
+            "a14_large_orders": _olap_large_orders,
+            "a15_returned_revenue": _olap_returned_revenue,
             "a13_above_nation_avg": _olap_above_nation_avg,
         }
     )
@@ -1975,6 +2064,8 @@ def oracle_sql() -> dict[str, str]:
             "a11_regional_volume": _OLAP_Q5_ORACLE,
             "a12_rollup_totals": _OLAP_ROLLUP_ORACLE,
             "w8_rank_suite": _W8_RANK_ORACLE,
+            "a14_large_orders": _OLAP_Q18_ORACLE,
+            "a15_returned_revenue": _OLAP_Q10_ORACLE,
             "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
         }
     )
