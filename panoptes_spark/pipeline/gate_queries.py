@@ -1152,6 +1152,33 @@ GROUP BY p
 """
 
 
+_BINQ_W = 0.25  # events.value spans ~[0, 100]; quarter-unit bins
+
+
+def q_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.stats import binned_quantiles
+    from panoptes_spark.sources import tpch_fixtures as _fx
+
+    e = _fx.read_events(spark, sf_dir)
+    return binned_quantiles(e, "value", _QUANT_PS, bin_width=_BINQ_W)
+
+
+O_BINNED_QUANTILES = f"""
+WITH h AS (
+  SELECT CAST(floor(value / {_BINQ_W!r}) AS BIGINT) AS v, count(*) AS c
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(c) AS n FROM h),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM h)
+SELECT p, CAST(min(v) * {_BINQ_W!r} AS DOUBLE) AS q
+FROM cum CROSS JOIN tot
+CROSS JOIN (VALUES {", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _QUANT_PS)})
+  ps(p)
+WHERE cm >= CAST(ceil(p * n) AS BIGINT)
+GROUP BY p
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.stats import skew_report
     from panoptes_spark.sources import tpch_fixtures as _fx
@@ -1644,6 +1671,7 @@ QUERIES = {
     "corpus_divergence": q_corpus_divergence,
     "source_overlap": q_source_overlap,
     "skew_report": q_skew_report,
+    "binned_quantiles": q_binned_quantiles,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1689,6 +1717,7 @@ ORACLES = {
     "corpus_divergence": O_CORPUS_DIVERGENCE,
     "source_overlap": _o_source_overlap(),
     "skew_report": O_SKEW_REPORT,
+    "binned_quantiles": O_BINNED_QUANTILES,
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

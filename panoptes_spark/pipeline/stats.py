@@ -65,6 +65,31 @@ def global_quantiles(
     ).select("__s.p", "__s.q")
 
 
+def binned_quantiles(
+    df: DataFrame, value_col: str, ps: list[float], bin_width: float
+) -> DataFrame:
+    """Quantiles of a CONTINUOUS column with error bounded by
+    ``bin_width``: values quantize to ``floor(v / w)`` bins (map-only,
+    deterministic — no sampling, unlike approx_percentile), then the
+    exact type-1 machinery runs on the bounded bin domain. Returns
+    (p, q) where q is the LOWER EDGE of the quantile's bin — a
+    deterministic, engine-reproducible answer within one bin of the
+    true quantile."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive: {bin_width}")
+    binned = df.select(
+        F.expr(f"cast(floor({value_col} / {bin_width!r}) as bigint)").alias(
+            "__bin"
+        )
+    )
+    qs = global_quantiles(binned, "__bin", ps)
+    # cast(... as double): a bare 0.25 literal parses as DECIMAL and
+    # would decimal-type the output on both engines
+    return qs.select(
+        "p", F.expr(f"cast(q * {bin_width!r} as double)").alias("q")
+    )
+
+
 def skew_report(
     df: DataFrame, keys: list[str], top_n: int = 20
 ) -> DataFrame:

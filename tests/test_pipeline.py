@@ -1026,3 +1026,21 @@ def test_lm_perplexity_ranks_fluency(spark):
         6,
     )
     assert got[100] == want_100
+
+
+def test_binned_quantiles_error_bound(spark):
+    """Binned quantiles sit within one bin_width of the exact type-1
+    quantile, and reject non-positive widths."""
+    import pytest as _pytest
+
+    from panoptes_spark.pipeline.stats import binned_quantiles
+
+    vals = [float(i) / 7 for i in range(1000)]  # 0 .. ~142.7
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.p: r.q for r in binned_quantiles(df, "x", [0.5, 0.9], 0.5).collect()}
+    exact = {0.5: vals[499], 0.9: vals[899]}  # type-1 on distinct values
+    for p in exact:
+        assert abs(got[p] - exact[p]) <= 0.5
+
+    with _pytest.raises(ValueError):
+        binned_quantiles(df, "x", [0.5], 0.0)
