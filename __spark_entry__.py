@@ -423,6 +423,45 @@ WITH {_RECONCILE_CTE}
 SELECT o_orderkey, action, cur_ts, inc_ts, cur_price, inc_price FROM plan
 """
 
+
+def _j5_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level change capture on the reconcile plan (CDC-style): for
+    every applied update, one row per field whose value actually changed
+    — the audit trail a store merge should ship. Narrow over the plan:
+    explode a literal field array + a null-safe inequality filter."""
+    plan = _reconcile_plan(spark, sf_dir)
+    fields = F.array(
+        F.struct(
+            F.lit("ts").alias("field"),
+            F.col("cur_ts").alias("old_value"),
+            F.col("inc_ts").alias("new_value"),
+        ),
+        F.struct(
+            F.lit("price").alias("field"),
+            F.col("cur_price").alias("old_value"),
+            F.col("inc_price").alias("new_value"),
+        ),
+    )
+    return (
+        plan.where(F.col("action") == "update")
+        .select("o_orderkey", F.explode(fields).alias("__d"))
+        .select("o_orderkey", "__d.field", "__d.old_value", "__d.new_value")
+        .where(~F.col("old_value").eqNullSafe(F.col("new_value")))
+    )
+
+
+_J5_FIELD_DIFF_ORACLE = f"""
+WITH {_RECONCILE_CTE},
+upd AS (SELECT * FROM plan WHERE action = 'update'),
+d AS (
+  SELECT o_orderkey, 'ts' AS field, cur_ts AS old_value, inc_ts AS new_value
+  FROM upd
+  UNION ALL
+  SELECT o_orderkey, 'price', cur_price, inc_price FROM upd
+)
+SELECT * FROM d WHERE old_value IS DISTINCT FROM new_value
+"""
+
 _RECONCILE_APPLY_ORACLE = f"""
 WITH {_RECONCILE_CTE}
 SELECT o_orderkey,
@@ -1978,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsl_metric_program": _dsl_metric_program,
             "j5_reconcile_plan": _reconcile_plan,
             "j5_reconcile_apply": _reconcile_apply,
+            "j5_field_diff": _j5_field_diff,
             "j1_interface_pipeline": _iface_query,
             "a2_group_count": _a2_group_count,
             "a4_status_rollup": _a4_status_rollup,
@@ -2037,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
             "dsl_metric_program": _DSL_METRIC_ORACLE,
             "j5_reconcile_plan": _RECONCILE_PLAN_ORACLE,
             "j5_reconcile_apply": _RECONCILE_APPLY_ORACLE,
+            "j5_field_diff": _J5_FIELD_DIFF_ORACLE,
             "j1_interface_pipeline": _IFACE_ORACLE,
             "a2_group_count": _A2_ORACLE,
             "a4_status_rollup": _A4_ORACLE,
