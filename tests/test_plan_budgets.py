@@ -1,0 +1,68 @@
+"""Shuffle-budget regression guard for the flagship gates.
+
+test_plan_audit.py rejects categorically bad shapes (cartesians,
+unpartitioned windows); this locks the NUMBER of shuffles for the gates
+whose single-shuffle / zero-shuffle design is the point. A refactor that
+silently adds an Exchange to one of these fails here, not in a 100 TB
+run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+#: gate -> max hash/range Exchanges allowed in the executed plan
+BUDGETS = {
+    # map-only families: zero shuffles, full pushdown
+    "p1_dsl_field_filter": 0,
+    "f_scalar_functions": 0,
+    "split_assignment": 0,
+    "text_pii_scrub": 0,
+    "chunk_documents": 0,
+    "w6_uniform_splay": 0,
+    # single-keyed-shuffle designs (budget covers gate-level extras:
+    # sessionize's final orderBy adds a range exchange; the asof gate
+    # pre-aggregates its right side — the operator cores are separately
+    # asserted at 1 in tests/test_sessions.py / tests/test_temporal.py)
+    "w_sessionize_events": 2,
+    "j6_rate_batch": 1,
+    "j8_asof_align": 2,
+    "w5_scd2_history": 1,
+    "w8_rank_suite": 1,
+    "w7_moving_avg": 1,
+    "a_pricing_summary": 1,
+    # broadcast-dim joins: the one shuffle is the gate's group rollup
+    "j1_enrichment_join": 1,
+    "a13_above_nation_avg": 1,
+    # top-k via TakeOrderedAndProject, not a sort: key + 0 extra
+    "weighted_sample": 0,
+}
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+
+
+@pytest.fixture(scope="module")
+def spark_plans(spark):
+    qs = entrymod.queries()
+    out = {}
+    for name in BUDGETS:
+        out[name] = (
+            qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark_plans, name):
+    got = _shuffles(spark_plans[name])
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} shuffles > budget {BUDGETS[name]}\n"
+        + spark_plans[name][:2000]
+    )

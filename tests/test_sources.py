@@ -256,3 +256,28 @@ def test_write_sorted_by_range_partitions(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2                    # files are disjoint ranges
+
+
+def test_corrupt_parquet_file_tolerance(spark, tmp_path):
+    """A garbage file in a table directory must not kill the scan when
+    ignoreCorruptFiles is on — the crawl-shard resilience setting; the
+    valid shard's rows all survive."""
+    d = tmp_path / "tbl"
+    spark.createDataFrame(
+        [(i, f"row{i}") for i in range(10)], "id long, s string"
+    ).coalesce(1).write.parquet(str(d))
+    (d / "part-junk.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    good = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(d))
+    )
+    assert good.count() == 10
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    with _pytest.raises((Py4JJavaError, CapturedException)):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(
+            str(d)
+        ).count()
