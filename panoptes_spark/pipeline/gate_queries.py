@@ -1179,6 +1179,30 @@ GROUP BY p
 """
 
 
+def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.layout import morton_code_sql
+    from panoptes_spark.sources import tpch_fixtures as _fx
+
+    e = _fx.read_events(spark, sf_dir)
+    code = morton_code_sql(
+        "cast(user_id as bigint)", "ts_ms div 3600000", "spark"
+    )
+    return e.select(
+        "event_id", F.expr(code).cast("bigint").alias("zorder")
+    )
+
+
+def _o_zorder_codes() -> str:
+    from panoptes_spark.pipeline.layout import morton_code_sql
+
+    code = morton_code_sql(
+        "CAST(user_id AS BIGINT)", "epoch_ms(ts) // 3600000", "duckdb"
+    )
+    return f"""
+SELECT event_id, CAST({code} AS BIGINT) AS zorder FROM events
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.stats import skew_report
     from panoptes_spark.sources import tpch_fixtures as _fx
@@ -1672,6 +1696,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "skew_report": q_skew_report,
     "binned_quantiles": q_binned_quantiles,
+    "zorder_codes": q_zorder_codes,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1718,6 +1743,7 @@ ORACLES = {
     "source_overlap": _o_source_overlap(),
     "skew_report": O_SKEW_REPORT,
     "binned_quantiles": O_BINNED_QUANTILES,
+    "zorder_codes": _o_zorder_codes(),
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

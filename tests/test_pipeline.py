@@ -1044,3 +1044,35 @@ def test_binned_quantiles_error_bound(spark):
 
     with _pytest.raises(ValueError):
         binned_quantiles(df, "x", [0.5], 0.0)
+
+
+def test_zorder_export_clusters_both_dims(spark, tmp_path):
+    """Morton codes interleave exactly (hand-checked bits), and a
+    Z-order export clusters BOTH key columns: every output file's
+    bounding box covers a small fraction of each dimension, unlike a
+    single-column sort where the second dim spans the full range."""
+    from panoptes_spark.pipeline.layout import add_morton_code, zorder_export
+
+    # hand-checked interleave: x=0b11 -> even bits 0,2 (=5);
+    # y=0b10 -> odd bits: bit1 of y lands at position 3 (=8) -> 13
+    one = spark.createDataFrame([(3, 2)], "x long, y long")
+    assert add_morton_code(one, "x", "y").collect()[0].zorder == 0b1101
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    out = str(tmp_path / "z")
+    zorder_export(df, out, "x", "y", n_files=16)
+
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(out + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        spans_x.append(pdf[1] - pdf[0])
+        spans_y.append(pdf[3] - pdf[2])
+    # 16 files over a 64x64 grid -> each file is a ~16x16 tile; allow
+    # slack for range-partitioner sampling at tile boundaries
+    assert sum(spans_x) / len(spans_x) < 40
+    assert sum(spans_y) / len(spans_y) < 40
