@@ -1179,6 +1179,33 @@ GROUP BY p
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.drift import ks_drift
+    from panoptes_spark.sources import tpch_fixtures as _fx
+
+    e = _fx.read_events(spark, sf_dir)
+    grp = e.withColumn("grp", F.col("user_id") % 10)
+    a = grp.where(F.col("event_type") == "click").select(
+        "grp", F.col("value").alias("v")
+    )
+    b = grp.where(F.col("event_type") == "view").select(
+        "grp", F.col("value").alias("v")
+    )
+    return ks_drift(a, b, ["grp"], "v")
+
+
+def _o_ks_drift() -> str:
+    from panoptes_spark.pipeline.drift import ks_oracle_sql
+
+    return ks_oracle_sql(
+        "SELECT user_id % 10 AS grp, value AS v FROM events"
+        " WHERE event_type = 'click'",
+        "SELECT user_id % 10 AS grp, value AS v FROM events"
+        " WHERE event_type = 'view'",
+        "grp",
+    )
+
+
 def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.layout import morton_code_sql
     from panoptes_spark.sources import tpch_fixtures as _fx
@@ -1697,6 +1724,7 @@ QUERIES = {
     "skew_report": q_skew_report,
     "binned_quantiles": q_binned_quantiles,
     "zorder_codes": q_zorder_codes,
+    "ks_drift": q_ks_drift,
     "text_repetition": q_text_repetition,
     "text_pii_scrub": q_text_pii_scrub,
     "line_dedup": q_line_dedup,
@@ -1744,6 +1772,7 @@ ORACLES = {
     "skew_report": O_SKEW_REPORT,
     "binned_quantiles": O_BINNED_QUANTILES,
     "zorder_codes": _o_zorder_codes(),
+    "ks_drift": _o_ks_drift(),
     "text_repetition": O_TEXT_REPETITION,
     "text_pii_scrub": _o_text_pii_scrub(),
     "line_dedup": O_LINE_DEDUP,

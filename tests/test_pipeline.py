@@ -1076,3 +1076,28 @@ def test_zorder_export_clusters_both_dims(spark, tmp_path):
     # slack for range-partitioner sampling at tile boundaries
     assert sum(spans_x) / len(spans_x) < 40
     assert sum(spans_y) / len(spans_y) < 40
+
+
+def test_ks_drift_semantics(spark):
+    """KS = 0 for identical samples, 1 for disjoint supports; keys
+    present on only one side emit nothing; empty keys rejected."""
+    import pytest as _pytest
+
+    from panoptes_spark.pipeline.drift import ks_drift
+
+    a = spark.createDataFrame(
+        [("same", float(i)) for i in range(10)]
+        + [("apart", float(i)) for i in range(10)]
+        + [("only_a", 1.0)],
+        "k string, v double",
+    )
+    b = spark.createDataFrame(
+        [("same", float(i)) for i in range(10)]
+        + [("apart", 100.0 + i) for i in range(10)],
+        "k string, v double",
+    )
+    got = {r.k: (r.n_a, r.n_b, r.ks) for r in ks_drift(a, b, ["k"], "v").collect()}
+    assert got == {"same": (10, 10, 0.0), "apart": (10, 10, 1.0)}
+
+    with _pytest.raises(ValueError):
+        ks_drift(a, b, [], "v")
