@@ -1688,6 +1688,153 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicated n-gram spans (substring-level dedup stats, Lee et al. 2022
+# fixed-length approximation). Clones guarantee fully-duplicated docs; the
+# small synthetic vocabulary adds natural cross-doc 5-gram repeats.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.substrings import duplicated_ngram_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clones = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    both = docs.unionByName(clones)
+    return duplicated_ngram_spans(both, "doc_id", "text", k=_SPAN_K).orderBy(
+        "doc_id"
+    )
+
+
+O_DUP_SPANS = f"""
+WITH allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM allrows
+),
+stats AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         greatest(len(t) - {_SPAN_K - 1}, 0) AS n_grams
+  FROM tok
+),
+grams AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(t) - {_SPAN_K - 1}, 0))) AS pos,
+    unnest(CASE WHEN len(t) >= {_SPAN_K} THEN
+      list_transform(range(1, len(t) - {_SPAN_K - 2}),
+        i -> substr(md5(array_to_string(t[i : i + {_SPAN_K - 1}], ' ')), 1, 16))
+      ELSE [] END) AS gh
+  FROM tok
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+),
+pos AS (
+  SELECT g.doc_id, g.pos,
+    least({_SPAN_K},
+      coalesce(lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos),
+               g.pos + {_SPAN_K}) - g.pos) AS cov
+  FROM grams g JOIN dup USING (gh)
+),
+covered AS (
+  SELECT doc_id, count(*) AS n_dup_grams, sum(cov) AS covered_tokens
+  FROM pos GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.n_grams,
+  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+  ROUND(coalesce(c.covered_tokens, 0) / greatest(s.n_tokens, 1), 6)
+    AS dup_token_fraction
+FROM stats s LEFT JOIN covered c USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016): corpus -> word counts
+# (the one corpus-sized pass) -> n sequential pair-merge rounds over the
+# vocab table. The oracle unrolls every round as CTEs: argmax via
+# ORDER BY cnt DESC, pa, pb LIMIT 1 (the engine tie-break), merge via the
+# same literal replace. Symbols are \x1c..\x1d-bracketed so replace can't
+# match across symbol boundaries.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_BL = "\x1c"  # symbol open marker
+_BR = "\x1d"  # symbol close marker
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.tokenizer import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS).orderBy(
+        "merge_round"
+    )
+
+
+def _o_bpe_train() -> str:
+    sym = f"{_BL}[^{_BR}]*{_BR}"
+    ctes = [
+        f"""w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND NOT regexp_matches(word, '[{_BL}{_BR}]')
+  GROUP BY word
+)""",
+        f"""v0 AS (
+  SELECT regexp_replace(word, '(.)', '{_BL}\\1{_BR}', 'g')
+         || '{_BL}</w>{_BR}' AS enc, freq
+  FROM w
+)""",
+    ]
+    for i in range(_BPE_ROUNDS):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pa, pb, sum(freq) AS cnt FROM (
+    SELECT unnest(sy[1:len(sy)-1]) AS pa, unnest(sy[2:]) AS pb, freq
+    FROM (SELECT regexp_extract_all(enc, '{sym}') AS sy, freq FROM v{i})
+  ) GROUP BY pa, pb
+)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT pa, pb, cnt FROM p{i} ORDER BY cnt DESC, pa, pb LIMIT 1
+)"""
+        )
+        if i + 1 < _BPE_ROUNDS:
+            ctes.append(
+                f"""v{i + 1} AS (
+  SELECT replace(enc, (SELECT pa || pb FROM b{i}),
+    (SELECT '{_BL}' || replace(replace(pa || pb, '{_BL}', ''), '{_BR}', '')
+     || '{_BR}' FROM b{i})) AS enc, freq
+  FROM v{i}
+)"""
+            )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_round,"
+        f" replace(replace(pa, '{_BL}', ''), '{_BR}', '') AS left_sym,"
+        f" replace(replace(pb, '{_BL}', ''), '{_BR}', '') AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + rows
+        + "\n) ORDER BY merge_round"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -1734,6 +1881,8 @@ QUERIES = {
     "url_features": q_url_features,
     "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
+    "dup_span_stats": q_dup_spans,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLES = {
@@ -1782,4 +1931,6 @@ ORACLES = {
     "url_features": _o_url_features(),
     "quality_filter": _o_quality_filter(),
     "decontaminate": O_DECONTAMINATE,
+    "dup_span_stats": O_DUP_SPANS,
+    "bpe_train": _o_bpe_train(),
 }

@@ -1,0 +1,119 @@
+"""Substring-level (n-gram span) duplication statistics.
+
+Document-level dedup (exact / minhash / simhash in ``dedup.py``) misses
+the common failure mode of web corpora: long verbatim spans (license
+headers, boilerplate footers, quoted passages) repeated inside otherwise
+distinct documents.  "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., 2022) removes exact repeated substrings; a full
+distributed suffix array is not expressible as a sane Spark plan, so
+this module implements the standard fixed-length approximation: hash
+every k-token window, find windows whose hash occurs in more than one
+position corpus-wide, and report per-document how much of the text those
+duplicated windows cover.  Downstream policies (drop doc, trim span,
+down-weight) hang off the returned stats.
+
+Scale shape (the part that matters at 100 TB):
+
+- gram hashing is a narrow per-row expression (``transform`` over a
+  ``sequence`` of window starts + one md5 per window) — no Python, no
+  shuffle, scan-speed;
+- the only corpus-proportional shuffles are the gram-hash count (map-side
+  partial agg halves it) and the dup-hash join back to positions (AQE
+  skew-split absorbs hot boilerplate hashes);
+- span coverage is a per-document window over the (already doc-keyed)
+  dup positions — one keyed shuffle of the *duplicated* positions only,
+  not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["duplicated_ngram_spans"]
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics at gram length ``k``.
+
+    Returns one row per input document:
+
+    - ``n_tokens``      — whitespace token count
+    - ``n_grams``       — number of k-token windows (0 when too short)
+    - ``n_dup_grams``   — windows whose hash occurs ``>= min_count``
+      times corpus-wide (the document's own repeats count)
+    - ``covered_tokens``— tokens covered by the union of duplicated
+      windows (overlapping windows merged exactly)
+    - ``dup_token_fraction`` — covered_tokens / n_tokens, 6dp
+
+    Coverage uses the sorted dup positions p_0 < p_1 < ...: window i
+    contributes ``min(k, p_{i+1} - p_i)`` tokens (the last contributes
+    ``k``) — the exact size of the interval union, no per-token explode.
+    """
+    toks = df.select(F.col(id_col).alias("id"), _toks(text_col).alias("t"))
+    toks = toks.withColumn("n_tokens", F.size("t"))
+    stats = toks.select(
+        "id", "n_tokens",
+        F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0)).alias("n_grams"),
+    )
+
+    grams = (
+        toks.where(F.col("n_tokens") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}),"
+                    f" i -> substring(md5(concat_ws(' ', slice(t, i + 1, {k}))), 1, 16))"
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_pos = grams.join(
+        counts.where(F.col("cnt") >= min_count).select("gh"), "gh"
+    ).select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    covered = (
+        dup_pos.withColumn(
+            "cov",
+            F.least(
+                F.lit(k),
+                F.coalesce(F.lead("pos").over(w), F.col("pos") + k) - F.col("pos"),
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("cov").alias("covered_tokens"),
+        )
+    )
+
+    return (
+        stats.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Unit tests for BPE tokenizer training and duplicated n-gram spans."""
+
+from pyspark.sql import functions as F
+
+from panoptes_spark.pipeline.substrings import duplicated_ngram_spans
+from panoptes_spark.pipeline.tokenizer import bpe_train
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Independent plain-python BPE (the textbook algorithm) for the
+    differential check."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "the the the lower newer",
+        "widest wide wide low new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe_train(spark, df, "text", n_merges=8).collect()
+
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, 8)
+
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == want
+    assert [r.merge_round for r in got] == list(range(len(want)))
+
+
+def test_bpe_merged_symbols_compose(spark):
+    """Later rounds must merge already-merged symbols (multi-char units),
+    not just single chars."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = bpe_train(spark, df, "text", n_merges=3).collect()
+    # round 0: (a, a) -> aa; round 1 over [aa, aa, </w>] ties (aa, aa)
+    # with (aa, </w>) at count 4 and '</w>' sorts first; round 2 merges
+    # the two-round-old symbol 'aa' with the merged 'aa</w>'
+    assert (got[0].left_sym, got[0].right_sym) == ("a", "a")
+    assert (got[1].left_sym, got[1].right_sym) == ("aa", "</w>")
+    assert (got[2].left_sym, got[2].right_sym) == ("aa", "aa</w>")
+
+
+def test_dup_spans_exact_coverage(spark):
+    """Hand-checked interval union: doc 1 and doc 2 share one 3-gram in
+    the middle; doc 3 is fully duplicated by doc 4."""
+    d1 = "a b c SHARED1 SHARED2 SHARED3 x y z"
+    d2 = "p q SHARED1 SHARED2 SHARED3 r s"
+    d3 = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d3)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_spans(df, k=3).collect()
+    }
+    # d1: 9 tokens, 7 grams, 1 dup gram covering 3 tokens
+    assert (out[1].n_grams, out[1].n_dup_grams, out[1].covered_tokens) == (
+        7, 1, 3)
+    # d3/d4: every gram duplicated; coverage = all 5 tokens
+    for d in (3, 4):
+        assert out[d].n_dup_grams == 3
+        assert out[d].covered_tokens == 5
+        assert out[d].dup_token_fraction == 1.0
+
+
+def test_dup_spans_overlap_merging(spark):
+    """Adjacent dup grams overlap; covered tokens must be the union, not
+    k * n_dup_grams."""
+    shared = "s1 s2 s3 s4"  # two overlapping 3-grams when duplicated
+    df = spark.createDataFrame(
+        [(1, f"a {shared} b"), (2, f"c {shared} d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_spans(df, k=3).collect()}
+    for d in (1, 2):
+        assert out[d].n_dup_grams == 2
+        assert out[d].covered_tokens == 4  # union of [1,4) and [2,5)
+
+
+def test_dup_spans_short_docs_zero_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_spans(df, k=3).collect()}
+    assert out[1].n_grams == 0 and out[1].dup_token_fraction == 0.0
+    assert out[2].n_grams == 0
+
+
+def test_dup_spans_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = duplicated_ngram_spans(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
