@@ -1835,6 +1835,88 @@ def _o_bpe_train() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of embeddings (FAISS SQ8 equivalent). The
+# oracle recomputes the per-dim min/max itself, so the gate proves the
+# distributed stats fold AND the affine code arithmetic are engine-exact
+# (floor(t + 0.5) half-way rule, float->double exact widening).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.quantize import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
+O_EMBEDDING_QUANTIZE = """
+WITH d AS (
+  SELECT vec_id,
+    unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+dims AS (
+  SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+  FROM d GROUP BY i
+),
+q AS (
+  SELECT d.vec_id, d.i,
+    CAST(CASE WHEN dims.mx > dims.mn THEN
+      least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        floor((CAST(d.x AS DOUBLE) - dims.mn) * 255.0
+              / (dims.mx - dims.mn) + 0.5)))
+    ELSE 0.0 END AS INT) AS c
+  FROM d JOIN dims USING (i)
+)
+SELECT vec_id, list(c ORDER BY i) AS codes
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning: inventory-sized window, cumulative
+# byte binning at the target size. Inventory synthesized from documents
+# (part = source, bytes = n_chars).
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 4000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.layout import plan_compaction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inv = docs.select(
+        F.col("source").alias("part"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return plan_compaction(
+        inv, "part", "path", "bytes", target_bytes=_COMPACT_TARGET
+    ).orderBy("part", "path")
+
+
+O_COMPACTION_PLAN = f"""
+WITH inv AS (
+  SELECT source AS part, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         n_chars AS bytes
+  FROM documents
+),
+cum AS (
+  SELECT part, path, CAST(bytes AS BIGINT) AS bytes,
+    coalesce(sum(bytes) OVER (
+      PARTITION BY part ORDER BY bytes DESC, path
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM inv
+)
+SELECT part, path, bytes,
+  CAST(floor(cb / {_COMPACT_TARGET}) AS BIGINT) AS group_id
+FROM cum ORDER BY part, path
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -1883,6 +1965,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dup_span_stats": q_dup_spans,
     "bpe_train": q_bpe_train,
+    "embedding_quantize": q_embedding_quantize,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLES = {
@@ -1933,4 +2017,6 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "dup_span_stats": O_DUP_SPANS,
     "bpe_train": _o_bpe_train(),
+    "embedding_quantize": O_EMBEDDING_QUANTIZE,
+    "compaction_plan": O_COMPACTION_PLAN,
 }

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_code_sql", "add_morton_code", "zorder_export"]
+__all__ = [
+    "morton_code_sql",
+    "add_morton_code",
+    "zorder_export",
+    "plan_compaction",
+]
 
 _SPREAD_ROUNDS = [
     (8, 0x00FF00FF),
@@ -84,4 +89,47 @@ def zorder_export(
         .drop("__z")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def plan_compaction(
+    files: DataFrame,
+    part_col: str = "part",
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction plan: assign every file to a rewrite group
+    of ~``target_bytes`` within its table partition.
+
+    Streaming ingestion and fine-grained partitioning leave 100 TB
+    tables with millions of KiB-sized files; scans then pay per-file
+    open/footer costs and lose row-group locality. The planner is the
+    cheap half of compaction (the rewrite is a plain
+    ``read.group.write``): files sort largest-first within their
+    partition (first-fit-decreasing flavor) and a running byte total
+    bins them at each ``target_bytes`` boundary — one window over the
+    file *inventory* (metadata-sized, never the data), deterministic
+    under re-partitioning via the (bytes desc, path) tie-break.
+
+    Returns one row per file: (part, path, bytes, group_id). Groups may
+    overrun ``target_bytes`` by at most one file (the standard
+    cumulative rule); ``group_id`` starts at 0 per partition and skips
+    values where a single file spans multiple target widths.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.desc(bytes_col), F.asc(path_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    return files.select(
+        F.col(part_col).alias("part"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+        F.floor(cum_before / F.lit(int(target_bytes)))
+        .cast("long")
+        .alias("group_id"),
     )

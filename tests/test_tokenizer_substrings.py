@@ -125,3 +125,74 @@ def test_dup_spans_plan_no_cartesian(spark):
     plan = duplicated_ngram_spans(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_roundtrip_and_recall(spark):
+    """int8 codes must reconstruct within half a quantization step, and
+    cosine top-1 on reconstructed vectors must agree with exact top-1 on
+    well-separated clusters."""
+    import random
+
+    from panoptes_spark.pipeline.quantize import (
+        dequantize_col, dim_stats_row, quantize_embeddings)
+
+    rng = random.Random(7)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+               [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes = quantize_embeddings(df, "vec_id", "embedding")
+    stats = dim_stats_row(df, "embedding").collect()[0]
+    recon = {
+        r.vec_id: r.recon
+        for r in codes.crossJoin(
+            dim_stats_row(df, "embedding")
+        ).select("vec_id", dequantize_col("codes").alias("recon")).collect()
+    }
+    orig = {r.vec_id: r.embedding for r in df.collect()}
+    for d in range(4):
+        step = (stats.maxs[d] - stats.mins[d]) / 255.0
+        for vid, v in orig.items():
+            assert abs(recon[vid][d] - v[d]) <= step / 2 + 1e-9
+
+    # cluster membership survives quantization: nearest center of the
+    # reconstruction equals nearest center of the original
+    def nearest(v):
+        return max(range(3), key=lambda j: sum(a * b for a, b in
+                                               zip(v, centers[j])))
+    for vid, v in orig.items():
+        assert nearest(recon[vid]) == nearest(v)
+
+
+def test_compaction_plan_invariants(spark):
+    from panoptes_spark.pipeline.layout import plan_compaction
+
+    rows = [("p1", f"f{i:02d}", b) for i, b in
+            enumerate([900, 800, 300, 250, 200, 150, 100, 50])]
+    rows += [("p2", "g1", 5000), ("p2", "g2", 10)]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    plan = plan_compaction(df, target_bytes=1000)
+    got = {(r.part, r.path): r.group_id for r in plan.collect()}
+
+    # every file assigned; first group starts at 0 in each partition
+    assert len(got) == len(rows)
+    for part in ("p1", "p2"):
+        assert min(g for (p, _), g in got.items() if p == part) == 0
+
+    # cumulative rule: group bytes stay under target + one file
+    import collections
+    sizes = collections.defaultdict(int)
+    by = dict(((p, f), b) for p, f, b in rows)
+    for (p, f), g in got.items():
+        sizes[(p, g)] += by[(p, f)]
+    maxfile = max(b for _, _, b in rows)
+    assert all(s <= 1000 + maxfile for s in sizes.values())
+
+    # oversized single file isolates; the tiny file lands with it only
+    # if the cumulative boundary allows (5000 fills groups 0-4, so g2
+    # starts group 5)
+    assert got[("p2", "g1")] == 0 and got[("p2", "g2")] == 5
