@@ -32,14 +32,20 @@ _TOKENIZE = "filter(split(lower({col}), '[^a-z]+'), x -> x != '')"
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, prev, cur) rows: one per bigram, with a <s> start token."""
+    """(id, prev, cur) rows: one per bigram, with a <s> start token.
+
+    The token array binds to a column first so the tokenizer runs once
+    per row — inlining it into the pair expression would evaluate the
+    split/filter three times (slice, size, element_at) per row and
+    triple the codegen size."""
     toks = f"array_insert({_TOKENIZE.format(col=text_col)}, 1, '{START}')"
     pairs = (
-        f"transform(slice({toks}, 1, size({toks}) - 1),"
-        f" (w, i) -> struct(w as prev, element_at({toks}, i + 2) as cur))"
+        "transform(slice(__tk, 1, size(__tk) - 1),"
+        " (w, i) -> struct(w as prev, element_at(__tk, i + 2) as cur))"
     )
     return (
-        df.select(F.col(id_col), F.explode(F.expr(pairs)).alias("__bg"))
+        df.select(F.col(id_col), F.expr(toks).alias("__tk"))
+        .select(F.col(id_col), F.explode(F.expr(pairs)).alias("__bg"))
         .select(id_col, "__bg.prev", "__bg.cur")
     )
 

@@ -313,6 +313,9 @@ def filter_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     name, NULL when kept). All map-only column expressions — the filter
     itself costs nothing beyond the feature scan at 100 TB; callers route
     with ``.where("keep")`` / quarantine with ``.where("NOT keep")``.
+    (Pushdown inlines the whole cascade into the scan filter; that stays
+    linear-per-row because the feature expressions keep arrays out of
+    lambda bodies — see ``add_repetition_features``.)
     """
     out = add_quality_features(df, text_col)
     out = add_repetition_features(out, text_col)
@@ -407,15 +410,30 @@ def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     total) per document, bounded by document length (not corpus size), so
     it stays scan-shaped at any corpus scale.
     """
+    # CRITICAL EXPRESSION SHAPE: the token array may only appear in
+    # ARGUMENT position of higher-order functions, never inside a lambda
+    # body. Predicate pushdown inlines these columns into scan-level
+    # filters verbatim; a lambda body re-evaluates per array element, so
+    # an inlined tokenizer there turns O(n) documents into O(n²)
+    # re-tokenizations (measured 40× on the curation-pipeline gate).
+    # Hence bigrams via zip_with over two slices (elements arrive as
+    # lambda args) and top-word count via a run-length fold over the
+    # sorted array instead of a nested filter() per distinct word.
     words = "filter(split(lower({c}), '[^a-z]+'), w -> w <> '')".format(c=text_col)
     n = f"size({words})"
     grams = (
-        f"transform(sequence(1, {n} - 1),"
-        f" i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1)))"
+        f"zip_with(slice({words}, 1, {n} - 1), slice({words}, 2, {n} - 1),"
+        f" (a, b) -> concat(a, ' ', b))"
     )
     top = (
-        f"aggregate(array_distinct({words}), 0,"
-        f" (m, d) -> greatest(m, size(filter({words}, w -> w = d))))"
+        f"aggregate(array_sort({words}),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, x) -> CASE WHEN acc.prev <=> x THEN"
+        "  named_struct('prev', x, 'run', acc.run + 1,"
+        "   'best', greatest(acc.best, acc.run + 1))"
+        " ELSE named_struct('prev', x, 'run', 1,"
+        "   'best', greatest(acc.best, 1)) END,"
+        " acc -> acc.best)"
     )
     return (
         df.withColumn(
