@@ -68,12 +68,22 @@ def normalize_text_col(col: str = "text") -> F.Column:
 # ---------------------------------------------------------------------------
 
 def shingles_col(text_col: str, k: int) -> str:
-    """Spark SQL for the distinct word-k-gram set of ``text_col``."""
+    """Spark SQL for the distinct word-k-gram set of ``text_col``.
+
+    The split binds inside a single-element ``transform`` let-binding so
+    the lambda body slices a bound array — inlining ``split`` into the
+    body would re-split the whole document once per shingle (O(n²); the
+    same pushdown-inlining hazard as ``text.add_repetition_features``).
+    """
+    shingle = (
+        f"CASE WHEN size(w) < {k} "
+        f"THEN array(concat_ws(' ', w)) "
+        f"ELSE transform(sequence(1, size(w) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(w, i, {k}))) END"
+    )
     return (
-        f"array_distinct(CASE WHEN size(split({text_col}, ' ')) < {k} "
-        f"THEN array(concat_ws(' ', split({text_col}, ' '))) "
-        f"ELSE transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))) END)"
+        f"array_distinct(element_at(transform(array(split({text_col}, ' ')),"
+        f" w -> {shingle}), 1))"
     )
 
 

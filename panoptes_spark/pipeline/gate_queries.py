@@ -1917,6 +1917,69 @@ FROM cum ORDER BY part, path
 """
 
 
+# ---------------------------------------------------------------------------
+# link-graph centrality (PageRank) as a curation quality prior. Graph =
+# distinct supplier->customer edges; integer-scaled arithmetic makes the
+# power iteration bit-exact across engines and partitionings, so the
+# oracle unrolls the same rounds with `//` division.
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 2
+_PR_SCALE = 10**12
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, n_iter=_PR_ITER).orderBy("node")
+
+
+def _o_pagerank() -> str:
+    s = _PR_SCALE
+    ctes = [
+        """e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {s} // n AS rank_scaled FROM nodes, nn)",
+    ]
+    for i in range(_PR_ITER):
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT e.dst AS node, sum(r.rank_scaled // o.outdeg) AS in_mass
+  FROM e JOIN outdeg o USING (src) JOIN r{i} r ON e.src = r.node
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT nodes.node,
+    ((15 * {s}) // 100) // nn.n
+      + (85 * coalesce(c{i + 1}.in_mass, 0)) // 100 AS rank_scaled
+  FROM nodes LEFT JOIN c{i + 1} USING (node), nn
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled"
+        f" FROM r{_PR_ITER} ORDER BY node"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -1967,6 +2030,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "embedding_quantize": q_embedding_quantize,
     "compaction_plan": q_compaction_plan,
+    "pagerank_centrality": q_pagerank,
 }
 
 ORACLES = {
@@ -2019,4 +2083,5 @@ ORACLES = {
     "bpe_train": _o_bpe_train(),
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
     "compaction_plan": O_COMPACTION_PLAN,
+    "pagerank_centrality": _o_pagerank(),
 }

@@ -196,3 +196,42 @@ def test_compaction_plan_invariants(spark):
     # if the cumulative boundary allows (5000 fills groups 0-4, so g2
     # starts group 5)
     assert got[("p2", "g1")] == 0 and got[("p2", "g2")] == 5
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Differential vs a plain-python integer power iteration on a small
+    hand graph, plus sanity: the hub-pointed node outranks leaves."""
+    from panoptes_spark.pipeline.graph import SCALE, pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_scaled
+           for r in pagerank(df, n_iter=3).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(3):
+        in_mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            in_mass[d] += rank[s] // outdeg[s]
+        rank = {v: ((15 * SCALE) // 100) // n + (85 * in_mass[v]) // 100
+                for v in nodes}
+    assert got == rank
+    assert got["c"] > got["b"] > got["a"] == got["d"]
+
+
+def test_pagerank_dangling_and_isolated_sources(spark):
+    """Sources with no inbound edges keep the base rank; the sink gets
+    everything (its outbound mass is dropped, documented)."""
+    from panoptes_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("x", "sink"), ("y", "sink")], "src string, dst string"
+    )
+    got = {r.node: r.rank_scaled for r in pagerank(df, n_iter=2).collect()}
+    assert got["x"] == got["y"] < got["sink"]
+    assert len(got) == 3
