@@ -1980,6 +1980,52 @@ def _o_pagerank() -> str:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: learn the merge table on the corpus and encode
+    every document with it (the production tokenize pass)."""
+    from panoptes_spark.pipeline.tokenizer import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
+    return bpe_encode(docs, merges, "text", "doc_id").orderBy("doc_id")
+
+
+def _o_bpe_encode() -> str:
+    """Reuses the training oracle's unrolled CTEs, then applies the same
+    replace chain per word with the per-round best pairs captured as
+    columns (DuckDB lambdas close over row columns)."""
+    sym = f"{_BL}[^{_BR}]*{_BR}"
+    train = _o_bpe_train()
+    body = train[len("WITH ") : train.index("\nSELECT * FROM (")]
+    # one row carrying every round's find/replace strings
+    best_cols = ", ".join(
+        f"(SELECT pa || pb FROM b{i}) AS f{i},"
+        f" (SELECT '{_BL}' || replace(replace(pa || pb, '{_BL}', ''),"
+        f" '{_BR}', '') || '{_BR}' FROM b{i}) AS r{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    chain = f"regexp_replace(w, '(.)', '{_BL}\\1{_BR}', 'g') || '{_BL}</w>{_BR}'"
+    for i in range(_BPE_ROUNDS):
+        chain = f"replace({chain}, m.f{i}, m.r{i})"
+    return f"""WITH {body},
+m AS (SELECT {best_cols}),
+dw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      w -> w <> '' AND NOT regexp_matches(w, '[{_BL}{_BR}]')) AS ws
+  FROM documents
+)
+SELECT doc_id,
+  flatten(list_transform(ws, w ->
+    list_transform(regexp_extract_all({chain}, '{sym}'),
+      s -> substr(s, 2, length(s) - 2)))) AS tokens,
+  CAST(len(flatten(list_transform(ws, w ->
+    list_transform(regexp_extract_all({chain}, '{sym}'),
+      s -> substr(s, 2, length(s) - 2))))) AS BIGINT) AS n_tokens
+FROM dw, m
+ORDER BY doc_id"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -2031,6 +2077,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "compaction_plan": q_compaction_plan,
     "pagerank_centrality": q_pagerank,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES = {
@@ -2084,4 +2131,5 @@ ORACLES = {
     "embedding_quantize": O_EMBEDDING_QUANTIZE,
     "compaction_plan": O_COMPACTION_PLAN,
     "pagerank_centrality": _o_pagerank(),
+    "bpe_encode": _o_bpe_encode(),
 }

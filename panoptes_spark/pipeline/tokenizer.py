@@ -62,15 +62,18 @@ def encode_words(words: DataFrame) -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    # every word has >= 2 symbols (one char + the </w> terminal), so
-    # sequence(1, size-1) is never descending
+    # zip_with over the two slices degrades to an empty pair list when a
+    # word has fully merged into one symbol (slice length 0) — a
+    # sequence(1, size-1) formulation would go DESCENDING there and
+    # index out of bounds
     syms = vocab.withColumn(
         "syms",
         F.expr(f"regexp_extract_all(enc, '{SYM_L}[^{SYM_R}]*{SYM_R}', 0)"),
     )
     pairs = F.expr(
-        "transform(sequence(1, size(syms) - 1),"
-        " i -> struct(syms[i - 1] AS pa, syms[i] AS pb))"
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        " slice(syms, 2, size(syms) - 1),"
+        " (a, b) -> struct(a AS pa, b AS pb))"
     )
     return (
         syms.select(F.explode(pairs).alias("p"), "freq")
@@ -134,3 +137,49 @@ def bpe_train(
         merges,
         "merge_round int, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: (id, tokens array<string>, n_tokens).
+
+    The merge list is a model parameter (vocab-sized, like k-means
+    centroids), so it collects to the driver and compiles into ONE
+    map-only expression: per word, bracket-encode characters, apply
+    every merge as a literal replace in training order, then unwrap the
+    surviving symbols. No shuffle, no Python — encoding runs at scan
+    speed regardless of corpus size; cost per word is
+    O(n_merges × word_len), inherent to replace-based BPE application.
+    """
+    rows = merges.orderBy("merge_round").collect()
+    # per-word encoding chain, built inside the lambda over `w` only —
+    # never over corpus-derived expressions (see SCALE.md on lambda
+    # bodies)
+    expr = (
+        f"regexp_replace(w, '(.)', '{SYM_L}$1{SYM_R}')"
+        f" || '{SYM_L}{END_WORD}{SYM_R}'"
+    )
+    def _q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    for r in rows:
+        find = SYM_L + r.left_sym + SYM_R + SYM_L + r.right_sym + SYM_R
+        repl = SYM_L + r.left_sym + r.right_sym + SYM_R
+        expr = f"replace({expr}, '{_q(find)}', '{_q(repl)}')"
+    unwrap = (
+        f"transform(regexp_extract_all({expr}, '{SYM_L}[^{SYM_R}]*{SYM_R}', 0),"
+        " s -> substring(s, 2, length(s) - 2))"
+    )
+    words = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f" w -> w <> '' AND w NOT RLIKE '[{SYM_L}{SYM_R}]')"
+    )
+    tokens = f"flatten(transform({words}, w -> {unwrap}))"
+    return df.select(
+        F.col(id_col),
+        F.expr(tokens).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))

@@ -235,3 +235,36 @@ def test_pagerank_dangling_and_isolated_sources(spark):
     got = {r.node: r.rank_scaled for r in pagerank(df, n_iter=2).collect()}
     assert got["x"] == got["y"] < got["sink"]
     assert len(got) == 3
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    """Encoding with the learned table must reproduce the textbook
+    apply-BPE result (greedy left-to-right per merge, training order)."""
+    from panoptes_spark.pipeline.tokenizer import bpe_encode, bpe_train
+
+    texts = ["low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = bpe_train(spark, df, "text", n_merges=6)
+    got = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+
+    mlist = [(r.left_sym, r.right_sym)
+             for r in merges.orderBy("merge_round").collect()]
+
+    def apply_word(w):
+        syms = list(w) + ["</w>"]
+        for a, b in mlist:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in apply_word(w)]
+        assert got[i] == want
