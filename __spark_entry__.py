@@ -1417,6 +1417,137 @@ GROUP BY cohort_day, active_day
 
 
 # ---------------------------------------------------------------------------
+# W9/W10/W11: time-series regularization (operators/timeseries.py) —
+# resample-to-grid + forward-fill, per-series gap/staleness report (the
+# relational form of the reference's polling-status question,
+# polling_status.py:26-39), rolling z-score anomaly flags with exact
+# integer moment arithmetic.
+# ---------------------------------------------------------------------------
+
+_RS_STEP_MS = 6 * 3600 * 1000  # 6h grid
+_RS_MAX_FILL = 4  # carry at most 24h
+_GAP_THR_MS = 5 * 86_400_000  # 5-day staleness threshold
+_Z_WINDOW_N = 20
+
+
+def _w9_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.timeseries import resample_ffill
+
+    e = fx.read_events(spark, sf_dir).select("user_id", "ts_ms", "value")
+    return resample_ffill(
+        e, by=["user_id"], step_ms=_RS_STEP_MS, max_fill_steps=_RS_MAX_FILL
+    )
+
+
+_W9_RESAMPLE_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+obs AS (
+  SELECT user_id, ts_ms - (ts_ms % {_RS_STEP_MS}) AS bucket_ms,
+         max(value) AS obs_v, count(*) AS n_obs
+  FROM pts GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, {_RS_STEP_MS})) AS bucket_ms
+  FROM bounds
+),
+j AS (
+  SELECT g.user_id, g.bucket_ms, o.obs_v, o.n_obs
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket_ms)
+),
+f AS (
+  SELECT user_id, bucket_ms, obs_v, n_obs,
+    last_value(obs_v IGNORE NULLS) OVER w AS last_v,
+    last_value(CASE WHEN obs_v IS NOT NULL THEN bucket_ms END IGNORE NULLS)
+      OVER w AS last_seen
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket_ms,
+  CASE WHEN bucket_ms - last_seen <= {_RS_MAX_FILL * _RS_STEP_MS}
+       THEN last_v END AS value,
+  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+  obs_v IS NULL AS filled,
+  CASE WHEN bucket_ms - last_seen <= {_RS_MAX_FILL * _RS_STEP_MS}
+       THEN bucket_ms - last_seen END AS fill_age_ms
+FROM f
+"""
+
+
+def _w10_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.timeseries import gap_report
+
+    e = fx.read_events(spark, sf_dir).select("user_id", "ts_ms")
+    return gap_report(e, by=["user_id"], threshold_ms=_GAP_THR_MS)
+
+
+_W10_GAP_ORACLE = f"""
+WITH pts AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+d AS (
+  SELECT user_id, ts_ms,
+    ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS delta
+  FROM pts
+),
+per_key AS (
+  SELECT user_id, count(*) AS n_obs,
+    CAST(coalesce(sum(CASE WHEN delta > {_GAP_THR_MS} THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS n_gaps,
+    max(delta) AS max_gap_ms, max(ts_ms) AS last_seen_ms
+  FROM d GROUP BY 1
+),
+now_row AS (SELECT max(ts_ms) AS now_ms FROM pts)
+SELECT user_id, n_obs, n_gaps, max_gap_ms, last_seen_ms,
+  (now_ms - last_seen_ms) > {_GAP_THR_MS} AS stale
+FROM per_key, now_row
+"""
+
+
+def _w11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.timeseries import zscore_anomalies
+
+    e = fx.read_events(spark, sf_dir).select("event_type", "ts_ms", "value")
+    return zscore_anomalies(
+        e, by=["event_type"], window_n=_Z_WINDOW_N, z_threshold=3.0
+    )
+
+
+# mirrors zscore_anomalies' integer algebra exactly: BIGINT window sums of
+# the 1e-3-quantized values; HUGEINT for the cross-multiplied comparison
+# (Spark side uses DECIMAL(38,0) — both are exact, only the boolean and
+# the 6dp-rounded double cross the hash boundary).
+_W11_ZSCORE_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, value,
+    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q
+  FROM events
+),
+s AS (
+  SELECT event_type, ts_ms, value, q,
+    count(q) OVER w AS n, sum(q) OVER w AS s, sum(q * q) OVER w AS ss
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, q
+    ROWS BETWEEN {_Z_WINDOW_N} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, ts_ms, value, CAST(coalesce(n, 0) AS BIGINT) AS n_baseline,
+  CASE WHEN n >= 2 AND n * ss - s * s > 0 THEN
+    round(CAST(n * q - s AS DOUBLE)
+          / sqrt(CAST(n * ss - s * s AS DOUBLE) * n / (n - 1)), 6)
+  END AS z,
+  coalesce(n >= 2 AND n * ss - s * s > 0
+    AND CAST(n * q - s AS HUGEINT) * (n * q - s) * (n - 1) * 1000000
+        > CAST(9000000 AS HUGEINT) * n * (n * ss - s * s), FALSE) AS anomaly
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5b: SCD2 history — the temporal materialization of the reconcile
 # family: every distinct per-identity state with its validity interval,
 # instead of only the latest winner (manager.py:109-135 keeps winners;
@@ -2048,6 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a14_large_orders": _olap_large_orders,
             "a15_returned_revenue": _olap_returned_revenue,
             "a13_above_nation_avg": _olap_above_nation_avg,
+            "w9_resample_ffill": _w9_resample,
+            "w10_gap_report": _w10_gap_report,
+            "w11_zscore_anomaly": _w11_zscore,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2108,6 +2242,9 @@ def oracle_sql() -> dict[str, str]:
             "a14_large_orders": _OLAP_Q18_ORACLE,
             "a15_returned_revenue": _OLAP_Q10_ORACLE,
             "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
+            "w9_resample_ffill": _W9_RESAMPLE_ORACLE,
+            "w10_gap_report": _W10_GAP_ORACLE,
+            "w11_zscore_anomaly": _W11_ZSCORE_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
