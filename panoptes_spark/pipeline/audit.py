@@ -1,0 +1,212 @@
+"""Declarative data-quality auditing: column profiles and constraint
+checks over arbitrary tables (the Deequ/Great-Expectations shape,
+Spark-first).
+
+A 100 TB ingest pipeline gates every batch on invariants — keys unique,
+foreign keys resolvable, values in range, enums closed — and records a
+per-column profile next to the data. The reference validates individual
+records with Cerberus schemas (``operators/enrichment_validate.py``
+re-expresses those); this module is the corpus-level complement: one
+relational report per table, not one verdict per row.
+
+Spark-first design notes (100 TB):
+
+- ``profile_columns`` is ONE aggregate pass producing a single wide row
+  that unpivots to long form via ``stack`` — the table is scanned once.
+  Exact distinct counts use ``count_distinct`` (Spark expands the scan
+  |cols|+1 ways through one Expand node — still one shuffle); pass
+  ``exact_distinct=False`` to switch to ``approx_count_distinct`` (HLL,
+  no expansion) for wide tables at full scale.
+- Every check compiles to a conditional aggregate over the same single
+  scan; only ``referential`` adds a join, and it ships just the key
+  column into a left-anti lookup (dim side broadcast when small).
+- Output is data, not exceptions: (check, target, n_violations, passed)
+  rows compose into gating logic downstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "not_null",
+    "unique",
+    "in_range",
+    "accepted_values",
+    "matches_regex",
+    "referential",
+    "run_checks",
+    "profile_columns",
+]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint; ``kind`` and ``target`` name it in the
+    report, the payload fields drive compilation in ``run_checks``."""
+
+    kind: str
+    target: str
+    cols: tuple[str, ...] = ()
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple[str, ...] = ()
+    pattern: str | None = None
+    other: DataFrame | None = field(default=None, compare=False)
+    other_col: str | None = None
+
+
+def not_null(col: str) -> Check:
+    return Check("not_null", col, cols=(col,))
+
+
+def unique(*cols: str) -> Check:
+    if not cols:
+        raise ValueError("unique() needs at least one column")
+    return Check("unique", ",".join(cols), cols=tuple(cols))
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    """Violated by values outside [lo, hi]; NULLs are not violations
+    (pair with ``not_null`` to forbid them)."""
+    return Check("in_range", col, cols=(col,), lo=float(lo), hi=float(hi))
+
+
+def accepted_values(col: str, values: list[str]) -> Check:
+    if not values:
+        raise ValueError("accepted_values() needs a non-empty value list")
+    return Check("accepted_values", col, cols=(col,), values=tuple(values))
+
+
+def matches_regex(col: str, pattern: str) -> Check:
+    return Check("matches_regex", col, cols=(col,), pattern=pattern)
+
+
+def referential(col: str, other: DataFrame, other_col: str) -> Check:
+    """Every non-null ``col`` value must exist in ``other.other_col``
+    (foreign-key integrity). Violations = orphan ROWS (not distinct
+    values)."""
+    return Check("referential", col, cols=(col,), other=other, other_col=other_col)
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all checks; returns one row per check:
+    (check, target, n_violations bigint, passed boolean), in the input
+    check order (an ``ord`` column keeps it joinable/sortable).
+
+    All scan-expressible checks fold into ONE aggregate over one scan;
+    each ``referential`` check contributes one anti-join count unioned
+    in. Deterministic by construction (counts only).
+    """
+    if not checks:
+        raise ValueError("run_checks() needs at least one check")
+    agg_exprs: list = []
+    rows: list[tuple[int, str, str] | None] = []  # (ord, kind, target) per agg col
+    joins: list[tuple[int, Check]] = []
+    for i, c in enumerate(checks):
+        if c.kind == "not_null":
+            e = F.count_if(F.col(c.cols[0]).isNull())
+        elif c.kind == "unique":
+            e = F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c.cols])
+        elif c.kind == "in_range":
+            e = F.count_if(
+                F.col(c.cols[0]).isNotNull()
+                & ((F.col(c.cols[0]) < c.lo) | (F.col(c.cols[0]) > c.hi))
+            )
+        elif c.kind == "accepted_values":
+            e = F.count_if(
+                F.col(c.cols[0]).isNotNull()
+                & ~F.col(c.cols[0]).isin(*c.values)
+            )
+        elif c.kind == "matches_regex":
+            e = F.count_if(
+                F.col(c.cols[0]).isNotNull()
+                & ~F.col(c.cols[0]).rlike(c.pattern)
+            )
+        elif c.kind == "referential":
+            joins.append((i, c))
+            continue
+        else:
+            raise ValueError(f"unknown check kind: {c.kind}")
+        rows.append((i, c.kind, c.target))
+        agg_exprs.append(e.cast("bigint").alias(f"__c{i}"))
+
+    parts: list[DataFrame] = []
+    if agg_exprs:
+        wide = df.agg(*agg_exprs)
+        stack = ", ".join(
+            f"{i}L, '{kind}', '{tgt}', __c{i}" for i, kind, tgt in rows
+        )
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(rows)}, {stack}) AS (ord, check, target, n_violations)"
+            )
+        )
+    for idx, chk in joins:
+        keys = (
+            chk.other.select(F.col(chk.other_col).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .distinct()
+        )
+        orphans = (
+            df.select(F.col(chk.cols[0]).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .join(keys, "__k", "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(idx).cast("bigint").alias("ord"),
+                F.lit("referential").alias("check"),
+                F.lit(f"{chk.target}->{chk.other_col}").alias("target"),
+                "n_violations",
+            )
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "ord", "check", "target", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile in long form: one ``col_name`` row with metrics
+    ``n_rows``, ``n_null``, ``n_distinct`` (NULL excluded), and for
+    numerically-castable columns ``min_value`` / ``max_value`` (as
+    double). Non-numeric columns report NULL min/max rather than
+    erroring.
+
+    One scan, one aggregate row, unpivoted via ``stack``.
+    """
+    if not columns:
+        raise ValueError("profile_columns() needs at least one column")
+    dcount = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        num = col.try_cast("double")  # ANSI mode: plain cast throws on 'A'
+        aggs += [
+            F.count_if(col.isNull()).cast("bigint").alias(f"__null_{c}"),
+            dcount(col).cast("bigint").alias(f"__dist_{c}"),
+            F.min(num).alias(f"__min_{c}"),
+            F.max(num).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', CAST(__n AS DOUBLE), CAST(__null_{c} AS DOUBLE), "
+        f"CAST(__dist_{c} AS DOUBLE), __min_{c}, __max_{c}"
+        for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stacked}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )

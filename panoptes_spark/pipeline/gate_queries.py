@@ -2026,6 +2026,95 @@ FROM dw, m
 ORDER BY doc_id"""
 
 
+_DQ_PRICE_HI = 100_000
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit (pipeline/audit.py): key uniqueness,
+    null policy, range, closed enum, regex shape, and FK integrity over
+    orders->customer — one scan plus one anti-join, counts only."""
+    from panoptes_spark.pipeline.audit import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        referential,
+        run_checks,
+        unique,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return run_checks(
+        o,
+        [
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, _DQ_PRICE_HI),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            matches_regex("o_orderpriority", "^[1-3]-"),
+            referential("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
+O_DQ_CHECKS = f"""
+SELECT ord, "check", target, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT CAST(0 AS BIGINT) AS ord, 'unique' AS "check",
+    'o_orderkey' AS target,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 1, 'not_null', 'o_custkey',
+    count(*) FILTER (o_custkey IS NULL) FROM orders
+  UNION ALL
+  SELECT 2, 'in_range', 'o_totalprice',
+    count(*) FILTER (o_totalprice IS NOT NULL
+      AND (o_totalprice < 0 OR o_totalprice > {_DQ_PRICE_HI}))
+  FROM orders
+  UNION ALL
+  SELECT 3, 'accepted_values', 'o_orderstatus',
+    count(*) FILTER (o_orderstatus IS NOT NULL
+      AND o_orderstatus NOT IN ('O', 'F'))
+  FROM orders
+  UNION ALL
+  SELECT 4, 'matches_regex', 'o_orderpriority',
+    count(*) FILTER (o_orderpriority IS NOT NULL
+      AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+  FROM orders
+  UNION ALL
+  SELECT 5, 'referential', 'o_custkey->c_custkey',
+    (SELECT count(*) FROM orders o
+     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+)
+"""
+
+_DQ_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of lineitem (pipeline/audit.py):
+    row/null/distinct counts + numeric min/max, long-form output; the
+    string column proves the non-numeric NULL min/max path."""
+    from panoptes_spark.pipeline.audit import profile_columns
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_columns(li, _DQ_PROFILE_COLS)
+
+
+O_DQ_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS DOUBLE) AS n_rows,
+  CAST(count(*) FILTER ({c} IS NULL) AS DOUBLE) AS n_null,
+  CAST(count(DISTINCT {c}) AS DOUBLE) AS n_distinct,
+  min(TRY_CAST({c} AS DOUBLE)) AS min_value,
+  max(TRY_CAST({c} AS DOUBLE)) AS max_value
+FROM lineitem"""
+    for c in _DQ_PROFILE_COLS
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -2078,6 +2167,8 @@ QUERIES = {
     "compaction_plan": q_compaction_plan,
     "pagerank_centrality": q_pagerank,
     "bpe_encode": q_bpe_encode,
+    "dq_checks": q_dq_checks,
+    "dq_profile": q_dq_profile,
 }
 
 ORACLES = {
@@ -2132,4 +2223,6 @@ ORACLES = {
     "compaction_plan": O_COMPACTION_PLAN,
     "pagerank_centrality": _o_pagerank(),
     "bpe_encode": _o_bpe_encode(),
+    "dq_checks": O_DQ_CHECKS,
+    "dq_profile": O_DQ_PROFILE,
 }
