@@ -2026,6 +2026,92 @@ FROM dw, m
 ORDER BY doc_id"""
 
 
+_FZ_THRESH = 0.5
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table fuzzy join (pipeline/fuzzy.py): even-numbered sources
+    resolve against odd-numbered ones by shingle Jaccard with MinHash-LSH
+    blocking; keep='best' picks each left doc's single best match."""
+    from panoptes_spark.pipeline.fuzzy import fuzzy_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = F.substring("source", 4, 10).cast("int") % 2
+    left = docs.where(par == 0).select(F.col("doc_id").alias("l_doc"), "text")
+    right = docs.where(par == 1).select(F.col("doc_id").alias("r_doc"), "text")
+    return fuzzy_join(
+        left, right, "l_doc", "r_doc", "text",
+        _K, _NH, _BANDS, threshold=_FZ_THRESH, keep="best",
+    )
+
+
+def _o_fuzzy_side(name: str, id_alias: str, parity: int) -> str:
+    """DuckDB CTEs for one side's shingle sets, minhash sigs, and band
+    buckets (identical hash family to O_DEDUP_MINHASH)."""
+    rows = _NH // _BANDS
+    return f"""{name}_src AS (
+  SELECT doc_id AS {id_alias}, text FROM documents
+  WHERE CAST(substr(source, 4) AS INT) % 2 = {parity}
+),
+{name}_sh AS (
+  SELECT {id_alias},
+    list_distinct(CASE WHEN len(string_split(text, ' ')) < {_K}
+      THEN [array_to_string(string_split(text, ' '), ' ')]
+      ELSE list_transform(range(1, len(string_split(text, ' ')) - {_K} + 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+{_K - 1}], ' '))
+      END) AS shingles
+  FROM {name}_src
+),
+{name}_sig AS (
+  SELECT {id_alias}, shingles,
+    list_transform(range(0, {_NH}),
+      i -> list_min(list_transform(
+           list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {_P}),
+           x -> ((2*i+1) * x + (3*i+7)) % {_P}))) AS minhash
+  FROM {name}_sh
+),
+{name}_bands AS (
+  SELECT {id_alias}, b,
+    array_to_string(minhash[b*{rows}+1 : b*{rows}+{rows}], '-') AS bucket
+  FROM {name}_sig, range(0, {_BANDS}) t(b)
+)"""
+
+
+def _o_fuzzy_join() -> str:
+    from panoptes_spark.pipeline.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    return f"""WITH {_o_fuzzy_side("l", "l_doc", 0)},
+{_o_fuzzy_side("r", "r_doc", 1)},
+bsizes AS (
+  SELECT b, bucket, count(*) AS n FROM (
+    SELECT b, bucket FROM l_bands
+    UNION ALL SELECT b, bucket FROM r_bands
+  ) GROUP BY b, bucket
+),
+cand AS (
+  SELECT DISTINCT l.l_doc, r.r_doc
+  FROM l_bands l JOIN r_bands r ON l.b = r.b AND l.bucket = r.bucket
+  JOIN bsizes s ON s.b = l.b AND s.bucket = l.bucket
+  WHERE s.n <= {DEFAULT_MAX_BUCKET_SIZE}
+),
+ver AS (
+  SELECT c.l_doc, c.r_doc,
+    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+  FROM cand c
+  JOIN l_sig sa ON c.l_doc = sa.l_doc
+  JOIN r_sig sb ON c.r_doc = sb.r_doc
+),
+kept AS (
+  SELECT l_doc, r_doc, jaccard,
+    row_number() OVER (PARTITION BY l_doc
+      ORDER BY jaccard DESC, r_doc ASC) AS rn
+  FROM ver WHERE jaccard >= {_FZ_THRESH}
+)
+SELECT l_doc, r_doc, jaccard FROM kept WHERE rn = 1"""
+
+
 _DQ_PRICE_HI = 100_000
 
 
@@ -2169,6 +2255,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "dq_checks": q_dq_checks,
     "dq_profile": q_dq_profile,
+    "fuzzy_join": q_fuzzy_join,
 }
 
 ORACLES = {
@@ -2225,4 +2312,5 @@ ORACLES = {
     "bpe_encode": _o_bpe_encode(),
     "dq_checks": O_DQ_CHECKS,
     "dq_profile": O_DQ_PROFILE,
+    "fuzzy_join": _o_fuzzy_join(),
 }
