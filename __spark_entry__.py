@@ -1313,6 +1313,182 @@ WHERE CAST(s_acctbal AS DECIMAL(28,6)) * (
 """
 
 
+def _olap_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer distribution): orders-per-customer INCLUDING
+    zero-order customers — the left-outer + double aggregate that a
+    correlated COUNT subquery decorrelates into. The order-side filter
+    lives on the join (pre-filtered before it), not the outer WHERE, so
+    filtered-out customers still count at c_count=0."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        ~F.col("o_orderpriority").startswith("1-")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_OLAP_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+_Q17_BRANDS = ("Brand#13", "Brand#20")
+
+
+def _olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity revenue): lineitems whose quantity is
+    under 20% of their part's average — the correlated per-part AVG
+    decorrelated into one part-keyed aggregate joined back (broadcast:
+    part-count-sized). Division-free: qty*5*n < sum, exact decimals; the
+    only double division is the final /7.0 on an exact sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand").isin(*_Q17_BRANDS)
+    )
+    flt = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+    avgs = flt.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("__qsum"),
+        F.count(F.lit(1)).alias("__qn"),
+    )
+    return (
+        flt.join(F.broadcast(avgs), "l_partkey")
+        .where(
+            F.col("l_quantity").cast(_DEC) * 5 * F.col("__qn")
+            < F.col("__qsum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_OLAP_Q17_ORACLE = f"""
+WITH flt AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN {_Q17_BRANDS!r}
+),
+avgs AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(28,6))) AS qsum,
+         count(*) AS qn
+  FROM flt GROUP BY l_partkey
+)
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 6)
+    AS avg_yearly,
+  count(*) AS n_items
+FROM flt JOIN avgs USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(28,6)) * 5 * qn < qsum
+"""
+
+_Q22_CUTOFF = "2001-01-01"
+
+
+def _olap_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity): above-average-balance
+    customers with NO recent orders, grouped by country code — a scalar
+    aggregate broadcast (the positive-balance average, division-free) +
+    a left-anti join against the recent-order keys. The country code is
+    nationkey%10 (the synthetic schema has no phone column)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(_DEC) * F.col("__n") > F.col("__sum"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+    )
+
+
+_OLAP_Q22_ORACLE = f"""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(28,6))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(28,6)) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY 1
+"""
+
+
+def _olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets in
+    one Expand + aggregate pass (the full-lattice sibling of the ROLLUP
+    gate). Hour comes from integer ms arithmetic so both engines derive
+    it identically."""
+    e = fx.read_events(spark, sf_dir)
+    hours = e.withColumn(
+        "hour_of_day", (F.expr("ts_ms div 3600000") % 24).cast("int")
+    )
+    return (
+        hours.cube("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hour_of_day", F.lit(-1)).alias("hour_of_day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_OLAP_CUBE_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+  CAST(coalesce(hour_of_day, -1) AS INT) AS hour_of_day,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value,
+    CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hour_of_day
+  FROM events
+)
+GROUP BY CUBE (event_type, hour_of_day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # W7/P12/A9: the classic analytic shapes a telemetry warehouse runs —
 # per-series moving average (RANGE frame), long->wide pivot, retention
@@ -2182,6 +2358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w9_resample_ffill": _w9_resample,
             "w10_gap_report": _w10_gap_report,
             "w11_zscore_anomaly": _w11_zscore,
+            "a16_custdist": _olap_custdist,
+            "a17_small_qty_revenue": _olap_small_qty_revenue,
+            "a18_dormant_value": _olap_dormant_value,
+            "a19_cube_summary": _olap_cube,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2245,6 +2425,10 @@ def oracle_sql() -> dict[str, str]:
             "w9_resample_ffill": _W9_RESAMPLE_ORACLE,
             "w10_gap_report": _W10_GAP_ORACLE,
             "w11_zscore_anomaly": _W11_ZSCORE_ORACLE,
+            "a16_custdist": _OLAP_Q13_ORACLE,
+            "a17_small_qty_revenue": _OLAP_Q17_ORACLE,
+            "a18_dormant_value": _OLAP_Q22_ORACLE,
+            "a19_cube_summary": _OLAP_CUBE_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
