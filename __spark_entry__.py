@@ -1724,6 +1724,116 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# W12: first-touch funnel (operators/funnel.py) — ordered step-sequence
+# conversion per user; one keyed aggregate+join per step, no stream-wide
+# window or per-key event buffering.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN_MS = 7 * 86_400_000  # 7-day conversion window per step
+
+
+def _w12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.funnel import funnel
+
+    e = fx.read_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    return funnel(
+        e, by=["user_id"], steps=_FUNNEL_STEPS, within_ms=_FUNNEL_WITHIN_MS
+    )
+
+
+_W12_FUNNEL_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+),
+s0 AS (
+  SELECT user_id, min(ts_ms) AS step0_ts FROM pts
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s1 AS (
+  SELECT p.user_id, min(p.ts_ms) AS step1_ts
+  FROM pts p JOIN s0 USING (user_id)
+  WHERE p.event_type = '{_FUNNEL_STEPS[1]}' AND p.ts_ms > step0_ts
+    AND p.ts_ms <= step0_ts + {_FUNNEL_WITHIN_MS}
+  GROUP BY 1
+),
+s2 AS (
+  SELECT p.user_id, min(p.ts_ms) AS step2_ts
+  FROM pts p JOIN s1 USING (user_id)
+  WHERE p.event_type = '{_FUNNEL_STEPS[2]}' AND p.ts_ms > step1_ts
+    AND p.ts_ms <= step1_ts + {_FUNNEL_WITHIN_MS}
+  GROUP BY 1
+)
+SELECT s0.user_id, step0_ts, step1_ts, step2_ts
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A20: Q21 shape — the double-correlated EXISTS / NOT-EXISTS (suppliers
+# who were the ONLY late shipper on a multi-supplier order) decorrelated
+# into per-(order,supplier) then per-order aggregates joined back; no
+# correlated re-scan of lineitem.
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 60
+
+
+def _olap_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_LATE_DAYS} DAYS"
+    )
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.count_if("late").alias("__n_late"),
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .where(
+            F.col("late") & (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+_OLAP_Q21_ORACLE = f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS late FROM j GROUP BY 1, 2
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, count(*) FILTER (late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_os JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late AND n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5b: SCD2 history — the temporal materialization of the reconcile
 # family: every distinct per-identity state with its validity interval,
 # instead of only the latest winner (manager.py:109-135 keeps winners;
@@ -2362,6 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a17_small_qty_revenue": _olap_small_qty_revenue,
             "a18_dormant_value": _olap_dormant_value,
             "a19_cube_summary": _olap_cube,
+            "w12_funnel": _w12_funnel,
+            "a20_sole_late_supplier": _olap_sole_late_supplier,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2429,6 +2541,8 @@ def oracle_sql() -> dict[str, str]:
             "a17_small_qty_revenue": _OLAP_Q17_ORACLE,
             "a18_dormant_value": _OLAP_Q22_ORACLE,
             "a19_cube_summary": _OLAP_CUBE_ORACLE,
+            "w12_funnel": _W12_FUNNEL_ORACLE,
+            "a20_sole_late_supplier": _OLAP_Q21_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
