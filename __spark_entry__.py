@@ -1770,6 +1770,109 @@ FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 
 
 # ---------------------------------------------------------------------------
+# W13: next-event transition matrix — first-order Markov counts and
+# probabilities over each user's ordered event sequence: one keyed lag
+# window + one pair-keyed aggregate; probability is the only division
+# (bigint/bigint -> identical IEEE double, rounded 6dp).
+# ---------------------------------------------------------------------------
+
+
+def _w13_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = fx.read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_prev = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(per_prev), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+    )
+
+
+_W13_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1)
+SELECT prev_type, next_type, n,
+  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+FROM pairs JOIN tot USING (prev_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W14: rolling 7-day distinct engagement (the WAU/MAU shape) — sliding
+# distinct counts WITHOUT sliding-window distinct state: each (day, user)
+# membership fans out to the <=7 target days it supports (bounded
+# explode), then one count_distinct per target day. Corpus-sized state
+# never slides; fan-out is window-length-bounded.
+# ---------------------------------------------------------------------------
+
+_ENG_WINDOW_DAYS = 7
+_DAY_MS = 86_400_000
+
+
+def _w14_rolling_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.read_events(spark, sf_dir)
+    du = e.select(
+        F.expr(f"ts_ms div {_DAY_MS}").alias("day"), "user_id"
+    ).distinct()
+    max_day = du.agg(F.max("day").alias("__max_day"))
+    return (
+        du.withColumn(
+            "target_day",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (_ENG_WINDOW_DAYS - 1))
+            ),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("target_day") <= F.col("__max_day"))
+        .groupBy("target_day")
+        .agg(
+            F.count_distinct("user_id").alias("active_users_7d"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("target_day"), F.col("user_id"))
+            ).alias("active_users_1d"),
+        )
+    )
+
+
+_W14_ENGAGEMENT_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_ms(ts) // {_DAY_MS} AS day, user_id FROM events
+),
+md AS (SELECT max(day) AS max_day FROM du),
+r AS (
+  SELECT user_id, day,
+    unnest(generate_series(day, day + {_ENG_WINDOW_DAYS - 1})) AS target_day
+  FROM du
+)
+SELECT target_day,
+  count(DISTINCT user_id) AS active_users_7d,
+  count(DISTINCT CASE WHEN day = target_day THEN user_id END)
+    AS active_users_1d
+FROM r, md WHERE target_day <= max_day GROUP BY target_day
+"""
+
+
+# ---------------------------------------------------------------------------
 # A20: Q21 shape — the double-correlated EXISTS / NOT-EXISTS (suppliers
 # who were the ONLY late shipper on a multi-supplier order) decorrelated
 # into per-(order,supplier) then per-order aggregates joined back; no
@@ -2474,6 +2577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a19_cube_summary": _olap_cube,
             "w12_funnel": _w12_funnel,
             "a20_sole_late_supplier": _olap_sole_late_supplier,
+            "w13_transition_matrix": _w13_transitions,
+            "w14_rolling_engagement": _w14_rolling_engagement,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2543,6 +2648,8 @@ def oracle_sql() -> dict[str, str]:
             "a19_cube_summary": _OLAP_CUBE_ORACLE,
             "w12_funnel": _W12_FUNNEL_ORACLE,
             "a20_sole_late_supplier": _OLAP_Q21_ORACLE,
+            "w13_transition_matrix": _W13_TRANSITIONS_ORACLE,
+            "w14_rolling_engagement": _W14_ENGAGEMENT_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

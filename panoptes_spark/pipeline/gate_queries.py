@@ -2026,6 +2026,39 @@ FROM dw, m
 ORDER BY doc_id"""
 
 
+_GSAMPLE_K = 5
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample (pipeline/splits.py):
+    murmur3 rank within each source — unbiased, re-run/append stable."""
+    from panoptes_spark.pipeline.splits import sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_per_group(docs, ["source"], _GSAMPLE_K).select(
+        "doc_id", "source"
+    )
+
+
+def _o_sample_per_group() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    chain = mmh3_cte_chain(
+        "base", "'gsample' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, source FROM documents),
+{chain},
+ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY __mm_hash ASC, doc_id ASC) AS rn
+  FROM mmh3
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {_GSAMPLE_K}
+"""
+
+
 _FZ_THRESH = 0.5
 
 
@@ -2256,6 +2289,7 @@ QUERIES = {
     "dq_checks": q_dq_checks,
     "dq_profile": q_dq_profile,
     "fuzzy_join": q_fuzzy_join,
+    "sample_per_group": q_sample_per_group,
 }
 
 ORACLES = {
@@ -2313,4 +2347,5 @@ ORACLES = {
     "dq_checks": O_DQ_CHECKS,
     "dq_profile": O_DQ_PROFILE,
     "fuzzy_join": _o_fuzzy_join(),
+    "sample_per_group": _o_sample_per_group(),
 }

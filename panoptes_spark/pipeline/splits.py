@@ -265,3 +265,40 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * N_BUCKETS)))
         ).otherwise(thr)
     return out.where(F.col("__sample_bucket") < thr).drop("__sample_bucket")
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic uniform ``k``-sample per group (per domain, per
+    source, per language): rows rank within their group by
+    murmur3(salt:id) — a reproducible uniform draw — with the id as
+    tie-break, and the first ``k`` survive.
+
+    One keyed window shuffle on ``group_cols`` (the same shape as
+    ``text.cap_per_group``, which ranks by *quality* where this ranks by
+    an unbiased hash). Membership is a pure function of row values:
+    stable across re-runs, partitionings, and cluster sizes; appends
+    only evict a previous pick when a lower-hash newcomer arrives in its
+    group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not group_cols:
+        raise ValueError("sample_per_group requires non-empty group_cols")
+    from pyspark.sql import Window
+
+    key = f"concat('{salt}', ':', cast({id_col} as string))"
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__gs_hash").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__gs_hash", F.expr(mmh3_sql_expr(key, "spark")))
+        .withColumn("__gs_rn", F.row_number().over(w))
+        .where(F.col("__gs_rn") <= int(k))
+        .drop("__gs_hash", "__gs_rn")
+    )

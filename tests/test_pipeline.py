@@ -517,6 +517,33 @@ def test_hash_sample_stable_under_append(spark):
     assert kept1 == {i for i in kept2 if i < 300}
 
 
+def test_sample_per_group_exact_k_and_layout_independent(spark):
+    from panoptes_spark.operators.schedule import murmur3_x86_32
+    from panoptes_spark.pipeline.splits import sample_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    picked = sample_per_group(df, ["grp"], 4).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in picked:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_grp.values()) and len(by_grp) == 3
+    # membership is exactly the 4 lowest murmur3(salt:id) per group
+    for g, ids in by_grp.items():
+        pool = sorted(
+            (murmur3_x86_32(f"gsample:{i}"), i)
+            for i in range(90)
+            if "g%d" % (i % 3) == g
+        )
+        assert sorted(ids) == sorted(i for _, i in pool[:4])
+    # repartitioning must not change the picks
+    again = {
+        (r["grp"], r["doc_id"])
+        for r in sample_per_group(df.repartition(7), ["grp"], 4).collect()
+    }
+    assert again == {(r["grp"], r["doc_id"]) for r in picked}
+
+
 def test_stratified_sample_rates(spark):
     from panoptes_spark.pipeline.splits import stratified_sample
 
