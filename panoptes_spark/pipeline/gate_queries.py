@@ -2026,6 +2026,81 @@ FROM dw, m
 ORDER BY doc_id"""
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability / lexical-richness signals (pipeline/text.py):
+    sentence + vowel-group syllable counts, Flesch reading ease, TTR —
+    exact integers up to the final rounded divisions."""
+    from panoptes_spark.pipeline.text import add_readability
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return add_readability(docs).select(
+        "doc_id", "n_sentences", "n_syllables", "flesch", "ttr"
+    )
+
+
+O_TEXT_READABILITY = """
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                w -> w <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(greatest(len(words), 1) AS BIGINT) AS n_words,
+    CAST(greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(string_split_regex(lower(text), '[aeiouy]+')) - 1 AS BIGINT)
+      AS n_syllables,
+    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+  FROM base
+)
+SELECT doc_id, n_sentences, n_syllables,
+  round(206.835
+        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+    AS flesch,
+  round(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS ttr
+FROM c
+"""
+
+_TFIDF_K = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top TF-IDF keywords (pipeline/text.py): smoothed idf,
+    deterministic (score desc, term asc) ranking."""
+    from panoptes_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=_TFIDF_K)
+
+
+O_TEXT_TFIDF = f"""
+WITH terms AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+    round(tf * (ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0), 6)
+      AS score
+  FROM tf JOIN dfreq USING (term), nd
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, term ASC) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= {_TFIDF_K}
+"""
+
+
 _GSAMPLE_K = 5
 
 
@@ -2290,6 +2365,8 @@ QUERIES = {
     "dq_profile": q_dq_profile,
     "fuzzy_join": q_fuzzy_join,
     "sample_per_group": q_sample_per_group,
+    "text_readability": q_text_readability,
+    "text_tfidf": q_text_tfidf,
 }
 
 ORACLES = {
@@ -2348,4 +2425,6 @@ ORACLES = {
     "dq_profile": O_DQ_PROFILE,
     "fuzzy_join": _o_fuzzy_join(),
     "sample_per_group": _o_sample_per_group(),
+    "text_readability": O_TEXT_READABILITY,
+    "text_tfidf": O_TEXT_TFIDF,
 }

@@ -459,3 +459,96 @@ def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Readability + lexical-richness quality signals, all from exact
+    integer counts so both engines agree bit-for-bit before the single
+    rounded division:
+
+    - ``n_sentences``: runs of ``.!?`` (min 1, so ratios are total)
+    - ``n_syllables``: vowel-group approximation (runs of ``[aeiouy]``
+      in the lowercased text — groups never span whitespace, so the
+      per-document count equals the per-word sum)
+    - ``flesch``: 206.835 - 1.015*(words/sentences) -
+      84.6*(syllables/words), rounded 4dp (the classic reading-ease
+      formula on the approximate counts)
+    - ``ttr``: type-token ratio (distinct words / words, 6dp) — the
+      standard lexical-diversity signal for template/boilerplate text
+
+    Map-only column expressions; scan-speed.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.filter(
+        F.split(F.trim(lower), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("long")
+    n_sent = F.greatest(
+        F.size(F.split(F.col(text_col), r"[.!?]+")) - 1, F.lit(1)
+    ).cast("long")
+    n_syll = F.size(F.split(lower, r"[aeiouy]+")) - 1
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        4,
+    )
+    ttr = F.round(
+        F.size(F.array_distinct(words)).cast("double") / n_words.cast("double"),
+        6,
+    )
+    return (
+        df.withColumn("n_sentences", n_sent)
+        .withColumn("n_syllables", n_syll.cast("long"))
+        .withColumn("flesch", flesch)
+        .withColumn("ttr", ttr)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extractor / sparse featurizer. ``idf = ln((N+1)/(df+1)) + 1``
+    (smoothed, sklearn's variant), ``score = tf * idf`` rounded 6dp,
+    ties broken by term text so the result is layout-independent.
+
+    Shape at scale: explode -> (doc, term) partial-agg count (the only
+    corpus-sized shuffle); document frequency is a term-keyed aggregate
+    of that same frame (vocabulary-sized) joined back; N is a 1-row
+    broadcast; top-k is one window over the (doc, term) frame keyed by
+    doc. ln/division are IEEE on exact integer inputs.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + 1).cast("double")
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .select(id_col, "term", "tf", "df", "score", "rnk")
+    )

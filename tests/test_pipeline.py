@@ -1128,3 +1128,44 @@ def test_ks_drift_semantics(spark):
 
     with _pytest.raises(ValueError):
         ks_drift(a, b, [], "v")
+
+
+def test_readability_exact_counts_and_formula(spark):
+    import math
+
+    from panoptes_spark.pipeline.text import add_readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The cat ran!"), (2, "word")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in add_readability(df).collect()}
+    r1 = out[1]
+    # 6 words, 2 sentences, vowel groups: e,a,a,e,a,a = 6
+    assert (r1.n_sentences, r1.n_syllables) == (2, 6)
+    exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert math.isclose(r1.flesch, round(exp, 4))
+    assert math.isclose(r1.ttr, round(4 / 6, 6))  # the,cat,sat.,ran! forms
+    r2 = out[2]
+    # no terminator: sentence floor of 1; single word
+    assert (r2.n_sentences, r2.ttr) == (1, 1.0)
+
+
+def test_tfidf_ranks_rare_terms_highest(spark):
+    from panoptes_spark.pipeline.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common other"),
+            (3, "common thing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rnk == 1}
+    # 'common' appears in every doc -> low idf; unique terms win rank 1
+    assert top == {1: "rare", 2: "other", 3: "thing"}
+    d1 = {r.term: r for r in out if r.doc_id == 1}
+    assert d1["common"].tf == 1 and d1["common"].df == 3
+    assert d1["rare"].df == 1 and d1["rare"].score > d1["common"].score
