@@ -374,28 +374,40 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return df.withColumn("simhash", F.expr(expr))
 
 
-def simhash_hamming_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidates: split the fingerprint into ``bands`` chunks —
-    any pair within ``max_hamming`` (< bands) must agree on >=1 chunk
-    (pigeonhole); verify with bit_count of xor.
+    """Generic banded-hamming near-dup join over any BIGINT fingerprint
+    column (simhash, image dhash, ...): split the fingerprint into
+    ``bands`` chunks — any pair within ``max_hamming`` (< bands) must
+    agree on >=1 chunk (pigeonhole); verify with bit_count of xor.
+    Arithmetic shiftright + chunk mask keeps the chunks correct even
+    when bit 63 is set (negative BIGINT), so the full 64-bit range is
+    usable.
 
-    The fingerprint frame feeds both sides of the self-join and Spark does
-    not reuse the exchange across them — persist (id, simhash) so the
-    per-token hashing runs once (halves wall-clock)."""
-    chunk = SIMHASH_BITS // bands
-    sim_df = sim_df.select(id_col, "simhash").persist()
-    banded = sim_df.select(
+    The fingerprint frame feeds both sides of the self-join and Spark
+    does not reuse the exchange across them — persist (id, hash) so any
+    upstream per-row hashing runs once (halves wall-clock)."""
+    chunk = bits // bands
+    hashed = df.select(id_col, hash_col).where(
+        F.col(hash_col).isNotNull()
+    ).persist()
+    banded = hashed.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> struct(b as band,"
-                f" (shiftright(simhash, b*{chunk}) & {2**chunk - 1}) as chunk))"
+                f" (shiftright({hash_col}, b*{chunk}) & {2**chunk - 1})"
+                f" as chunk))"
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    ).select(id_col, hash_col, "bb.band", "bb.chunk")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -407,8 +419,20 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+            F.expr(f"bit_count(l.{hash_col} ^ r.{hash_col})").alias(
+                "hamming"
+            ),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_hamming_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup candidates — the text instantiation of
+    :func:`hamming_band_pairs`."""
+    return hamming_band_pairs(
+        sim_df, id_col, "simhash", SIMHASH_BITS, max_hamming, bands
     )

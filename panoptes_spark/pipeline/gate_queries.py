@@ -4,6 +4,7 @@ text analysis) with DuckDB oracle twins. Keyed into __spark_entry__.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -650,10 +651,12 @@ SELECT node, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
-# multimodal: binary columns derived from documents (payload = utf-8 text
-# bytes); the Arrow-batched extractor's deterministic features are
-# md5-derived so DuckDB recomputes them exactly — the decode step itself is
-# the swappable stub, the plumbing is what's oracle-checked.
+# multimodal: binary columns derived from documents. Two oracle styles:
+# `multimodal_features` feeds utf-8 text bytes (no magic header → the
+# deterministic md5 fallback runs, which DuckDB recomputes exactly, so
+# the Arrow plumbing is oracle-checked); `media_audio_decode` feeds real
+# PCM WAV payloads through the genuine RIFF decoder and oracle-checks
+# the decoded signal features in closed form.
 # ---------------------------------------------------------------------------
 
 
@@ -685,6 +688,61 @@ SELECT doc_id AS media_id,
     i -> round(('0x' || substr(md5(text), i*2 + 1, 2))::BIGINT / 255.0, 6)
   ) AS features
 FROM documents
+"""
+
+
+def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode gate: synthesize constant-amplitude PCM-16 WAV
+    payloads (amplitude keyed off doc_id), run them through the genuine
+    RIFF/WAVE decoder in ``media_codecs.decode_wav`` via
+    ``extract_features``, and emit the feature vector. Because the
+    signal is constant, every feature has a closed form the DuckDB
+    oracle recomputes exactly: v = round(round(amp*32767)/32768, 6)
+    (the 16-bit quantization the decoder undoes), zcr = 0. Verified
+    tie-free under round-half conventions for all amp values used."""
+    import numpy as np
+
+    from . import media_codecs as mcodec
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", ((F.col("doc_id") % 90 + 5) / 100.0).alias("amp")
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": [
+                        mcodec.encode_wav_pcm16(np.full(64, a), 8000)
+                        for a in pdf["amp"]
+                    ],
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": pd.array(
+                        [8] * len(pdf), dtype="Int64"
+                    ),
+                    "format": "wav",
+                }
+            )
+
+    media = base.mapInPandas(enc, schema=multimodal.MEDIA_SCHEMA)
+    return multimodal.extract_features(media).select(
+        "media_id", "decoder", "features"
+    )
+
+
+O_MEDIA_AUDIO_DECODE = """
+WITH q AS (
+  SELECT doc_id,
+         round(round((doc_id % 90 + 5) / 100.0 * 32767) / 32768.0, 6) AS v
+  FROM documents
+)
+SELECT doc_id AS media_id, 'wav' AS decoder,
+       [v, 0.0, v, v, v, v, v, v] AS features
+FROM q
 """
 
 
@@ -2325,6 +2383,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
+    "media_audio_decode": q_media_audio_decode,
     "media_frame_sample": q_media_frame_sample,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_components": q_dedup_components,
@@ -2385,6 +2444,7 @@ ORACLES = {
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "semdedup": O_SEMDEDUP,
     "multimodal_features": O_MULTIMODAL_FEATURES,
+    "media_audio_decode": O_MEDIA_AUDIO_DECODE,
     "media_frame_sample": O_MEDIA_FRAME_SAMPLE,
     "dedup_simhash_pairs": O_SIMHASH_PAIRS,
     "dedup_components": O_DEDUP_COMPONENTS,

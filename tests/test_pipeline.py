@@ -171,8 +171,17 @@ def test_multimodal_feature_extraction(spark):
     feats = multimodal.extract_features(media).collect()
     assert len(feats) == 12
     by_id = {r.media_id: r for r in feats}
-    assert by_id[0].n_bytes == 16
+    sizes = {
+        r.media_id: len(r.payload)
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert {i: r.n_bytes for i, r in by_id.items()} == sizes
     assert len(by_id[0].features) == multimodal.FEATURE_DIM
+    # every synthetic payload decodes through a REAL codec — no fakes
+    assert {r.decoder for r in feats} == {"bmp", "ppm", "wav", "y4m"}
+    # image 0 is a horizontal x-gradient -> strip means must increase
+    f0 = by_id[0].features
+    assert f0 == sorted(f0) and f0[0] < f0[-1]
     # determinism: same payload -> same sha1/features
     again = multimodal.extract_features(media).collect()
     assert {r.media_id: r.sha1 for r in again} == {
@@ -188,8 +197,8 @@ def test_multimodal_arrow_batch_bounding(spark):
         media = multimodal.synth_media_df(spark, n=40).coalesce(1)
         rows = multimodal.extract_features(media).collect()
         assert max(r.batch_rows for r in rows) <= 5
-        # container has no PIL: every row must flag the fake decoder
-        assert {r.decoder for r in rows} == {"fake"}
+        # native codecs handle every synthetic payload without PIL
+        assert {r.decoder for r in rows} <= {"bmp", "ppm", "wav", "y4m"}
     finally:
         if prev is not None:
             spark.conf.set(
