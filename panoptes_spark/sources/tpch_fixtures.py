@@ -235,27 +235,38 @@ def oid_tables_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("device_id", "idx")
         .agg(F.max("l_quantity").cast("long").alias("maxq"))
     )
-    sensor_value = base.select(
-        "device_id",
-        F.lit("sensor_value").alias("table_name"),
-        F.col("idx").cast("string").alias("index"),
-        F.col("maxq").cast("string").alias("value"),
+    # one scan, one shuffle: the three OID tables are row variants of the
+    # same aggregate, so explode an inline array instead of unioning three
+    # branches (a union of uncached branches re-scans lineitem per branch —
+    # 3x the I/O, which at 100 TB is the whole cost)
+    idx_s = F.col("idx").cast("string")
+    variants = F.array(
+        F.struct(
+            F.lit("sensor_value").alias("table_name"),
+            idx_s.alias("index"),
+            F.col("maxq").cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("sensor_scale").alias("table_name"),
+            idx_s.alias("index"),
+            (F.col("idx") % 3 + 1).cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("sensor_name").alias("table_name"),
+            idx_s.alias("index"),
+            F.when(F.col("idx") % 9 == 0, "")
+            .otherwise(F.concat(F.lit("S"), idx_s))
+            .alias("value"),
+        ),
     )
-    sensor_scale = base.where(F.col("idx") % 4 == 0).select(
-        "device_id",
-        F.lit("sensor_scale").alias("table_name"),
-        F.col("idx").cast("string").alias("index"),
-        (F.col("idx") % 3 + 1).cast("string").alias("value"),
+    return (
+        base.select("device_id", "idx", F.explode(variants).alias("t"))
+        .where(
+            (F.col("t.table_name") != "sensor_scale")
+            | (F.col("idx") % 4 == 0)
+        )
+        .select("device_id", "t.table_name", "t.index", "t.value")
     )
-    sensor_name = base.select(
-        "device_id",
-        F.lit("sensor_name").alias("table_name"),
-        F.col("idx").cast("string").alias("index"),
-        F.when(F.col("idx") % 9 == 0, "")
-        .otherwise(F.concat(F.lit("S"), F.col("idx").cast("string")))
-        .alias("value"),
-    )
-    return sensor_value.unionByName(sensor_scale).unionByName(sensor_name)
 
 
 def enrichment_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,3 +305,35 @@ def test_image_dhash_exact_on_identical(spark):
     ).collect()
     assert {(r.a, r.b) for r in pairs} == {(0, 100)}
     assert pairs[0].hamming == 0
+
+
+# ------------------------------------------------------------- spectral
+
+
+def test_audio_spectral_features_find_the_tone(spark):
+    rate = 8000
+    t = np.arange(2048) / rate
+    tone = mc.encode_wav_pcm16(0.7 * np.sin(2 * np.pi * 440 * t), rate)
+    noise = mc.encode_wav_pcm16(
+        0.1 * np.sin(2 * np.pi * 3500 * t), rate
+    )  # near Nyquist: top band
+    df = spark.createDataFrame(
+        [
+            (1, "audio", tone, None, None, None, "wav"),
+            (2, "audio", noise, None, None, None, "wav"),
+            (3, "audio", b"junk", None, None, None, "bin"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: r
+        for r in multimodal.audio_spectral_features(df).collect()
+    }
+    # pure 440 Hz sine: dominant bin within one FFT bin (rate/2048 ≈ 3.9 Hz)
+    assert abs(rows[1].dominant_hz - 440.0) < 4.0
+    assert abs(rows[1].spectral_centroid_hz - 440.0) < 10.0
+    assert rows[2].dominant_hz > 3400.0
+    # band energies sum to ~1 and concentrate correctly
+    assert abs(sum(rows[1].band_energy) - 1.0) < 1e-3
+    assert rows[2].band_energy[-1] > 0.9  # 3.5 kHz in the top band
+    assert rows[3].dominant_hz is None  # undecodable -> NULLs
