@@ -287,7 +287,7 @@ def kmeans_refine(
                     F.col("centroid"), lambda x: x.cast("double")
                 ).alias("centroid"),
             )
-            .join(new_cents, "cell_id", "left")
+            .join(F.broadcast(new_cents), "cell_id", "left")
             .select(
                 "cell_id",
                 F.coalesce("new_centroid", "centroid").alias("centroid"),

@@ -337,3 +337,40 @@ def test_audio_spectral_features_find_the_tone(spark):
     assert abs(sum(rows[1].band_energy) - 1.0) < 1e-3
     assert rows[2].band_energy[-1] > 0.9  # 3.5 kHz in the top band
     assert rows[3].dominant_hz is None  # undecodable -> NULLs
+
+
+# ------------------------------------------------- streaming twin
+
+
+def test_streaming_media_feature_extraction_matches_batch(spark, tmp_path):
+    """extract_features is a mapInPandas transform, so the SAME operator
+    runs unchanged in a Structured Streaming query — prove it: stream
+    the media table from parquet, extract features to a memory sink,
+    compare against the batch result row-for-row."""
+    media = multimodal.synth_media_df(spark, n=18)
+    src = str(tmp_path / "media_src")
+    media.write.parquet(src)
+
+    batch = {
+        (r.media_id, r.sha1, tuple(r.features), r.decoder)
+        for r in multimodal.extract_features(media).collect()
+    }
+
+    stream = spark.readStream.schema(multimodal.MEDIA_SCHEMA).parquet(src)
+    q = (
+        multimodal.extract_features(stream)
+        .writeStream.format("memory")
+        .queryName("media_feats_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.media_id, r.sha1, tuple(r.features), r.decoder)
+        for r in spark.sql("SELECT * FROM media_feats_stream").collect()
+    }
+    assert got == batch and len(got) == 18
