@@ -202,3 +202,100 @@ def test_golden_interface_results(spark):
 def test_golden_interface_results_with_index_dimension(spark):
     got = _replay(spark, include_interface_index=True)
     assert got == _canon_golden(f"{DATA}/results_enabled.json")
+
+
+# ---------------------------------------------------------------------------
+# Enrichment-builder replay: the reference's interface ENRICHMENT plugin
+# family (base + arista/cisco/juniper vendor grammars), against the four
+# vendor golden fixtures its own test suite checks
+# (tests/plugins/enrichment/interface/{arista,cisco,juniper/mx,juniper/qfx}).
+# ---------------------------------------------------------------------------
+
+from panoptes_spark.operators.interface_enrichment import (  # noqa: E402
+    interface_enrichment,
+)
+
+ENR_DATA = "/root/reference/tests/plugins/enrichment/interface"
+
+_WALK_OIDS = {
+    ".1.3.6.1.2.1.2.2.1.3": "if_type",
+    ".1.3.6.1.2.1.2.2.1.2": "if_descr",
+    ".1.3.6.1.2.1.31.1.1.1.1": "if_name",
+    ".1.3.6.1.2.1.31.1.1.1.18": "if_alias",
+    ".1.3.6.1.2.1.31.1.1.1.15": "if_high_speed",
+    ".1.3.6.1.2.1.2.2.1.5": "if_speed",
+    ".1.3.6.1.2.1.2.2.1.6": "if_phys_hex",
+}
+
+_ENR_FIELDS = [
+    "interface_name",
+    "description",
+    "media_type",
+    "alias",
+    "configured_speed",
+    "port_speed",
+    "physical_address",
+    "parent_interface_name",
+    "parent_interface_media_type",
+    "parent_interface_configured_speed",
+    "parent_interface_port_speed",
+]
+
+
+def _walk_frame(spark, path, device="dev1"):
+    """snmprec -> long (device_id, column, index, value) frame, keeping
+    ifPhysAddress as its raw hex encoding (the MAC transform's input)
+    and decoding other hex-tagged values to text."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            oid, tag, val = line.split("|", 2)
+            o = oid if oid.startswith(".") else "." + oid
+            for base, col in _WALK_OIDS.items():
+                if o.startswith(base + "."):
+                    idx = o[len(base) + 1:]
+                    if col == "if_phys_hex":
+                        v = val if tag.endswith("x") else val.encode().hex()
+                    elif tag.endswith("x"):
+                        v = bytes.fromhex(val).decode("utf-8", "replace")
+                    else:
+                        v = val
+                    rows.append((device, col, idx, v))
+    return spark.createDataFrame(
+        rows, "device_id string, column string, index string, value string"
+    )
+
+
+@pytest.mark.parametrize(
+    "subdir,vendor,model",
+    [
+        ("arista", "arista", None),
+        ("cisco", "cisco", None),
+        ("juniper/mx", "juniper", "QFX5200"),  # both juniper suites pin model QFX5200
+        ("juniper/qfx", "juniper", "QFX5200"),
+    ],
+)
+def test_golden_interface_enrichment(spark, subdir, vendor, model):
+    base = f"{ENR_DATA}/{subdir}/data"
+    walk = _walk_frame(spark, f"{base}/recording/public.snmprec")
+    out = interface_enrichment(
+        spark, walk, vendor=vendor, device_model=model
+    ).collect()
+    got = {
+        r.interface_index: {
+            k: (int(v) if isinstance(v, int) else v)
+            for k, v in ((f, r[f]) for f in _ENR_FIELDS)
+        }
+        for r in out
+    }
+    golden = json.load(open(f"{base}/results.json"))
+    expected = {
+        idx: fields
+        for entry in golden["enrichment"][0]["data"]
+        for idx, fields in entry.items()
+    }
+    assert golden["enrichment"][0]["namespace"] == "interface"
+    assert got == expected
