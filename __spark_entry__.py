@@ -217,6 +217,185 @@ FROM temps t JOIN totals tot ON t.device_id = tot.device_id
 
 
 # ---------------------------------------------------------------------------
+# Interface enrichment BUILDER (walk -> enrichment): the vendor-grammar
+# twin of the reference enrichment plugin family, driver-checked against
+# a DuckDB oracle that mirrors every rule (ifType registry decode,
+# speed fallthrough sentinels, MAC render, juniper parent grammar with
+# the QFX 'et' = 100G model exception). Synthetic walk derives from
+# lineitem; absent OID rows model real walk gaps.
+# ---------------------------------------------------------------------------
+
+
+def _enrich_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.interface_enrichment import (
+        interface_enrichment,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.groupBy(
+        F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
+            "device_id"
+        ),
+        (F.col("l_partkey") % 30).alias("idx"),
+    ).agg(F.max("l_quantity").cast("long").alias("q"))
+    i = F.col("idx")
+    name = (
+        F.when(i % 5 == 0, F.concat(F.lit("eth"), i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("ge-1/"), i.cast("string")))
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit("ge-1/"), (i - 1).cast("string"),
+                F.lit("."), (i % 7).cast("string"),
+            ),
+        )
+        .when(i % 5 == 3, F.concat(F.lit("et-0/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("xe-2/0:"), i.cast("string")))
+    )
+    cols = F.array(
+        F.struct(
+            F.lit("if_type").alias("column"),
+            ((i * 7) % 250 + 1).cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("if_descr").alias("column"),
+            F.concat(F.lit("port "), i.cast("string")).alias("value"),
+        ),
+        F.struct(F.lit("if_name").alias("column"), name.alias("value")),
+        F.struct(
+            F.lit("if_alias").alias("column"),
+            F.when(i % 6 == 1, F.lit(None).cast("string"))
+            .when(i % 6 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("al"), i.cast("string")))
+            .alias("value"),
+        ),
+        F.struct(
+            F.lit("if_high_speed").alias("column"),
+            F.when(i % 5 == 0, F.lit("0"))
+            .when(i % 5 == 1, F.lit("1"))
+            .when(i % 5 == 2, F.lit(None).cast("string"))
+            .otherwise((F.col("q") % 90000 + 2).cast("string"))
+            .alias("value"),
+        ),
+        F.struct(
+            F.lit("if_speed").alias("column"),
+            F.when(i % 4 == 3, F.lit(None).cast("string"))
+            .when(i % 3 == 0, F.lit("0"))
+            .otherwise(((F.col("q") * 7) % 100000000).cast("string"))
+            .alias("value"),
+        ),
+        F.struct(
+            F.lit("if_phys_hex").alias("column"),
+            F.when(i % 8 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("device_id"), F.lit("#"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                )
+            )
+            .alias("value"),
+        ),
+    )
+    walk = (
+        base.select(
+            "device_id",
+            i.cast("string").alias("index"),
+            F.explode(cols).alias("t"),
+        )
+        .where(F.col("t.value").isNotNull())
+        .select("device_id", "t.column", "index", "t.value")
+    )
+    return interface_enrichment(
+        spark, walk, vendor="juniper", device_model="QFX5200"
+    )
+
+
+def _enrich_build_oracle() -> str:
+    from panoptes_spark.operators.interface_enrichment import _IFTYPE_NAMES
+
+    names_sql = ", ".join(f"'{n}'" for n in _IFTYPE_NAMES)
+    return f"""
+WITH base AS (
+  SELECT 'dev-' || (l_suppkey % 5) AS device_id,
+         (l_partkey % 30) AS idx,
+         CAST(max(l_quantity) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+fields AS (
+  SELECT device_id, idx, q,
+    CASE WHEN idx % 5 = 0 THEN 'eth' || idx
+         WHEN idx % 5 = 1 THEN 'ge-1/' || idx
+         WHEN idx % 5 = 2 THEN 'ge-1/' || (idx - 1) || '.' || (idx % 7)
+         WHEN idx % 5 = 3 THEN 'et-0/' || idx
+         ELSE 'xe-2/0:' || idx END AS name,
+    'port ' || idx AS descr,
+    list_extract([{names_sql}], CAST((idx * 7) % 250 + 1 AS INT)) AS media,
+    CASE WHEN idx % 6 = 1 THEN NULL WHEN idx % 6 = 0 THEN ''
+         ELSE 'al' || idx END AS alias_raw,
+    CASE WHEN idx % 5 = 0 THEN '0' WHEN idx % 5 = 1 THEN '1'
+         WHEN idx % 5 = 2 THEN NULL
+         ELSE CAST(q % 90000 + 2 AS VARCHAR) END AS high,
+    CASE WHEN idx % 4 = 3 THEN NULL WHEN idx % 3 = 0 THEN '0'
+         ELSE CAST((q * 7) % 100000000 AS VARCHAR) END AS speed,
+    CASE WHEN idx % 8 = 0 THEN NULL
+         ELSE substr(md5(device_id || '#' || idx), 1, 12) END AS phys
+  FROM base
+),
+enr AS (
+  SELECT device_id, CAST(idx AS VARCHAR) AS interface_index, name, descr,
+    media AS media_type,
+    CASE WHEN alias_raw IS NOT NULL AND alias_raw <> '' THEN alias_raw
+         ELSE '<not set>' END AS alias,
+    -- get_configured_speed fallthrough (incl. missing-ifSpeed -1 path)
+    CASE WHEN high IS NOT NULL AND high NOT IN ('0', '1')
+           THEN CAST(high AS BIGINT) * 1000000
+         WHEN COALESCE(CAST(speed AS BIGINT), -1) <> 0
+           THEN COALESCE(CAST(speed AS BIGINT), -1)
+         WHEN high IS NOT NULL THEN CAST(high AS BIGINT) * 1000000
+         ELSE -1 END AS configured_speed,
+    CASE WHEN phys IS NOT NULL AND phys <> ''
+           THEN upper(substr(phys,1,2) || ':' || substr(phys,3,2) || ':' ||
+                      substr(phys,5,2) || ':' || substr(phys,7,2) || ':' ||
+                      substr(phys,9,2) || ':' || substr(phys,11,2))
+         ELSE '<not set>' END AS physical_address,
+    CASE WHEN strpos(name, '.') > 0 THEN split_part(name, '.', 1)
+         WHEN strpos(name, ':') > 0 THEN split_part(name, ':', 1)
+         ELSE '<not set>' END AS parent_interface_name
+  FROM fields
+),
+spd AS (
+  SELECT *,
+    -- juniper port-speed prefixes, model QFX5200 ('et' => 100G)
+    CASE WHEN name LIKE 'ge%' THEN 1000000000
+         WHEN name LIKE 'xe%' THEN 10000000000
+         WHEN name LIKE 'xle%' THEN 40000000000
+         WHEN name LIKE 'et%' THEN 100000000000
+         WHEN name LIKE 'fte%' THEN 40000000000
+         ELSE configured_speed END AS port_speed
+  FROM enr
+)
+SELECT s.device_id, s.interface_index,
+  s.name AS interface_name, s.descr AS description, s.media_type, s.alias,
+  s.configured_speed, s.port_speed, s.physical_address,
+  s.parent_interface_name,
+  CASE WHEN s.parent_interface_name <> '<not set>' AND p.name IS NOT NULL
+       THEN p.media_type ELSE '<not set>' END AS parent_interface_media_type,
+  CASE WHEN s.parent_interface_name <> '<not set>' AND p.name IS NOT NULL
+       THEN p.configured_speed ELSE -1 END
+    AS parent_interface_configured_speed,
+  CASE WHEN s.parent_interface_name <> '<not set>' AND p.name IS NOT NULL
+       THEN p.port_speed ELSE -1 END AS parent_interface_port_speed
+FROM spd s LEFT JOIN spd p
+  ON s.device_id = p.device_id AND s.parent_interface_name = p.name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Interface polling pipeline (J1 broadcast enrichment join, J4 parent
 # self-join, A3 sentinel-propagating sums, F3 octets->bits, F11 state
 # decode, F12 sentinels) over lineitem/part-derived fixtures
@@ -2532,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s6_store_scan_pushdown": _store_scan,
             "p11_site_grouping": _site_grouping,
             "j1_enrichment_join": _enrichment_join,
+            "s13_enrich_build": _enrich_build_query,
             "j6_rate_batch": _rate_batch,
             "a_pricing_summary": _pricing_summary,
             "dsl_metric_program": _dsl_metric_program,
@@ -2603,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
             "s6_store_scan_pushdown": _STORE_SCAN_ORACLE,
             "p11_site_grouping": _SITE_GROUPING_ORACLE,
             "j1_enrichment_join": _ENRICHMENT_JOIN_ORACLE,
+            "s13_enrich_build": _enrich_build_oracle(),
             "j6_rate_batch": _RATE_ORACLE,
             "a_pricing_summary": _PRICING_SUMMARY_ORACLE,
             "dsl_metric_program": _DSL_METRIC_ORACLE,
