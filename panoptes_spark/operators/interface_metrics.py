@@ -219,7 +219,12 @@ def interface_metrics_groups(
     if "mtu" not in raw.columns:
         raw = raw.withColumn("mtu", F.lit(None).cast("long"))
     derived = interface_metrics(raw).withColumn("mtu", _m("mtu"))
-    joined = attach_enrichment(derived, resolve_parent_attrs(enrichment))
+    # an enrichment built by operators/interface_enrichment.py arrives
+    # with parent attributes already resolved; only self-join raw
+    # enrichment tables that still lack them
+    if "parent_interface_media_type" not in enrichment.columns:
+        enrichment = resolve_parent_attrs(enrichment)
+    joined = attach_enrichment(derived, enrichment)
 
     def dim(name: str, value_col: str | None = None) -> F.Column:
         c = F.col(value_col or name).cast("string")

@@ -299,3 +299,38 @@ def test_golden_interface_enrichment(spark, subdir, vendor, model):
     }
     assert golden["enrichment"][0]["namespace"] == "interface"
     assert got == expected
+
+
+def test_walk_to_enrichment_to_metrics_composition(spark):
+    """The reference's full dataflow: enrichment plugin output feeds the
+    polling plugin. Build the enrichment from the arista golden walk,
+    synthesize counters for the same interfaces, and run the polling
+    twin — dimensions must come from the BUILT enrichment (vendor
+    grammar included), with no parent re-resolution clobbering the
+    builder's already-resolved parent attributes."""
+    walk = _walk_frame(spark, f"{ENR_DATA}/arista/data/recording/public.snmprec")
+    enr = interface_enrichment(spark, walk, vendor="arista")
+    idxs = [r.interface_index for r in enr.select("interface_index").collect()]
+    counters = spark.createDataFrame(
+        [
+            ("dev1", i, 100, 200, 1, 2, 3, 4, 5, 6,
+             0, 0, 0, 0, 0, 0, 0, 1, 1, 9000)
+            for i in idxs
+        ],
+        RAW_SCHEMA,
+    )
+    rows = interface_metrics_groups(counters, enr).collect()
+    by_dim = {}
+    for r in rows:
+        dims = {d.dimension_name: d.dimension_value for d in r.dimensions}
+        by_dim[dims["interface_name"]] = (dims, {
+            m.metric_name: m.metric_value for m in r.metrics})
+    dims, mets = by_dim["Ethernet1/1"]
+    assert dims["media_type"] == "ethernetCsmacd"
+    assert dims["parent_interface_name"] == "Ethernet1"  # arista '/' rule
+    assert dims["parent_interface_port_speed"] == "160000000000"
+    assert dims["configured_speed"] == "40000000000"
+    assert mets["configured_speed"] == 40000000000.0  # dual gauge+dim
+    assert mets["bits_in"] == 800.0 and mets["mtu"] == 9000.0
+    dims25, _ = by_dim["Ethernet25"]
+    assert dims25["parent_interface_name"] == "<not set>"
