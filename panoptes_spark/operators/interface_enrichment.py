@@ -166,7 +166,7 @@ def interface_enrichment(
     wide = (
         walk.groupBy("device_id", "index")
         .pivot("column", WALK_COLUMNS)
-        .agg(F.first("value"))
+        .agg(F.max("value"))
     )
     wide = _media_type(spark, wide)
     name = F.coalesce(

@@ -230,7 +230,7 @@ def interface_metrics_groups(
         c = F.col(value_col or name).cast("string")
         return F.struct(
             F.lit(name).alias("dimension_name"),
-            F.when(c.isNotNull() & (F.trim(c) != ""), c)
+            F.when(c.isNotNull() & (c != ""), c)
             .otherwise(F.lit(DEFAULT_DIMENSION_VALUE))
             .alias("dimension_value"),
         )

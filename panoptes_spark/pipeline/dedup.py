@@ -393,6 +393,12 @@ def hamming_band_pairs(
     The fingerprint frame feeds both sides of the self-join and Spark
     does not reuse the exchange across them — persist (id, hash) so any
     upstream per-row hashing runs once (halves wall-clock)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < bands, got "
+            f"max_hamming={max_hamming} bands={bands}: a pair differing "
+            f"in >= bands bits can miss every band and be silently lost"
+        )
     chunk = bits // bands
     hashed = df.select(id_col, hash_col).where(
         F.col(hash_col).isNotNull()

@@ -698,15 +698,18 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extract_features``, and emit the feature vector. Because the
     signal is constant, every feature has a closed form the DuckDB
     oracle recomputes exactly: v = round(round(amp*32767)/32768, 6)
-    (the 16-bit quantization the decoder undoes), zcr = 0. Verified
-    tie-free under round-half conventions for all amp values used."""
+    (the 16-bit quantization the decoder undoes), zcr = 0. The amp set
+    uses denominator 101 (odd, coprime to 2), so amp*32767 can never
+    land exactly on .5 and round(x/32768, 6) is tie-free for every x in
+    the set (checked exhaustively over the residue range) — np.round
+    (half-even) and DuckDB round (half-away) therefore always agree."""
     import numpy as np
 
     from . import media_codecs as mcodec
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(
-        "doc_id", ((F.col("doc_id") % 90 + 5) / 100.0).alias("amp")
+        "doc_id", ((F.col("doc_id") % 90 + 5) / 101.0).alias("amp")
     )
 
     def enc(batches):
@@ -737,7 +740,7 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_MEDIA_AUDIO_DECODE = """
 WITH q AS (
   SELECT doc_id,
-         round(round((doc_id % 90 + 5) / 100.0 * 32767) / 32768.0, 6) AS v
+         round(round((doc_id % 90 + 5) / 101.0 * 32767) / 32768.0, 6) AS v
   FROM documents
 )
 SELECT doc_id AS media_id, 'wav' AS decoder,

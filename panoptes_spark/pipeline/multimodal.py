@@ -362,7 +362,7 @@ def image_dhash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 
 def media_dhash_pairs(
-    df: DataFrame, max_hamming: int = 6, bands: int = 4
+    df: DataFrame, max_hamming: int = 6, bands: int = 8
 ) -> DataFrame:
     """Perceptual near-dup image pairs: dHash fingerprints → banded
     hamming self-join (pigeonhole over ``bands`` chunks, exact
