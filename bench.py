@@ -39,6 +39,7 @@ def main():
     ]
     timings = {}
     total = 0.0
+    progress = []  # buffered: the JSON line must lead the output stream
     for name in names:
         fn = qs[name]
         # best-of-2: first run pays codegen/classloader warmup per query;
@@ -53,8 +54,11 @@ def main():
         spark.catalog.clearCache()  # drop per-query persists; keep memory flat
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {n} rows in {best:.2f}s", file=sys.stderr)
+        progress.append(f"# {name}: {n} rows in {best:.2f}s")
 
+    # The JSON line goes out FIRST (and is also flushed immediately) so a
+    # tail-truncated capture of the merged stream still carries the numbers;
+    # the per-query log follows on stderr.
     print(
         json.dumps(
             {
@@ -64,8 +68,10 @@ def main():
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
+    print("\n".join(progress), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -164,8 +164,84 @@ class MetricDSLCompiler:
             else oid_tables.select("device_id").distinct()
         ).persist()
         self._table_cache: dict[str, DataFrame] = {}
+        self._wide_cache: DataFrame | None = None
+        self._scalars_cache: DataFrame | None = None
 
     # -- OID table materialization ---------------------------------------
+
+    def _pivotable(self) -> list[str]:
+        """Bulk-walk tables eligible for the one-pivot wide frame:
+        dynamic (non-static, non-get) and no ``index_transform``
+        (re-keying can collide indices, where dict last-write-wins
+        semantics need the per-table long path)."""
+        return sorted(
+            n
+            for n, s in self.oids_spec.items()
+            if s["method"] not in ("static", "get")
+            and not s.get("index_transform")
+        )
+
+    def wide(self) -> DataFrame | None:
+        """ONE shuffle of the walk per program: pivot every plain
+        bulk-walk table into (device_id, index, __t_<table>, ...).
+
+        The per-target fabric previously re-joined the same
+        (device_id, index)-keyed walk slice once per referenced table
+        per target (p7_empty_dimension_policy planned 40 Exchanges);
+        every target whose references live in this frame now compiles
+        to a map-only projection over it — the shape proven in
+        operators/interface_enrichment.py's walk pivot. At 100 TB the
+        walk shuffles once, not once per OID table."""
+        if self._wide_cache is not None:
+            return self._wide_cache
+        names = self._pivotable()
+        if not names:
+            return None
+        w = (
+            self.oid_tables.where(F.col("table_name").isin(names))
+            .groupBy("device_id", "index")
+            .pivot("table_name", names)
+            .agg(F.max("value"))
+        )
+        for n in names:
+            w = w.withColumnRenamed(n, table_col(n))
+        self._wide_cache = w.persist()
+        return self._wide_cache
+
+    def _scalars_wide(self) -> DataFrame | None:
+        """All get-method oids pivoted per device in one pass:
+        (device_id, __t_<scalar>, ...) — a single device-dim join per
+        target that references any scalar, instead of one join per
+        scalar."""
+        if self._scalars_cache is not None:
+            return self._scalars_cache
+        names = sorted(self.scalar_oids)
+        if not names:
+            return None
+        s = (
+            self.oid_tables.where(F.col("table_name").isin(names))
+            .groupBy("device_id")
+            .pivot("table_name", names)
+            .agg(F.min("value"))
+        )
+        for n in names:
+            s = s.withColumnRenamed(n, table_col(n))
+        self._scalars_cache = s.persist()
+        return self._scalars_cache
+
+    def _static_value_col(self, name: str) -> F.Column:
+        """A static table referenced at the current row's index is a map
+        literal lookup — projection, no join (all devices share the
+        same values dict)."""
+        spec = self.oids_spec[name]
+        m = F.create_map(
+            *[
+                F.lit(s)
+                for k, v in spec["values"].items()
+                for s in (str(k), str(v))
+            ]
+        )
+        return m[F.col("index")]
 
     def table(self, name: str) -> DataFrame:
         """(device_id, index, value) for one oid table, index_transform
@@ -314,22 +390,184 @@ class MetricDSLCompiler:
 
     def _indexed_values(self, t: _Target) -> DataFrame:
         """(device_id, index, value) for an indexed target; NULL values
-        (eval failure equivalents) dropped."""
+        (eval failure equivalents) dropped.
+
+        Plan shape: the driving rows and every plain bulk-walk reference
+        come from the ONE program-wide pivot (:func:`wide`) — a filter +
+        projection, no join. Only non-pivotable references still join:
+        static tables become map-literal lookups (projection), transform
+        tables keep their per-table frame, and all scalars arrive in a
+        single device-dim join."""
         if t.mode == "py":
             return self._indexed_values_py(t)
-        df = self._driving_frame(t)
-        for tbl in sorted(t.info.tables):
-            if tbl in self.scalar_oids:
-                df = df.join(self.scalar(tbl), "device_id", "left")
+        tmap = t.tmap
+        pivot_set = set(self._pivotable())
+        tables = sorted(t.info.tables)
+        walk_refs = [x for x in tables if x in pivot_set]
+        scalar_refs = [x for x in tables if x in self.scalar_oids]
+        other_refs = [
+            x for x in tables if x not in pivot_set and x not in self.scalar_oids
+        ]
+
+        def from_wide(driving: str | None) -> DataFrame:
+            """Rows of the wide frame driven by ``driving``'s presence
+            (a pivot cell is non-null iff the walk had that row)."""
+            w = self.wide()
+            if driving is not None:
+                w = w.where(F.col(table_col(driving)).isNotNull())
+            return w
+
+        if "indices" in tmap:
+            idx = self.spark.createDataFrame(
+                [(str(i),) for i in tmap["indices"]], "index string"
+            )
+            df = self._devices.crossJoin(F.broadcast(idx))
+            if walk_refs:
+                df = df.join(self.wide(), ["device_id", "index"], "left")
+        elif "indices_from" in tmap:
+            src = tmap["indices_from"]
+            if src in pivot_set:
+                df = from_wide(src)
             else:
+                df = self.table(src).select("device_id", "index")
+                if walk_refs:
+                    df = df.join(self.wide(), ["device_id", "index"], "left")
+        else:
+            first = self._first_table(str(tmap["value"]))
+            if first in pivot_set:
+                df = from_wide(first)
+            else:
+                df = self.table(first).select("device_id", "index")
+                if walk_refs:
+                    df = df.join(self.wide(), ["device_id", "index"], "left")
+
+        for tbl in other_refs:
+            if self.oids_spec[tbl]["method"] == "static":
+                df = df.withColumn(table_col(tbl), self._static_value_col(tbl))
+            else:  # index_transform table: per-table long frame
                 tv = self.table(tbl).withColumnRenamed("value", table_col(tbl))
                 df = df.join(tv, ["device_id", "index"], "left")
+        if scalar_refs:
+            df = df.join(self._scalars_wide(), "device_id", "left")
         df = self._join_member_flags(df, t.info, key_scope="index")
         df = df.withColumn("__raw", F.expr(t.info.sql))  # single evaluation
         out = df.select(
             "device_id", "index", F.expr(self._guarded_sql(t)).alias("value")
         ).where(F.col("value").isNotNull())
         return out
+
+    def _direct_cond(self, t: _Target) -> str | None:
+        """Driving-presence SQL condition for a wide-direct target, or
+        None when the target cannot be evaluated as a pure projection of
+        :func:`wide` (literal index lists, py-mode fallbacks, transform
+        tables, or membership tests keyed on anything but ``index``)."""
+        if t.mode != "sql" or t.info is None:
+            return None
+        pivot = set(self._pivotable())
+        tmap = t.tmap
+        if "indices" in tmap:
+            return None
+        if "indices_from" in tmap:
+            driving = tmap["indices_from"]
+        else:
+            driving = self._first_table(str(tmap["value"]))
+        if driving not in pivot:
+            return None
+        for tbl in t.info.tables:
+            if tbl in self.scalar_oids or tbl in pivot:
+                continue
+            if self.oids_spec[tbl]["method"] == "static":
+                continue
+            return None  # index_transform table: needs the long path
+        for tbl, left_sql in t.info.member_tables:
+            if left_sql != "index" or tbl not in pivot:
+                return None
+        return f"{table_col(driving)} IS NOT NULL"
+
+    def _idx_groups_direct(
+        self, idx_metrics: list, idx_dims: list
+    ) -> DataFrame | None:
+        """Every indexed target of a group as a projection of the ONE
+        program-wide pivot: returns (device_id, index, _m, _d,
+        _had_empty) with zero shuffles beyond the pivot itself (plus a
+        single device-dim join when the program reads get-oids).
+
+        Each target's driving frame becomes a presence condition on its
+        driving table's pivot cell; membership flags keyed on ``index``
+        become IS NOT NULL tests; static tables become map literals.
+        Returns None when any target needs the legacy per-target
+        union fabric (_union_long)."""
+        targets = idx_metrics + idx_dims
+        if self.wide() is None:
+            return None
+        conds = []
+        for t in targets:
+            c = self._direct_cond(t)
+            if c is None:
+                return None
+            conds.append(c)
+
+        pivot = set(self._pivotable())
+        w = self.wide()
+        statics = {
+            tbl
+            for t in targets
+            for tbl in t.info.tables
+            if tbl not in self.scalar_oids and tbl not in pivot
+        }
+        for tbl in sorted(statics):
+            w = w.withColumn(table_col(tbl), self._static_value_col(tbl))
+        if any(
+            tbl in self.scalar_oids for t in targets for tbl in t.info.tables
+        ):
+            w = w.join(self._scalars_wide(), "device_id", "left")
+        members = {tbl for t in targets for tbl, _ in t.info.member_tables}
+        for tbl in sorted(members):
+            w = w.withColumn(
+                f"__in_{tbl}", F.col(table_col(tbl)).isNotNull()
+            )
+
+        m_entries, d_entries = [], []
+        for i, (t, cond) in enumerate(zip(targets, conds)):
+            raw_alias = f"__tr{i}"
+            w = w.withColumn(raw_alias, F.expr(t.info.sql))
+            guarded = self._guarded_sql(t).replace("__raw", raw_alias)
+            val = F.when(F.expr(cond), F.expr(guarded))
+            if t.is_metric:
+                m_entries.append(
+                    F.struct(
+                        F.lit(t.name).alias("name"),
+                        val.cast("double").alias("value"),
+                    )
+                )
+            else:
+                d_entries.append(
+                    F.struct(
+                        F.lit(t.name).alias("name"),
+                        val.cast("string").alias("value"),
+                    )
+                )
+
+        keep = lambda s: s["value"].isNotNull()  # noqa: E731
+        d_arr = (
+            F.filter(F.array(*d_entries), keep)
+            if d_entries
+            else F.expr(
+                "cast(array() as array<struct<name:string,value:string>>)"
+            )
+        )
+        return (
+            w.select(
+                "device_id",
+                "index",
+                F.filter(F.array(*m_entries), keep).alias("_m"),
+                d_arr.alias("_d"),
+            )
+            .withColumn(
+                "_had_empty", F.exists("_d", lambda s: s["value"] == "")
+            )
+            .where(F.size("_m") > 0)
+        )
 
     def _guarded_sql(self, t: _Target) -> str:
         """Wrap the value expression in the error-poison guard: a python
@@ -471,12 +709,22 @@ class MetricDSLCompiler:
         out = df.mapInPandas(run, schema="device_id string, value string")
         return out.where(F.col("value").isNotNull())
 
+    def _member_keys(self, tbl: str) -> DataFrame:
+        """(device_id, index) key set of a table for membership flags —
+        carved out of the program-wide pivot when the table lives there
+        (reuses the one walk shuffle) instead of re-scanning the walk."""
+        if tbl in self._pivotable():
+            return self.wide().where(
+                F.col(table_col(tbl)).isNotNull()
+            ).select("device_id", "index")
+        return self.table(tbl).select("device_id", "index")
+
     def _join_member_flags(
         self, df: DataFrame, info: ExprInfo, key_scope: str
     ) -> DataFrame:
         for tbl, left_sql in sorted(info.member_tables):
             keys = (
-                self.table(tbl)
+                self._member_keys(tbl)
                 .select("device_id", F.col("index").alias("__mk"))
                 .distinct()
                 .withColumn(f"__in_{tbl}", F.lit(True))
@@ -589,46 +837,83 @@ class MetricDSLCompiler:
             t.name: t.tmap["metric_type"] for t in targets if t.is_metric
         }
 
-        # ---- top-level per-device arrays
-        top_m = self._collect_long(
-            top_metrics, value_type="double", mtype=mtype, colname="top_metrics"
+        # ---- top-level per-device arrays — groups with NO top-level
+        # targets (common: all-indexed vendor programs) take literal
+        # empty arrays instead of joining empty frames (each empty join
+        # still planned a 2-exchange SMJ)
+        _EMPTY_M = (
+            "cast(array() as array<struct<metric_name:string,"
+            "metric_value:double,metric_type:string,"
+            "metric_creation_timestamp:double>>)"
         )
-        top_d = self._collect_long(
-            top_dims, value_type="string", mtype=None, colname="top_dims"
+        _EMPTY_D = (
+            "cast(array() as array<struct<dimension_name:string,"
+            "dimension_value:string>>)"
         )
-        top = self._devices.join(top_m, "device_id", "left").join(
-            top_d, "device_id", "left"
-        )
-        top = top.withColumn(
-            "top_metrics", F.coalesce("top_metrics", F.array())
-        ).withColumn("top_dims", F.coalesce("top_dims", F.array()))
+        has_top = bool(top_metrics or top_dims)
+        top = self._devices
+        if top_metrics:
+            top = top.join(
+                self._collect_long(
+                    top_metrics,
+                    value_type="double",
+                    mtype=mtype,
+                    colname="top_metrics",
+                ),
+                "device_id",
+                "left",
+            ).withColumn(
+                "top_metrics", F.coalesce("top_metrics", F.expr(_EMPTY_M))
+            )
+        else:
+            top = top.withColumn("top_metrics", F.expr(_EMPTY_M))
+        if top_dims:
+            top = top.join(
+                self._collect_long(
+                    top_dims, value_type="string", mtype=None,
+                    colname="top_dims",
+                ),
+                "device_id",
+                "left",
+            ).withColumn(
+                "top_dims", F.coalesce("top_dims", F.expr(_EMPTY_D))
+            )
+        else:
+            top = top.withColumn("top_dims", F.expr(_EMPTY_D))
         # empty-string dims never reach the arrays (skipped at _top_level_value)
 
         interval = F.lit(self.interval).cast("long")
         gname = F.lit(group["group_name"])
 
         if idx_metrics:
-            long_m = self._union_long(idx_metrics, "double")
-            groups_m = long_m.groupBy("device_id", "index").agg(
-                F.collect_list(F.struct("name", "value")).alias("_m")
-            )
-            if idx_dims:
-                long_d = self._union_long(idx_dims, "string")
-                groups_d = long_d.groupBy("device_id", "index").agg(
-                    F.collect_list(F.struct("name", "value")).alias("_d"),
-                    F.max(F.col("value") == "").alias("_had_empty"),
+            base = self._idx_groups_direct(idx_metrics, idx_dims)
+            if base is None:  # legacy per-target union fabric
+                long_m = self._union_long(idx_metrics, "double")
+                groups_m = long_m.groupBy("device_id", "index").agg(
+                    F.collect_list(F.struct("name", "value")).alias("_m")
                 )
-                idx_groups = groups_m.join(
-                    groups_d, ["device_id", "index"], "left"
-                )
-            else:
-                idx_groups = groups_m.withColumn(
-                    "_d",
-                    F.expr(
-                        "cast(array() as array<struct<name:string,value:string>>)"
-                    ),
-                ).withColumn("_had_empty", F.lit(False))
-            idx_groups = idx_groups.join(top, "device_id", "left")
+                if idx_dims:
+                    long_d = self._union_long(idx_dims, "string")
+                    groups_d = long_d.groupBy("device_id", "index").agg(
+                        F.collect_list(F.struct("name", "value")).alias("_d"),
+                        F.max(F.col("value") == "").alias("_had_empty"),
+                    )
+                    base = groups_m.join(
+                        groups_d, ["device_id", "index"], "left"
+                    )
+                else:
+                    base = groups_m.withColumn(
+                        "_d",
+                        F.expr(
+                            "cast(array() as array<struct<name:string,value:string>>)"
+                        ),
+                    ).withColumn("_had_empty", F.lit(False))
+            if has_top:
+                idx_groups = base.join(top, "device_id", "left")
+            else:  # nothing to merge: skip the device-keyed join
+                idx_groups = base.withColumn(
+                    "top_metrics", F.expr(_EMPTY_M)
+                ).withColumn("top_dims", F.expr(_EMPTY_D))
 
             mtype_map = F.create_map(
                 *[x for k, v in mtype.items() for x in (F.lit(k), F.lit(v))]
@@ -678,7 +963,7 @@ class MetricDSLCompiler:
                 # v0.2: devices with no surviving indexed metrics get the
                 # top-level-only group (reference else-branch :657-678)
                 top_src = top.join(
-                    groups_m.select("device_id").distinct(),
+                    base.select("device_id").distinct(),
                     "device_id",
                     "left_anti",
                 )

@@ -30,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "encode_words", "bpe_train", "SYM_L", "SYM_R"]
+__all__ = [
+    "word_counts",
+    "encode_words",
+    "bpe_train",
+    "bpe_encode",
+    "apply_merges_to_word",
+    "SYM_L",
+    "SYM_R",
+]
 
 SYM_L = "\x1c"
 SYM_R = "\x1d"
@@ -139,6 +147,48 @@ def bpe_train(
     )
 
 
+def apply_merges_to_word(word: str, ranks: dict, cache: dict) -> list:
+    """Textbook BPE apply (rank-priority loop) for one word: start from
+    characters + ``</w>``, repeatedly merge the lowest-training-rank
+    adjacent pair present, each application one left-to-right
+    non-overlapping sweep. Equivalent to applying the merge table
+    in-order as literal replaces (the engine's previous compiled form
+    and the DuckDB oracle's chain): a single sweep of merge k is
+    already its fixpoint (the one-symbol replacement can never recreate
+    its own two-symbol pattern), and a later merge can never create an
+    earlier merge's pair (round j only introduces adjacencies involving
+    its new symbol, which did not exist at round k < j)."""
+    res = cache.get(word)
+    if res is not None:
+        return res
+    syms = list(word)
+    syms.append(END_WORD)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        prev = syms[0]
+        for s in syms[1:]:
+            rk = ranks.get((prev, s))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_pair = rk, (prev, s)
+            prev = s
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged_sym = a + b
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(merged_sym)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,
@@ -148,38 +198,54 @@ def bpe_encode(
     """Apply a learned merge table: (id, tokens array<string>, n_tokens).
 
     The merge list is a model parameter (vocab-sized, like k-means
-    centroids), so it collects to the driver and compiles into ONE
-    map-only expression: per word, bracket-encode characters, apply
-    every merge as a literal replace in training order, then unwrap the
-    surviving symbols. No shuffle, no Python — encoding runs at scan
-    speed regardless of corpus size; cost per word is
-    O(n_merges × word_len), inherent to replace-based BPE application.
+    centroids): it collects to the driver once and ships to executors
+    in the task closure; application runs in an Arrow-batched
+    ``mapInPandas`` stage with the rank-priority loop of
+    :func:`apply_merges_to_word` plus a per-task distinct-word cache.
+    Map-only — no shuffle, scan-speed regardless of corpus size — and,
+    unlike the previous compiled replace-chain (an ``n_merges``-deep
+    Catalyst expression), it survives a real 32k–50k-merge vocabulary:
+    per-word cost is bounded by merges that actually FIRE
+    (O(word_len²) pair lookups), independent of vocabulary size, and
+    the plan stays constant-sized.
     """
-    rows = merges.orderBy("merge_round").collect()
-    # per-word encoding chain, built inside the lambda over `w` only —
-    # never over corpus-derived expressions (see SCALE.md on lambda
-    # bodies)
-    expr = (
-        f"regexp_replace(w, '(.)', '{SYM_L}$1{SYM_R}')"
-        f" || '{SYM_L}{END_WORD}{SYM_R}'"
-    )
-    def _q(s: str) -> str:
-        return s.replace("\\", "\\\\").replace("'", "\\'")
+    import re
 
-    for r in rows:
-        find = SYM_L + r.left_sym + SYM_R + SYM_L + r.right_sym + SYM_R
-        repl = SYM_L + r.left_sym + r.right_sym + SYM_R
-        expr = f"replace({expr}, '{_q(find)}', '{_q(repl)}')"
-    unwrap = (
-        f"transform(regexp_extract_all({expr}, '{SYM_L}[^{SYM_R}]*{SYM_R}', 0),"
-        " s -> substring(s, 2, length(s) - 2))"
+    from pyspark.sql import types as T
+
+    rows = merges.orderBy("merge_round").collect()
+    ranks = {(r.left_sym, r.right_sym): i for i, r in enumerate(rows)}
+    # Java-regex \s (ASCII class) to match the trainer's word_counts
+    # split; empty + marker-char words dropped identically
+    ws_re = re.compile(r"\s+", re.ASCII)
+    bad_re = re.compile("[\x1c\x1d]")
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}  # distinct-word memo, lives for the whole task
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                words = ws_re.split((text or "").strip().lower())
+                doc: list = []
+                for w in words:
+                    if w and not bad_re.search(w):
+                        doc.extend(apply_merges_to_word(w, ranks, cache))
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("tokens", T.ArrayType(T.StringType()), False),
+            T.StructField("n_tokens", T.LongType(), False),
+        ]
     )
-    words = (
-        f"filter(split(lower(trim({text_col})), '\\\\s+'),"
-        f" w -> w <> '' AND w NOT RLIKE '[{SYM_L}{SYM_R}]')"
-    )
-    tokens = f"flatten(transform({words}, w -> {unwrap}))"
-    return df.select(
-        F.col(id_col),
-        F.expr(tokens).alias("tokens"),
-    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

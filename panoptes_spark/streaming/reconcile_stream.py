@@ -45,17 +45,22 @@ class ResourceStoreWriter:
             return self.spark.createDataFrame([], like.schema)
 
     def __call__(self, batch: DataFrame, epoch_id: int):
-        if batch.isEmpty():
+        # one driver action per micro-batch: emptiness + both candidate
+        # set-timestamps come back in a single scalar agg row
+        has_set_ts = self.set_ts_col in batch.columns
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.max(self.set_ts_col) if has_set_ts else F.lit(None)
+            ).alias("set_ts"),
+            F.max(self.ts_col).alias("row_ts"),
+        ).collect()[0]
+        if stats["n"] == 0:
             return
-        incoming = batch
-        set_ts = None
-        if self.set_ts_col in batch.columns:
-            set_ts = (
-                batch.agg(F.max(self.set_ts_col)).collect()[0][0]
-            )
-            incoming = batch.drop(self.set_ts_col)
+        incoming = batch.drop(self.set_ts_col) if has_set_ts else batch
+        set_ts = stats["set_ts"]
         if set_ts is None:
-            set_ts = incoming.agg(F.max(self.ts_col)).collect()[0][0] or 0.0
+            set_ts = stats["row_ts"] or 0.0
         current = self._load(incoming)
         merged = apply_reconciliation(
             current, incoming, float(set_ts), self.identity, self.ts_col

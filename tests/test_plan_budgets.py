@@ -66,3 +66,35 @@ def test_shuffle_budget(spark_plans, name):
         f"{name}: {got} shuffles > budget {BUDGETS[name]}\n"
         + spark_plans[name][:2000]
     )
+
+
+#: gate -> max DISTINCT Exchange nodes. The metric-compiler gates persist
+#: the program-wide pivot, and toString re-prints a cached subplan under
+#: every InMemoryTableScan that references it — raw line counts would
+#: charge the one pivot shuffle once per referencing target. Distinct
+#: exchange text = exchanges that actually execute.
+UNIQUE_BUDGETS = {
+    # r3: 23 raw exchanges; pivot-once + direct-projection fabric: 6
+    "dsl_metric_program": 8,
+    # r3: 40 raw exchanges; now 5 (pivot, union of 2 groups' assembly)
+    "p7_empty_dimension_policy": 6,
+}
+
+
+def _unique_shuffles(plan: str) -> int:
+    uniq = set()
+    for line in plan.splitlines():
+        s = re.sub(r"^[ :+\-*()0-9]*", "", line)
+        if re.match(r"Exchange (?:hash|range|SinglePartition)", s):
+            uniq.add(s)
+    return len(uniq)
+
+
+@pytest.mark.parametrize("name", sorted(UNIQUE_BUDGETS))
+def test_unique_shuffle_budget(spark, name):
+    qs = entrymod.queries()
+    plan = qs[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    got = _unique_shuffles(plan)
+    assert got <= UNIQUE_BUDGETS[name], (
+        f"{name}: {got} distinct exchanges > budget {UNIQUE_BUDGETS[name]}"
+    )

@@ -268,3 +268,84 @@ def test_bpe_encode_applies_merges_in_order(spark):
     for i, t in enumerate(texts):
         want = [s for w in t.split() for s in apply_word(w)]
         assert got[i] == want
+
+
+def test_bpe_encode_survives_1000_merge_vocab(spark):
+    """Scale gate for the Arrow-batched apply path: a realistic merge
+    table (>=1000 chained merges, trained by a textbook driver-side BPE
+    trainer) must encode in bounded time and byte-match the textbook
+    in-order replace-chain application — the semantics the compiled
+    expression (and the DuckDB oracle) implement. The old replace-chain
+    plan could not build a 1000-deep Catalyst expression at all."""
+    import random
+    import time
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from panoptes_spark.pipeline.tokenizer import bpe_encode
+
+    rng = random.Random(7)
+    distinct = sorted(
+        {
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(3, 12)))
+            for _ in range(900)
+        }
+    )
+    word_freqs = {w: rng.randint(1, 50) for w in distinct}
+
+    # textbook trainer: max-count pair (lexicographic tie-break), each
+    # merge applied to the vocab as one left-to-right sweep
+    def sweep(syms, a, b):
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+    mlist = []
+    for _ in range(1200):
+        counts = Counter()
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        vocab = {w: sweep(s, *best) for w, s in vocab.items()}
+        mlist.append(best)
+    assert len(mlist) >= 1000
+
+    docs = [
+        (i, " ".join(rng.choice(distinct) for _ in range(40)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = spark.createDataFrame(
+        [
+            Row(merge_round=i, left_sym=a, right_sym=b, pair_count=1)
+            for i, (a, b) in enumerate(mlist)
+        ]
+    )
+
+    t0 = time.time()
+    got = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"1000-merge encode took {elapsed:.0f}s"
+
+    def chain_apply(w):
+        syms = list(w) + ["</w>"]
+        for a, b in mlist:
+            syms = sweep(syms, a, b)
+        return syms
+
+    word_expected = {w: chain_apply(w) for w in distinct}
+    for i, t in docs:
+        want = [s for w in t.split() for s in word_expected[w]]
+        assert got[i] == want, f"doc {i} diverged"
