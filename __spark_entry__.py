@@ -2702,6 +2702,151 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# S14: vendor device-metrics enrichment builder (juniper family) — the
+# walk -> oids-map/metrics-groups generator of
+# plugin_enrichment_juniper_device_metrics.py:233-458, run end-to-end on a
+# synthetic entity walk derived from the supplier table and projected to
+# driver-checkable scalars THROUGH the emitted enrichment JSON. Fidelity
+# against the reference's own six goldens lives in
+# tests/test_golden_device_enrichment.py.
+# ---------------------------------------------------------------------------
+
+
+def _s14_device_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.operators.device_enrichment import (
+        JNX_CPU_5MIN,
+        JNX_DESCR,
+        JNX_MEMORY,
+        JNX_STATE,
+        JNX_TEMP,
+        juniper_device_enrichment,
+    )
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("k")
+    base = sup.select(
+        F.concat(
+            F.lit("dev-"), (F.col("s_suppkey") % 20).cast("string")
+        ).alias("device_id"),
+        F.concat(
+            F.expr("s_suppkey div 20").cast("string"), F.lit(".0")
+        ).alias("idx"),
+        F.col("s_suppkey").alias("k"),
+    )
+    name = (
+        F.when(k % 7 == 0, F.concat(F.lit("Fan Tray "), F.col("idx")))
+        .when(k % 7 == 1, F.concat(F.lit("PEM "), (k % 4).cast("string")))
+        .when(
+            k % 7 == 2,
+            F.concat(F.lit("Routing Engine "), (k % 2).cast("string")),
+        )
+        .when(k % 7 == 3, F.concat(F.lit("FPC: slot "), F.col("idx")))
+        .when(k % 7 == 4, F.lit("midplane"))
+        .when(k % 7 == 5, F.concat(F.lit("PSM "), (k % 10).cast("string")))
+        .otherwise(
+            F.concat(F.lit("Power Supply "), (k % 10).cast("string"))
+        )
+    )
+    oid = lambda tbl: F.concat(  # noqa: E731
+        F.lit(tbl.lstrip(".") + "."), F.col("idx")
+    )
+    rows = F.array(
+        F.struct(oid(JNX_DESCR).alias("oid"), name.alias("value")),
+        F.struct(
+            oid(JNX_TEMP).alias("oid"),
+            ((k * 37) % 2000).cast("string").alias("value"),
+        ),
+        F.struct(
+            oid(JNX_CPU_5MIN).alias("oid"),
+            (k % 100).cast("string").alias("value"),
+        ),
+        F.struct(
+            oid(JNX_MEMORY).alias("oid"),
+            ((k % 5) * 512).cast("string").alias("value"),
+        ),
+        F.struct(
+            oid(JNX_STATE).alias("oid"),
+            F.when(k % 3 == 0, F.lit("6")).otherwise(F.lit("2")).alias("value"),
+        ),
+    )
+    walk = base.select(
+        "device_id", F.explode(rows).alias("r")
+    ).select("device_id", "r.oid", "r.value")
+    devices = walk.select("device_id").distinct().withColumn(
+        "model", F.lit("MX960-test")
+    )
+    enr = juniper_device_enrichment(
+        spark, walk, devices, polling_frequency=300, include_disk=False
+    )
+
+    def vals(tbl: str) -> F.Column:
+        return F.size(
+            F.from_json(
+                F.get_json_object(
+                    "enrichment", f"$.oids.{tbl}.values"
+                ),
+                "map<string,string>",
+            )
+        ).cast("int")
+
+    return enr.select(
+        "device_id",
+        F.get_json_object("enrichment", "$.oids.cpu_util.oid").alias(
+            "cpu_util_oid"
+        ),
+        F.expr(
+            "cast(json_array_length(get_json_object(enrichment,"
+            " '$.metrics_groups')) as int)"
+        ).alias("n_groups"),
+        vals("fans").alias("n_fans"),
+        vals("power_modules").alias("n_power"),
+        vals("cpu_name").alias("n_cpu"),
+        vals("temp_sensor_name").alias("n_temp"),
+        vals("memory_total").alias("n_memory"),
+        F.get_json_object(
+            "enrichment", "$.oids.power_units_total.values.PEM"
+        ).cast("int").alias("pem_total"),
+        F.get_json_object(
+            "enrichment", "$.oids.power_units_total.values.PSM"
+        ).cast("int").alias("psm_total"),
+    ).orderBy("device_id")
+
+
+_S14_ORACLE = """
+WITH base AS (
+  SELECT 'dev-' || (s_suppkey % 20) AS device_id,
+         s_suppkey AS k,
+         (s_suppkey * 37) % 2000 AS temp,
+         (s_suppkey % 5) * 512 AS mem
+  FROM supplier
+),
+agg AS (
+  SELECT device_id,
+    COUNT(CASE WHEN k % 7 = 0 THEN 1 END) AS n_fans,
+    COUNT(CASE WHEN k % 7 IN (1, 5, 6) THEN 1 END) AS n_power,
+    COUNT(CASE WHEN k % 7 IN (2, 3) THEN 1 END) AS n_cpu,
+    COUNT(CASE WHEN temp > 0 AND temp < 1371 THEN 1 END) AS n_temp,
+    COUNT(CASE WHEN mem <> 0 THEN 1 END) AS n_memory,
+    COUNT(CASE WHEN k % 7 IN (1, 6) THEN 1 END) AS pem_cnt,
+    COUNT(CASE WHEN k % 7 = 5 THEN 1 END) AS psm_cnt
+  FROM base GROUP BY device_id
+)
+SELECT device_id,
+  '.1.3.6.1.4.1.2636.3.1.13.1.24' AS cpu_util_oid,
+  CAST(3 + (CASE WHEN n_power > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_fans > 0 THEN 1 ELSE 0 END) AS INT) AS n_groups,
+  CAST(n_fans AS INT) AS n_fans,
+  CAST(n_power AS INT) AS n_power,
+  CAST(n_cpu AS INT) AS n_cpu,
+  CAST(n_temp AS INT) AS n_temp,
+  CAST(n_memory AS INT) AS n_memory,
+  CASE WHEN pem_cnt > 0 THEN CAST(pem_cnt AS INT) END AS pem_total,
+  CASE WHEN psm_cnt > 0 THEN CAST(psm_cnt AS INT) END AS psm_total
+FROM agg ORDER BY device_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(dsl) for name, dsl in _DSL_QUERIES.items()
@@ -2759,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a20_sole_late_supplier": _olap_sole_late_supplier,
             "w13_transition_matrix": _w13_transitions,
             "w14_rolling_engagement": _w14_rolling_engagement,
+            "s14_device_enrich": _s14_device_enrich,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2847,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
             "a20_sole_late_supplier": _OLAP_Q21_ORACLE,
             "w13_transition_matrix": _W13_TRANSITIONS_ORACLE,
             "w14_rolling_engagement": _W14_ENGAGEMENT_ORACLE,
+            "s14_device_enrich": _S14_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

@@ -1,0 +1,919 @@
+"""Vendor device-metrics enrichment builders (generic-SNMP family).
+
+The reference's second-biggest plugin family: walk a device's entity /
+sensor MIB tables and emit the *enrichment* that parameterizes the
+Generic SNMP Polling DSL — an ``oids`` map (static value dicts +
+bulk_walk OIDs) plus ``metrics_groups`` DSL programs
+(``plugins/enrichment/generic/snmp/juniper/
+plugin_enrichment_juniper_device_metrics.py:233-428``,
+``.../cisco/ios/plugin_enrichment_cisco_ios_device_metrics.py``).
+
+Spark shape: ONE pass over the long walk frame tags rows with their MIB
+table (prefix match — map-only), each enrichment component is then a
+projection + one device-keyed aggregate over its dim-sized slice, and
+the per-device fragments union into a single groupBy that assembles the
+enrichment JSON with ``to_json`` map fragments and literal DSL-program
+templates. No joins against the raw walk beyond the tag pass; at 100 TB
+the walk is read once and everything downstream is device-dimension
+sized.
+
+Replayed value-exactly against the reference's own goldens
+(``tests/plugins/enrichment/generic/snmp/juniper/data/*_results.json``)
+in ``tests/test_golden_device_enrichment.py``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# MIB layout, from the reference's frozen tables
+# (framework/utilities/snmp/mibs/juniper.py:16-32, snmpv2.py:14-19)
+JNX = ".1.3.6.1.4.1.2636.3.1.13.1"
+JNX_DESCR = f"{JNX}.5"
+JNX_STATE = f"{JNX}.6"
+JNX_TEMP = f"{JNX}.7"
+JNX_CPU = f"{JNX}.8"
+JNX_BUFFER = f"{JNX}.11"
+JNX_MEMORY = f"{JNX}.15"
+JNX_CPU_1MIN = f"{JNX}.23"
+JNX_CPU_5MIN = f"{JNX}.24"
+JNX_CPU_15MIN = f"{JNX}.25"
+HR_STORAGE_TYPE = ".1.3.6.1.2.1.25.2.3.1.2"
+HR_STORAGE_DESCR = ".1.3.6.1.2.1.25.2.3.1.3"
+HR_STORAGE_UNITS = ".1.3.6.1.2.1.25.2.3.1.4"
+HR_STORAGE_SIZE = ".1.3.6.1.2.1.25.2.3.1.5"
+HR_STORAGE_USED = ".1.3.6.1.2.1.25.2.3.1.6"
+HR_STORAGE_FAILS = ".1.3.6.1.2.1.25.2.3.1.7"
+
+MELTING_POINT_STEEL = 1371  # framework/const.py:119
+
+# juniper entity-name grammars (plugin :18-23). re.match anchors at the
+# start -> '^'-anchored Java regex. The power loop does NOT break, so
+# the LAST matching pattern supplies the type.
+FAN_TYPES = [
+    r"Fan Tray \d+ Fan \d+",
+    r"Fan Tray \d+",
+    r"FAN \d+",
+    r"node\d SRX\d+ \w+ fan \d",
+    r"node\d Fan \d",
+    r"node\d \w+ Tray Fan \d+",
+    r"(Top|Bottom)\s(Rear|Middle|Front)\sFan",
+]
+POWER_MODULE_TYPES = [
+    (r"PDM \d{1,2}$", "PDM"),
+    (r"PEM", "PEM"),
+    (r"PSM \d{1,2}$", "PSM"),
+    (r"Power Supply \d$", "PEM"),
+    (r"Power Supply: Power Supply \d+ @", "PEM"),
+    (r"node\d PEM \d", "PEM"),
+]
+CPU_NAME_TYPES = ["routing engine", "fpc", "fpm", "cp", "pic", "fbc"]
+
+STORAGE_TYPE_NAMES = {  # rfc2790 hrStorageType suffixes (plugin :189-200)
+    "1": "hrStorageOther",
+    "2": "hrStorageRam",
+    "3": "hrStorageVirtualMemory",
+    "4": "hrStorageFixedDisk",
+    "5": "hrStorageRemovableDisk",
+    "6": "hrStorageFloppyDisk",
+    "7": "hrStorageCompactDisc",
+    "8": "hrStorageRamDisk",
+    "9": "hrStorageFlashMemory",
+    "10": "hrStorageNetworkDisk",
+}
+
+
+def cpu_interval_oid(polling_frequency: int) -> str:
+    """plugin :37-54 — pick the load-average window for the poll rate."""
+    if 5 <= polling_frequency < 300:
+        return JNX_CPU_1MIN
+    if 300 <= polling_frequency < 900:
+        return JNX_CPU_5MIN
+    if polling_frequency >= 900:
+        return JNX_CPU_15MIN
+    return JNX_CPU_1MIN
+
+
+def slice_walk(walk: DataFrame, tables: dict[str, str]) -> DataFrame:
+    """(device_id, oid, value) -> (device_id, table, index, value) in one
+    map-only pass: prefix-tag each row with the first matching MIB table
+    (reference bulk_walk = prefix scan), index = the OID remainder."""
+    tag = None
+    for name, base in tables.items():
+        prefix = base.lstrip(".") + "."
+        cond = F.col("oid").startswith(prefix)
+        idx = F.expr(f"substring(oid, {len(prefix) + 1})")
+        branch = F.when(
+            cond, F.struct(F.lit(name).alias("table"), idx.alias("index"))
+        )
+        tag = branch if tag is None else tag.when(
+            cond, F.struct(F.lit(name).alias("table"), idx.alias("index"))
+        )
+    return (
+        walk.select("device_id", tag.alias("t"), "value")
+        .where(F.col("t").isNotNull())
+        .select("device_id", "t.table", "t.index", "value")
+    )
+
+
+def _frag(df: DataFrame, name: str, key: F.Column, value: F.Column) -> DataFrame:
+    """Per-device JSON object fragment of one static-values map:
+    (device_id, name, to_json(map(key -> value)))."""
+    return df.groupBy("device_id").agg(
+        F.lit(name).alias("frag_name"),
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(key.alias("k"), value.alias("v"))))
+            )
+        ).alias("frag"),
+    )
+
+
+def _count_frag(df: DataFrame, name: str) -> DataFrame:
+    return df.groupBy("device_id").agg(
+        F.lit(name).alias("frag_name"),
+        F.count(F.lit(1)).cast("string").alias("frag"),
+    )
+
+
+def _static(values_json: str | F.Column) -> F.Column:
+    if isinstance(values_json, str):
+        values_json = F.lit(values_json)
+    return F.concat(
+        F.lit('{"method": "static", "values": '), values_json, F.lit("}")
+    )
+
+
+def _bulk(oid: str | F.Column) -> F.Column:
+    if isinstance(oid, str):
+        oid = F.lit(oid)
+    return F.concat(F.lit('{"method": "bulk_walk", "oid": "'), oid, F.lit('"}'))
+
+
+# -- juniper metrics_groups DSL templates (plugin :321-428), rendered
+# verbatim; conditional groups appended per device ----------------------
+
+_JUNIPER_ENV_GROUP = {
+    "group_name": "environment",
+    "dimensions": {"sensor": "temp_sensor_name.$index"},
+    "metrics": {
+        "temperature_fahrenheit": {
+            "metric_type": "gauge",
+            "type": "float",
+            "transform": "lambda x: round((x * 1.8) + 32, 2) if x != 0 else 0.0",
+            "value": "temp_sensor_values.$index",
+        }
+    },
+}
+_JUNIPER_CPU_GROUP = {
+    "group_name": "cpu",
+    "dimensions": {
+        "cpu_name": "cpu_name.$index",
+        "cpu_no": "cpu_no.$index",
+        "cpu_type": "'data' if 'Routing Engine' in cpu_name.$index else 'ctrl'",
+    },
+    "metrics": {
+        "cpu_utilization": {"metric_type": "gauge", "value": "cpu_util.$index"}
+    },
+}
+_JUNIPER_MEMORY_GROUP = {
+    "group_name": "memory",
+    "dimensions": {"memory_type": "cpu_name.$index"},
+    "metrics": {
+        "memory_used": {
+            "metric_type": "gauge",
+            "indices_from": "memory_total",
+            "value": "float(memory_used.$index) / 100.0 * memory_total.$index",
+        },
+        "memory_total": {
+            "metric_type": "gauge",
+            "value": "memory_total.$index",
+        },
+    },
+}
+_JUNIPER_POWER_GROUP = {
+    "group_name": "environment",
+    "dimensions": {"power_module_type": "power_module_types.$index"},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "indices_from": "power_units_total",
+            "value": "len([(x,y) for (x,y) in oper_status.items() if x in "
+            "power_module_types and y not in "
+            "['6'] and power_module_types[x] == $index])",
+        },
+        "power_units_total": {
+            "metric_type": "gauge",
+            "value": "power_units_total.$index",
+        },
+    },
+}
+# fans group's fans_total is a per-device integer literal -> split template
+_JUNIPER_FANS_PRE = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([(x,y) for (x,y) in oper_status.items() if x in "
+            "fans and y not in ['6']])",
+        }
+    },
+}
+_JUNIPER_DISK_GROUP = {
+    "group_name": "disk",
+    "dimensions": {
+        "storage_description": "storage_description.$index",
+        "storage_type": "storage_type.$index",
+    },
+    "metrics": {
+        "storage_allocation_failures": {
+            "metric_type": "counter",
+            "value": "storage_allocation_failures.$index",
+        },
+        "storage_used_bytes": {
+            "metric_type": "gauge",
+            "value": "int(storage_used_bytes.$index) * "
+            "int(storage_allocation_units.$index)",
+        },
+        "storage_total_bytes": {
+            "metric_type": "gauge",
+            "value": "storage_total_bytes.$index",
+        },
+    },
+}
+
+
+def _regex_any(patterns: list[str]) -> str:
+    return "^(" + "|".join(f"(?:{p})" for p in patterns) + ")"
+
+
+def juniper_device_enrichment(
+    spark: SparkSession,
+    walk: DataFrame,
+    devices: DataFrame,
+    polling_frequency: int = 300,
+    include_disk: bool = False,
+) -> DataFrame:
+    """Juniper device-metrics enrichment builder
+    (plugin_enrichment_juniper_device_metrics.py:233-458).
+
+    ``walk``: (device_id string, oid string, value string) raw walk rows.
+    ``devices``: (device_id string, model string) — model drives the
+    EX4300 CPU-OID exception (:245-247).
+
+    Returns (device_id, namespace, enrichment) with ``enrichment`` the
+    {"oids": ..., "metrics_groups": ...} JSON the polling DSL consumes.
+    """
+    tables = {
+        "descr": JNX_DESCR,
+        "state": JNX_STATE,
+        "temp": JNX_TEMP,
+        "buffer": JNX_BUFFER,
+        "memory": JNX_MEMORY,
+        "cpuN": cpu_interval_oid(polling_frequency),
+        "st_type": HR_STORAGE_TYPE,
+        "st_descr": HR_STORAGE_DESCR,
+        "st_units": HR_STORAGE_UNITS,
+        "st_size": HR_STORAGE_SIZE,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    # entity universe: index -> description (threaded_cached_property
+    # _entity_names, :56-66); device-dim sized, reused by 4 components
+    entity = tbl("descr").withColumnRenamed("value", "name").persist()
+
+    # _cpus (:85-101) ALWAYS walks the poll-rate load-average column;
+    # the EX4300 model only swaps the cpu_util OID string REPORTED in
+    # the oids map (:245-247)
+    cpus = tbl("cpuN").select("device_id", "index").join(
+        entity, ["device_id", "index"]
+    ).where(
+        F.lower(F.col("name")).rlike("|".join(CPU_NAME_TYPES))
+    ).persist()
+
+    temps = (
+        tbl("temp")
+        .where(
+            (F.col("value").cast("long") > 0)
+            & (F.col("value").cast("long") < MELTING_POINT_STEEL)
+        )
+        .join(entity, ["device_id", "index"])
+    )
+
+    memory = tbl("memory").select(
+        "device_id",
+        "index",
+        (F.col("value").cast("long") * (2**20)).alias("memory_total"),
+    ).where(F.col("memory_total") != 0)
+
+    fans = entity.where(F.col("name").rlike(_regex_any(FAN_TYPES))).persist()
+
+    # last matching grammar wins (the reference loop has no break) ->
+    # evaluate the when-chain in reverse declaration order
+    ptype = None
+    for pat, typ in reversed(POWER_MODULE_TYPES):
+        cond = F.col("name").rlike("^(?:" + pat + ")")
+        ptype = (
+            F.when(cond, F.lit(typ)) if ptype is None
+            else ptype.when(cond, F.lit(typ))
+        )
+    power = entity.withColumn("ptype", ptype).where(
+        F.col("ptype").isNotNull()
+    ).persist()
+
+    frags = [
+        _frag(cpus, "cpu_name", F.col("index"), F.col("name")),
+        _frag(
+            cpus, "cpu_no", F.col("index"), F.concat(F.lit("Module "), "index")
+        ),
+        _frag(memory, "memory_total", F.col("index"), F.col("memory_total")),
+        _frag(temps, "temp_sensor_name", F.col("index"), F.col("name")),
+        _frag(fans, "fans", F.col("index"), F.col("name")),
+        _frag(power, "power_modules", F.col("index"), F.col("name")),
+        _frag(power, "power_module_types", F.col("index"), F.col("ptype")),
+        _frag(
+            power.groupBy("device_id", "ptype").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "power_units_total",
+            F.col("ptype"),
+            F.col("n"),
+        ),
+        # identity rows the reference appends to power_module_types
+        # (_add_power_module_types_mapping, :231-233)
+        _frag(
+            power.select("device_id", "ptype").distinct(),
+            "power_type_identity",
+            F.col("ptype"),
+            F.col("ptype"),
+        ),
+        _count_frag(fans, "_n_fans"),
+        _count_frag(power, "_n_power"),
+    ]
+    if include_disk:
+        st_descr = tbl("st_descr")
+        st_units = tbl("st_units").select(
+            "device_id", "index", F.col("value").cast("long").alias("units")
+        )
+        st_type = tbl("st_type").select(
+            "device_id",
+            "index",
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for k, v in STORAGE_TYPE_NAMES.items()
+                            for x in (k, v)
+                        ]
+                    ),
+                    F.element_at(F.split("value", r"\."), -1),
+                ),
+                F.lit("unknown"),
+            ).alias("tname"),
+        )
+        st_size = tbl("st_size").select(
+            "device_id", "index", F.col("value").cast("long").alias("size")
+        ).join(st_units, ["device_id", "index"])
+        frags += [
+            _frag(st_descr, "storage_description", F.col("index"), F.col("value")),
+            _frag(st_type, "storage_type", F.col("index"), F.col("tname")),
+            _frag(st_units, "storage_allocation_units", F.col("index"), F.col("units")),
+            _frag(
+                st_size,
+                "storage_total_bytes",
+                F.col("index"),
+                (F.col("size") * F.col("units")),
+            ),
+            _count_frag(st_descr, "_n_storage"),
+        ]
+
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = allfrags.groupBy("device_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("frag_name", "frag"))
+        ).alias("m")
+    )
+    per_device = devices.select("device_id", "model").join(
+        per_device, "device_id", "left"
+    )
+
+    def g(name: str) -> F.Column:  # fragment with empty-map default
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    def n(name: str) -> F.Column:
+        return F.coalesce(
+            F.element_at("m", F.lit(name)).cast("int"), F.lit(0)
+        )
+
+    cpu_oid = F.when(
+        F.col("model").contains("EX4300"), F.lit(JNX_CPU)
+    ).otherwise(F.lit(cpu_interval_oid(polling_frequency)))
+
+    # power_module_types = per-index map + identity rows; both fragments
+    # are JSON objects -> splice (identity may be '{}')
+    pmt = F.expr(
+        "to_json(map_concat("
+        "  from_json(m['power_module_types'], 'map<string,string>'),"
+        "  from_json(coalesce(m['power_type_identity'], '{}'),"
+        "            'map<string,string>')))"
+    )
+    pmt = F.when(F.element_at("m", F.lit("power_module_types")).isNull(),
+                 F.lit("{}")).otherwise(pmt)
+
+    oid_entries = [
+        ('"cpu_name": ', _static(g("cpu_name"))),
+        ('"cpu_no": ', _static(g("cpu_no"))),
+        ('"cpu_util": ', _bulk(cpu_oid)),
+        ('"memory_used": ', _bulk(JNX_BUFFER)),
+        ('"memory_total": ', _static(g("memory_total"))),
+        ('"oper_status": ', _bulk(JNX_STATE)),
+        ('"fans": ', _static(g("fans"))),
+        ('"power_modules": ', _static(g("power_modules"))),
+        ('"power_module_types": ', _static(pmt)),
+        ('"power_units_total": ', _static(g("power_units_total"))),
+        ('"temp_sensor_values": ', _bulk(JNX_TEMP)),
+        ('"temp_sensor_name": ', _static(g("temp_sensor_name"))),
+    ]
+    if include_disk:
+        oid_entries += [
+            ('"storage_description": ', _static(g("storage_description"))),
+            ('"storage_type": ', _static(g("storage_type"))),
+            ('"storage_allocation_failures": ', _bulk(HR_STORAGE_FAILS)),
+            ('"storage_allocation_units": ', _static(g("storage_allocation_units"))),
+            ('"storage_used_bytes": ', _bulk(HR_STORAGE_USED)),
+            ('"storage_total_bytes": ', _static(g("storage_total_bytes"))),
+        ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ", ",
+            *[F.concat(F.lit(k), v) for k, v in oid_entries],
+        ),
+        F.lit("}"),
+    )
+
+    fans_group = F.concat(
+        F.lit(
+            json.dumps(_JUNIPER_FANS_PRE)[:-2]  # strip the closing '}}'
+            + ', "fans_total": '
+        ),
+        n("_n_fans").cast("string"),
+        F.lit("}}"),
+    )
+    groups_json = F.concat(
+        F.lit(
+            "["
+            + json.dumps(_JUNIPER_ENV_GROUP)
+            + ", "
+            + json.dumps(_JUNIPER_CPU_GROUP)
+            + ", "
+            + json.dumps(_JUNIPER_MEMORY_GROUP)
+        ),
+        F.when(
+            n("_n_power") > 0,
+            F.lit(", " + json.dumps(_JUNIPER_POWER_GROUP)),
+        ).otherwise(F.lit("")),
+        F.when(n("_n_fans") > 0, F.concat(F.lit(", "), fans_group)).otherwise(
+            F.lit("")
+        ),
+        (
+            F.when(
+                n("_n_storage") > 0,
+                F.lit(", " + json.dumps(_JUNIPER_DISK_GROUP)),
+            ).otherwise(F.lit(""))
+            if include_disk
+            else F.lit("")
+        ),
+        F.lit("]"),
+    )
+
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '),
+            oids_json,
+            F.lit(', "metrics_groups": '),
+            groups_json,
+            F.lit("}"),
+        ).alias("enrichment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cisco IOS device-metrics enrichment
+# (plugins/enrichment/generic/snmp/cisco/ios/
+#  plugin_enrichment_cisco_ios_device_metrics.py)
+# ---------------------------------------------------------------------------
+
+ENT_PHYSICAL_CLASS = ".1.3.6.1.2.1.47.1.1.1.1.5"
+ENT_PHYSICAL_RELPOS = ".1.3.6.1.2.1.47.1.1.1.1.6"
+ENT_PHYSICAL_NAME = ".1.3.6.1.2.1.47.1.1.1.1.7"
+ENT_PHYSICAL_DESCR = ".1.3.6.1.2.1.47.1.1.1.1.2"
+CISCO_MEM_POOL_NAME = ".1.3.6.1.4.1.9.9.48.1.1.1.2"
+CISCO_MEM_POOL_USED = ".1.3.6.1.4.1.9.9.48.1.1.1.5"
+CISCO_MEM_POOL_FREE = ".1.3.6.1.4.1.9.9.48.1.1.1.6"
+CPM_CPU_1MIN = ".1.3.6.1.4.1.9.9.109.1.1.1.1.7"
+CPM_CPU_5MIN = ".1.3.6.1.4.1.9.9.109.1.1.1.1.8"
+CPM_CPU_MONINTERVAL = ".1.3.6.1.4.1.9.9.109.1.1.1.1.10"
+ENT_SENSOR_TYPE = ".1.3.6.1.4.1.9.9.91.1.1.1.1.1"
+ENT_SENSOR_SCALES = ".1.3.6.1.4.1.9.9.91.1.1.1.1.2"
+ENT_SENSOR_VALUES = ".1.3.6.1.4.1.9.9.91.1.1.1.1.4"
+CEFC_FRU_POWER_STATUS = ".1.3.6.1.4.1.9.9.117.1.1.2.1.2"
+CEFC_FANTRAY_STATUS = ".1.3.6.1.4.1.9.9.117.1.4.1.1.1"
+ENVMON_FAN_STATE = ".1.3.6.1.4.1.9.9.13.1.4.1.3"
+ENVMON_SUPPLY_STATE = ".1.3.6.1.4.1.9.9.13.1.5.1.3"
+
+THIRTYFIVESIXTY_MODELS = ["3560G-48TS-S", "3560X-48PF-L", "3560-48PS"]
+ENV_MON_MIB_MODELS = ["6509-E", "none-network-sw"] + THIRTYFIVESIXTY_MODELS
+FORTYNINEHUNDRED_MODEL_BUG_PATTERN = r"49\d\d.+"
+# entSensorScale index -> signed exponent (plugin :104-115)
+SENSOR_EXPONENTS = [-24, -21, -18, -15, -12, -9, -6, -3, 0, 3, 6, 9, 12, 15,
+                    18, 21, 24]
+
+
+def cisco_cpu_interval_oid(polling_frequency: int) -> str:
+    """plugin :76-89."""
+    if 5 <= polling_frequency < 60:
+        return CPM_CPU_MONINTERVAL
+    if 60 <= polling_frequency < 300:
+        return CPM_CPU_1MIN
+    if polling_frequency >= 300:
+        return CPM_CPU_5MIN
+    return CPM_CPU_1MIN
+
+
+_CISCO_FANS_ENV = {  # ciscoEnvMonFanState semantics (plugin :346-352)
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([x for x in fan_statuses.values() if x in "
+            "['1', '2', '3']])",
+        },
+        "fans_total": "__N__",
+    },
+}
+_CISCO_FANS_FRU = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([x for x in fan_statuses.values() if x == '2'])",
+        },
+        "fans_total": "__N__",
+    },
+}
+_CISCO_POWER_3560 = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "value": "len([(x,y) for (x,y) in power_status.items() if x in "
+            "power_supplies and y in ['1', '2', '3']])",
+        },
+        "power_units_total": "__N__",
+    },
+}
+_CISCO_POWER_FRU = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "value": "len([(x,y) for (x,y) in entity_fru_control.items() if "
+            "x in power_supplies and y in ['2', '9', '12']])",
+        },
+        "power_units_total": "__N__",
+    },
+}
+_CISCO_CPU_GROUP = {
+    "group_name": "cpu",
+    "dimensions": {
+        "cpu_name": "cpu_name.$index",
+        "cpu_no": "cpu_no.$index",
+        "cpu_type": "'ctrl'",
+    },
+    "metrics": {
+        "cpu_utilization": {"metric_type": "gauge", "value": "cpu_util.$index"}
+    },
+}
+_CISCO_MEMORY_GROUP = {
+    "group_name": "memory",
+    "dimensions": {"memory_type": "memory_name.$index"},
+    "metrics": {
+        "memory_used": {"metric_type": "gauge", "value": "memory_used.$index"},
+        "memory_total": {
+            "metric_type": "gauge",
+            "value": "memory_total.$index",
+        },
+    },
+}
+_CISCO_TEMP_GROUP = {
+    "group_name": "environment",
+    "dimensions": {"sensor": "temp_sensor_name.$index"},
+    "metrics": {
+        "temperature_fahrenheit": {
+            "metric_type": "gauge",
+            "type": "float",
+            "indices_from": "temp_sensor_scales",
+            "transform": "lambda x: round((x * 1.8) + 32, 2)",
+            "value": "int(ent_sensor_values.$index) * temp_sensor_scales.$index",
+        }
+    },
+}
+
+
+def _splice_count(template: dict, count: F.Column) -> F.Column:
+    """Render a metrics-group template whose ``"__N__"`` placeholder is a
+    per-device integer literal."""
+    pre, post = json.dumps(template).split('"__N__"')
+    return F.concat(F.lit(pre), count.cast("string"), F.lit(post))
+
+
+def cisco_ios_device_enrichment(
+    spark: SparkSession,
+    walk: DataFrame,
+    devices: DataFrame,
+    polling_frequency: int = 300,
+) -> DataFrame:
+    """Cisco IOS device-metrics enrichment builder
+    (plugin_enrichment_cisco_ios_device_metrics.py:117-451).
+
+    Same contract as :func:`juniper_device_enrichment`; the ``model``
+    column drives the 3560 / ENV-MON / 49xx-scale-bug variants, all
+    evaluated per device as column expressions.
+    """
+    cpu_oid = cisco_cpu_interval_oid(polling_frequency)
+    tables = {
+        "name": ENT_PHYSICAL_NAME,
+        "descr": ENT_PHYSICAL_DESCR,
+        "pclass": ENT_PHYSICAL_CLASS,
+        "relpos": ENT_PHYSICAL_RELPOS,
+        "mem_name": CISCO_MEM_POOL_NAME,
+        "mem_used": CISCO_MEM_POOL_USED,
+        "mem_free": CISCO_MEM_POOL_FREE,
+        "cpu": cpu_oid,
+        "s_type": ENT_SENSOR_TYPE,
+        "s_scale": ENT_SENSOR_SCALES,
+        "fan_env": ENVMON_FAN_STATE,
+        "fan_fru": CEFC_FANTRAY_STATUS,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    flags = devices.select(
+        "device_id",
+        "model",
+        F.col("model").isin(THIRTYFIVESIXTY_MODELS).alias("is3560"),
+        F.col("model").isin(ENV_MON_MIB_MODELS).alias("env_mon"),
+        F.col("model")
+        .rlike("^(?:" + FORTYNINEHUNDRED_MODEL_BUG_PATTERN + ")")
+        .alias("is49xx"),
+    ).persist()
+
+    # int-keyed entity dicts (plugin casts every index with int())
+    names = tbl("name").select(
+        "device_id",
+        F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("name"),
+    ).persist()
+    descr = tbl("descr").select(
+        "device_id",
+        F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("descr"),
+    )
+    relpos_ids = tbl("relpos").select(
+        "device_id", F.col("index").cast("long").alias("eid")
+    )
+
+    # cpus (:265-287): cpu_id = last element of the walk index
+    cpu_walk = tbl("cpu").select(
+        "device_id",
+        F.element_at(F.split("index", r"\."), -1).cast("long").alias("cpu_id"),
+    )
+    dev3560 = flags.where("is3560").select("device_id")
+    # non-3560: cpu_id must exist in BOTH entity names and relpos keys
+    cpus_std = (
+        cpu_walk.join(dev3560, "device_id", "left_anti")
+        .join(names.withColumnRenamed("eid", "cpu_id"), ["device_id", "cpu_id"])
+        .join(
+            relpos_ids.withColumnRenamed("eid", "cpu_id").distinct(),
+            ["device_id", "cpu_id"],
+        )
+        .select("device_id", "cpu_id", F.col("name").alias("cpu_name"))
+    )
+    # 3560: reverse lookup — entity whose NAME equals str(cpu_id); first
+    # match in walk order == smallest entity index (snmprec rows ascend)
+    cpus_3560 = (
+        cpu_walk.join(dev3560, "device_id", "left_semi")
+        .join(
+            names.withColumn(
+                "cpu_id", F.expr("try_cast(name as long)")
+            ).where(F.col("cpu_id").isNotNull())
+            .select("device_id", "cpu_id", "eid"),
+            ["device_id", "cpu_id"],
+        )
+        .groupBy("device_id", "cpu_id")
+        .agg(F.min("eid").alias("eid"))
+        .join(descr, ["device_id", "eid"])
+        .select("device_id", "cpu_id", F.col("descr").alias("cpu_name"))
+    )
+    cpus = cpus_std.unionByName(cpus_3560).persist()
+
+    # memory pools (:236-263): id = last index element, total = used+free
+    def _mem(name: str, col: str) -> DataFrame:
+        return tbl(name).select(
+            "device_id",
+            F.element_at(F.split("index", r"\."), -1).cast("long").alias("mid"),
+            F.col("value").alias(col),
+        )
+
+    memory = (
+        _mem("mem_name", "memory_name")
+        .join(_mem("mem_used", "used"), ["device_id", "mid"])
+        .join(_mem("mem_free", "free"), ["device_id", "mid"])
+        .select(
+            "device_id",
+            "mid",
+            "memory_name",
+            (F.col("used").cast("long") + F.col("free").cast("long")).alias(
+                "memory_total"
+            ),
+        )
+        .persist()
+    )
+
+    # power supplies (:161-174): entPhysicalClass == '6'
+    power = (
+        tbl("pclass")
+        .where(F.col("value") == "6")
+        .select("device_id", F.col("index").cast("long").alias("eid"))
+        .join(names, ["device_id", "eid"])
+        .persist()
+    )
+
+    # per-device fan universe: ENV-MON models walk ciscoEnvMonFanState,
+    # everyone else cefcFanTrayOperStatus (:117-119, :152-159)
+    dev_env = flags.where("env_mon").select("device_id")
+    fans = tbl("fan_env").join(dev_env, "device_id", "left_semi").unionByName(
+        tbl("fan_fru").join(dev_env, "device_id", "left_anti")
+    )
+
+    # temperature sensors (:121-149): entSensorType == '8'
+    scales = tbl("s_scale").select(
+        "device_id",
+        F.col("index").cast("long").alias("eid"),
+        F.col("value").cast("int").alias("scale"),
+    )
+    exp_map = F.create_map(
+        *[
+            F.lit(x)
+            for i, e in enumerate(SENSOR_EXPONENTS)
+            for x in (i + 1, e)
+        ]
+    )
+    temps = (
+        tbl("s_type")
+        .where(F.col("value") == "8")
+        .select("device_id", F.col("index").cast("long").alias("eid"))
+        .join(scales, ["device_id", "eid"])
+        .join(names, ["device_id", "eid"], "left")
+        .select(
+            "device_id",
+            "eid",
+            exp_map[F.col("scale")].alias("exponent"),
+            F.regexp_replace(
+                F.coalesce("name", F.lit("")), "celsius", "fahrenheit"
+            ).alias("sensor_name"),
+        )
+        .join(flags.select("device_id", "is49xx"), "device_id")
+        .withColumn(
+            "scale_value",
+            F.pow(
+                F.lit(10.0),
+                F.col("exponent")
+                + F.when(F.col("is49xx"), F.lit(-1)).otherwise(F.lit(0)),
+            ),
+        )
+        .persist()
+    )
+
+    frags = [
+        _frag(cpus, "cpu_name", F.col("cpu_id").cast("string"), F.col("cpu_name")),
+        _frag(
+            cpus,
+            "cpu_no",
+            F.col("cpu_id").cast("string"),
+            F.concat(F.lit("Module "), F.col("cpu_id").cast("string")),
+        ),
+        _frag(memory, "memory_name", F.col("mid").cast("string"), F.col("memory_name")),
+        _frag(memory, "memory_total", F.col("mid").cast("string"), F.col("memory_total")),
+        _frag(power, "power_supplies", F.col("eid").cast("string"), F.col("name")),
+        _frag(temps, "temp_sensor_name", F.col("eid").cast("string"), F.col("sensor_name")),
+        _frag(temps, "temp_sensor_scales", F.col("eid").cast("string"), F.col("scale_value")),
+        _count_frag(fans, "_n_fans"),
+        _count_frag(power, "_n_power"),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = flags.join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id",
+        "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    def n(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)).cast("int"), F.lit(0))
+
+    fan_oid = F.when(
+        F.col("env_mon"), F.lit(ENVMON_FAN_STATE)
+    ).otherwise(F.lit(CEFC_FANTRAY_STATUS))
+
+    oid_entries = [
+        ('"cpu_name": ', _static(g("cpu_name"))),
+        ('"cpu_no": ', _static(g("cpu_no"))),
+        ('"cpu_util": ', _bulk(cpu_oid)),
+        ('"memory_used": ', _bulk(CISCO_MEM_POOL_USED)),
+        ('"memory_total": ', _static(g("memory_total"))),
+        ('"memory_name": ', _static(g("memory_name"))),
+        ('"fan_statuses": ', _bulk(fan_oid)),
+        ('"entity_fru_control": ', _bulk(CEFC_FRU_POWER_STATUS)),
+        ('"power_status": ', _bulk(ENVMON_SUPPLY_STATE)),
+        ('"power_supplies": ', _static(g("power_supplies"))),
+        ('"ent_sensor_values": ', _bulk(ENT_SENSOR_VALUES)),
+    ]
+    base_oids = F.concat_ws(
+        ", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]
+    )
+    # temp_sensor_* keys only exist for non-3560 models (:317-335)
+    temp_oids = F.concat(
+        F.lit(', "temp_sensor_scales": '),
+        _static(g("temp_sensor_scales")),
+        F.lit(', "temp_sensor_name": '),
+        _static(g("temp_sensor_name")),
+    )
+    oids_json = F.concat(
+        F.lit("{"),
+        base_oids,
+        F.when(F.col("is3560"), F.lit("")).otherwise(temp_oids),
+        F.lit("}"),
+    )
+
+    fans_group = F.when(
+        F.col("env_mon"), _splice_count(_CISCO_FANS_ENV, n("_n_fans"))
+    ).otherwise(_splice_count(_CISCO_FANS_FRU, n("_n_fans")))
+    power_group = F.when(
+        F.col("is3560"), _splice_count(_CISCO_POWER_3560, n("_n_power"))
+    ).otherwise(_splice_count(_CISCO_POWER_FRU, n("_n_power")))
+    groups_json = F.concat(
+        F.lit("["),
+        fans_group,
+        F.lit(", "),
+        power_group,
+        F.lit(", " + json.dumps(_CISCO_CPU_GROUP)),
+        F.lit(", " + json.dumps(_CISCO_MEMORY_GROUP)),
+        F.when(F.col("is3560"), F.lit("")).otherwise(
+            F.lit(", " + json.dumps(_CISCO_TEMP_GROUP))
+        ),
+        F.lit("]"),
+    )
+
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '),
+            oids_json,
+            F.lit(', "metrics_groups": '),
+            groups_json,
+            F.lit("}"),
+        ).alias("enrichment"),
+    )
