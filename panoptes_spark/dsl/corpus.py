@@ -62,6 +62,27 @@ def load_program(path: str) -> dict:
     return json.loads(text)
 
 
+def parse_snmprec_raw(path: str) -> list[tuple[str, str, str, str | None]]:
+    """Like :func:`parse_snmprec` but keeps the raw hex payload for
+    hex-encoded (``x``-suffixed) rows: (oid, tag, decoded_value,
+    hex_or_None). Binary octet strings (e.g. the BGP remote-address
+    table) are only faithful in the hex form — a text decode corrupts
+    non-UTF-8 bytes."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            oid, tag, value = line.split("|", 2)
+            hexval = None
+            if tag.endswith("x"):
+                hexval = value
+                value = bytes.fromhex(value).decode("utf-8", "replace")
+            rows.append((oid, tag, value, hexval))
+    return rows
+
+
 def parse_snmprec(path: str) -> list[tuple[str, str, str]]:
     """``oid|type|value`` lines -> (oid, type_tag, decoded_value).
 

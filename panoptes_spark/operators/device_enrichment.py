@@ -917,3 +917,328 @@ def cisco_ios_device_enrichment(
             F.lit("}"),
         ).alias("enrichment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Juniper BGP session-metrics enrichment
+# (plugins/enrichment/generic/snmp/juniper/bgp/
+#  plugin_enrichment_bgp_session_metrics.py)
+# ---------------------------------------------------------------------------
+
+BGP_PEER_ENTRY = ".1.3.6.1.4.1.2636.5.1.1.2.1.1.1"
+BGP_PEER_STATE = BGP_PEER_ENTRY + ".2"
+BGP_PEER_STATUS = BGP_PEER_ENTRY + ".3"
+BGP_PEER_LOCAL_AS = BGP_PEER_ENTRY + ".9"
+BGP_PEER_REMOTE_ADDR = BGP_PEER_ENTRY + ".11"
+BGP_PEER_REMOTE_AS = BGP_PEER_ENTRY + ".13"
+BGP_PEER_INDEX = BGP_PEER_ENTRY + ".14"
+BGP_PEER_ESTABLISHED_TIME = ".1.3.6.1.4.1.2636.5.1.1.2.4.1.1.1"
+BGP_PEER_IN_UPDATES = ".1.3.6.1.4.1.2636.5.1.1.2.6.1.1.1"
+BGP_PEER_OUT_UPDATES = ".1.3.6.1.4.1.2636.5.1.1.2.6.1.1.2"
+BGP_PEER_TRANSITIONS = ".1.3.6.1.4.1.2636.5.1.1.2.6.1.1.5"
+BGP_PREFIX_ENTRY = ".1.3.6.1.4.1.2636.5.1.1.2.6.2.1"
+BGP_PREFIX_IN = BGP_PREFIX_ENTRY + ".7"
+BGP_PREFIX_ACCEPTED = BGP_PREFIX_ENTRY + ".8"
+BGP_PREFIX_REJECTED = BGP_PREFIX_ENTRY + ".9"
+BGP_PREFIX_ACTIVE = BGP_PREFIX_ENTRY + ".11"
+IFX_NAME = ".1.3.6.1.2.1.31.1.1.1.1"
+IFX_HIGH_SPEED = ".1.3.6.1.2.1.31.1.1.1.15"
+IFX_ALIAS = ".1.3.6.1.2.1.31.1.1.1.18"
+IP_NET_TO_PHYSICAL = ".1.3.6.1.2.1.4.35.1.7"
+
+_BGP_METRICS_GROUPS = [  # plugin :305-383, verbatim
+    {
+        "dimensions": {
+            "peer_local_as": {"value": "peer_local_as.$index"},
+            "peer_remote_as": {"value": "peer_remote_as.$index"},
+            "interface_name": {"value": "interface_name.$index"},
+            "interface_alias": {"value": "interface_alias.$index"},
+            "bgp_adjacency_type": {"value": "'unknown-bgp_adjacency_type'"},
+            "bgp_adjacency_subtype": {
+                "value": "'unknown-bgp_adjacency_subtype'"
+            },
+            "peer_external_connection": {
+                "value": "'unknown-peer_external_connection'"
+            },
+            "local_address": {"value": "local_address.$index"},
+            "peer_address": {"value": "peer_address.$index"},
+        },
+        "group_name": "bgp_session",
+        "metrics": {
+            "peer_state": {"metric_type": "gauge", "value": "peer_state.$index"},
+            "peer_status": {
+                "metric_type": "gauge",
+                "value": "peer_status.$index",
+            },
+            "prefix_in_prefixes": {
+                "metric_type": "gauge",
+                "value": "prefix_in_prefixes.$index",
+            },
+            "prefix_in_prefixes_accepted": {
+                "metric_type": "gauge",
+                "value": "prefix_in_prefixes_accepted.$index",
+            },
+            "prefix_in_prefixes_rejected": {
+                "metric_type": "gauge",
+                "value": "prefix_in_prefixes_rejected.$index",
+            },
+            "prefix_in_prefixes_active": {
+                "metric_type": "gauge",
+                "value": "prefix_in_prefixes_active.$index",
+            },
+            "interface_speed": {
+                "metric_type": "gauge",
+                "transform": "lambda x: x * 1000000",
+                "value": "interface_speed.$index",
+            },
+            "peer_session_established_time": {
+                "metric_type": "gauge",
+                "value": "peer_session_established_time.$index",
+            },
+            "peer_session_transitions": {
+                "metric_type": "gauge",
+                "value": "peer_session_transitions.$index",
+            },
+            "peer_in_updates": {
+                "metric_type": "counter",
+                "value": "peer_in_updates.$index",
+            },
+            "peer_out_updates": {
+                "metric_type": "counter",
+                "value": "peer_out_updates.$index",
+            },
+        },
+    }
+]
+
+
+def _hex_to_dotted(hex_sql: str) -> str:
+    """Hex octet string -> dotted-decimal byte string SQL."""
+    return (
+        f"array_join(transform(sequence(1, length({hex_sql}) div 2),"
+        f" i -> cast(conv(substring({hex_sql}, 2*i-1, 2), 16, 10)"
+        f" as string)), '.')"
+    )
+
+
+def ip_octstr_readable(df: DataFrame, hex_col: str, out_col: str) -> DataFrame:
+    """transform_ip_octstr (plugin :46-68): 4-byte octet strings ->
+    dotted IPv4; longer -> canonical compressed IPv6 (same RFC 5952
+    shape python's ``ipaddress`` emits, via the F8 transform)."""
+    from ..functions.scalar import ipv6_index_transform
+
+    df = df.withColumn("__dotted", F.expr(_hex_to_dotted(hex_col)))
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.length(hex_col) == 8, F.col("__dotted")
+        ).otherwise(ipv6_index_transform("__dotted")),
+    ).drop("__dotted")
+
+
+def bgp_session_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Juniper BGP session-metrics enrichment builder
+    (plugin_enrichment_bgp_session_metrics.py:79-407).
+
+    ``walk``: (device_id, oid, value, value_hex) — ``value_hex`` carries
+    the raw hex payload for OCTET-STRING rows (the remote-address table
+    is binary; everything else reads the decoded ``value``).
+
+    Static address tables come from the peer-table INDEX structure
+    (ipv4/ipv6 variants, :246-269); the interface tables ride a 2-hop
+    join remote_addr -> ipNetToPhysical -> ifXTable (:183-212, :282-302);
+    prefix-counter tables get an ``index_transform`` map re-keying them
+    onto full peer indices via the inverted peer_index walk (:213-232).
+    """
+    from ..functions.scalar import ipv6_index_transform
+
+    tables = {
+        "peer_index": BGP_PEER_INDEX,
+        "remote_addr": BGP_PEER_REMOTE_ADDR,
+        "prefix_in": BGP_PREFIX_IN,
+        "if_name": IFX_NAME,
+        "if_speed": IFX_HIGH_SPEED,
+        "if_alias": IFX_ALIAS,
+        "ipnet": IP_NET_TO_PHYSICAL,
+    }
+    tag = None
+    for name, base in tables.items():
+        prefix = base.lstrip(".") + "."
+        cond = F.col("oid").startswith(prefix)
+        payload = F.struct(
+            F.lit(name).alias("table"),
+            F.expr(f"substring(oid, {len(prefix) + 1})").alias("index"),
+        )
+        tag = F.when(cond, payload) if tag is None else tag.when(cond, payload)
+    tagged = (
+        walk.select("device_id", tag.alias("t"), "value", "value_hex")
+        .where(F.col("t").isNotNull())
+        .select("device_id", "t.table", "t.index", "value", "value_hex")
+        .persist()
+    )
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value", "value_hex"
+        )
+
+    # peer table: local/peer addresses decoded from the index structure
+    parts = F.split("index", r"\.")
+    peers = tbl("peer_index").select(
+        "device_id",
+        "index",
+        F.col("value").alias("peer_no"),
+        parts.alias("p"),
+    )
+    v4 = F.col("p")[1] == "1"
+    local_v6 = F.expr("array_join(slice(p, 3, 16), '.')")
+    peer_v6 = F.expr(
+        "array_join(slice(p, 20, greatest(size(p) - 19, 0)), '.')"
+    )
+    peers = (
+        peers.withColumn("__l6", local_v6)
+        .withColumn("__p6", peer_v6)
+        .withColumn(
+            "local_address",
+            F.when(v4, F.expr("array_join(slice(p, 3, 4), '.')")).otherwise(
+                ipv6_index_transform("__l6")
+            ),
+        )
+        .withColumn(
+            "peer_address",
+            F.when(
+                v4, F.expr("array_join(slice(p, 8, greatest(size(p) - 7, 0)), '.')")
+            ).otherwise(ipv6_index_transform("__p6")),
+        )
+        .select("device_id", "index", "peer_no", "local_address", "peer_address")
+        .persist()
+    )
+
+    # inverted peer_index walk: peer NUMBER -> full index (:272-281)
+    inverted = peers.select(
+        "device_id", F.col("peer_no"), F.col("index").alias("peer_index")
+    )
+
+    # prefix-counter index_transform: '<peerNo>.<afi>.<safi>' -> peer index
+    prefix_map = (
+        tbl("prefix_in")
+        .select(
+            "device_id",
+            "index",
+            F.element_at(F.split("index", r"\."), 1).alias("peer_no"),
+        )
+        .join(inverted, ["device_id", "peer_no"])
+        .select("device_id", "index", "peer_index")
+    )
+
+    # ipNetToPhysicalState: ip -> ifIndex (:284-296); type 2 = ipv6
+    ipnet = tbl("ipnet").select(
+        "device_id",
+        F.split("index", r"\.").alias("p"),
+    )
+    ip_dotted = F.expr(
+        "array_join(slice(p, 4, greatest(size(p) - 3, 0)), '.')"
+    )
+    ipnet = (
+        ipnet.withColumn("__ip", ip_dotted)
+        .select(
+            "device_id",
+            F.col("p")[0].alias("ifidx"),
+            F.when(F.col("p")[1] == "2", ipv6_index_transform("__ip"))
+            .otherwise(F.col("__ip"))
+            .alias("ipaddr"),
+        )
+        .groupBy("device_id", "ipaddr")
+        .agg(F.max("ifidx").alias("ifidx"))
+    )
+
+    # remote_addr octet strings -> readable, joined to the ip->if map
+    remote = ip_octstr_readable(
+        tbl("remote_addr").select("device_id", "index", "value_hex"),
+        "value_hex",
+        "ipaddr",
+    )
+    peer_to_if = remote.join(ipnet, ["device_id", "ipaddr"]).select(
+        "device_id", "index", "ifidx"
+    )
+
+    def if_static(table: str, name: str) -> DataFrame:
+        ifvals = tbl(table).select(
+            "device_id", F.col("index").alias("ifidx"), "value"
+        )
+        return _frag(
+            peer_to_if.join(ifvals, ["device_id", "ifidx"]),
+            name,
+            F.col("index"),
+            F.col("value"),
+        )
+
+    frags = [
+        if_static("if_name", "interface_name"),
+        if_static("if_speed", "interface_speed"),
+        if_static("if_alias", "interface_alias"),
+        _frag(peers, "local_address", F.col("index"), F.col("local_address")),
+        _frag(peers, "peer_address", F.col("index"), F.col("peer_address")),
+        _frag(prefix_map, "prefix_transform", F.col("index"), F.col("peer_index")),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id",
+        "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    def _bulk_xform(oid: str) -> F.Column:
+        return F.concat(
+            F.lit('{"method": "bulk_walk", "oid": "' + oid + '",'
+                  ' "index_transform": '),
+            g("prefix_transform"),
+            F.lit("}"),
+        )
+
+    oid_entries = [
+        ('"peer_state": ', _bulk(BGP_PEER_STATE)),
+        ('"peer_status": ', _bulk(BGP_PEER_STATUS)),
+        ('"peer_local_as": ', _bulk(BGP_PEER_LOCAL_AS)),
+        ('"peer_remote_as": ', _bulk(BGP_PEER_REMOTE_AS)),
+        ('"peer_index": ', _bulk(BGP_PEER_INDEX)),
+        ('"peer_session_established_time": ', _bulk(BGP_PEER_ESTABLISHED_TIME)),
+        ('"peer_in_updates": ', _bulk(BGP_PEER_IN_UPDATES)),
+        ('"peer_out_updates": ', _bulk(BGP_PEER_OUT_UPDATES)),
+        ('"peer_session_transitions": ', _bulk(BGP_PEER_TRANSITIONS)),
+        ('"prefix_in_prefixes": ', _bulk_xform(BGP_PREFIX_IN)),
+        ('"prefix_in_prefixes_accepted": ', _bulk_xform(BGP_PREFIX_ACCEPTED)),
+        ('"prefix_in_prefixes_rejected": ', _bulk_xform(BGP_PREFIX_REJECTED)),
+        ('"prefix_in_prefixes_active": ', _bulk_xform(BGP_PREFIX_ACTIVE)),
+        ('"interface_name": ', _static(g("interface_name"))),
+        ('"interface_speed": ', _static(g("interface_speed"))),
+        ('"interface_alias": ', _static(g("interface_alias"))),
+        ('"local_address": ', _static(g("local_address"))),
+        ('"peer_address": ', _static(g("peer_address"))),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '),
+            oids_json,
+            F.lit(', "metrics_groups": ' + json.dumps(_BGP_METRICS_GROUPS) + "}"),
+        ).alias("enrichment"),
+    )

@@ -226,3 +226,20 @@ def test_polling_status_state_machine():
     assert corpus.polling_status_code(program, dead, ping_ok=False) == \
         corpus.PING_FAILURE
     assert math.isclose(1.8 * 34 + 32, 93.2)
+
+
+BGP_DATA = "/root/reference/tests/plugins/polling/generic/snmp/juniper/bgp/data"
+
+
+def test_golden_results_bgp_session(spark):
+    """Juniper BGP session metrics program
+    (tests/plugins/polling/generic/snmp/juniper/bgp/): the production
+    consumer of index_transform re-keying (prefix-counter indices ->
+    full peer-table indices) and the F8 ipv6-derived static address
+    tables, replayed through the compiler against the reference's own
+    expected MetricsGroupSet."""
+    program = corpus.load_program(f"{BGP_DATA}/enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{BGP_DATA}/recording/public.snmprec")
+    got = _replay(spark, program, snmprec)
+    expected = _canon_golden(f"{BGP_DATA}/results.json")
+    assert got == expected

@@ -130,3 +130,42 @@ def test_cisco_ios_enrichment_golden(spark, stem):
     assert ordered(got["oids"]) == ordered(exp_payload["oids"]), (
         f"{stem}: oids map diverges"
     )
+
+
+BGP_DATA = (
+    "/root/reference/tests/plugins/enrichment/generic/snmp/juniper/bgp/data"
+)
+
+
+def test_bgp_session_enrichment_golden(spark):
+    """BGP session-metrics enrichment builder vs the reference's own
+    golden (devicetype_location_results.json): peer-index-derived
+    ipv4/ipv6 address tables, the remote-addr -> ipNetToPhysical ->
+    ifXTable 2-hop interface join, and the prefix-counter
+    index_transform maps."""
+    from panoptes_spark.operators.device_enrichment import (
+        bgp_session_enrichment,
+    )
+
+    expected = json.load(
+        open(f"{BGP_DATA}/devicetype_location_results.json")
+    )
+    exp_payload = expected["enrichment"][0]["data"][0][DEVICE]
+
+    rec = corpus.parse_snmprec_raw(
+        f"{BGP_DATA}/recording/devicetype_location.snmprec"
+    )
+    rows = [(DEVICE, oid, value, hexval) for oid, _t, value, hexval in rec]
+    walk = spark.createDataFrame(
+        rows, "device_id string, oid string, value string, value_hex string"
+    )
+    devices = spark.createDataFrame([(DEVICE,)], "device_id string")
+    out = bgp_session_enrichment(spark, walk, devices).collect()
+    assert len(out) == 1
+    got = json.loads(out[0].enrichment)
+    assert ordered(got["metrics_groups"]) == ordered(
+        exp_payload["metrics_groups"]
+    ), "metrics_groups diverge"
+    assert ordered(got["oids"]) == ordered(exp_payload["oids"]), (
+        "oids map diverges"
+    )
