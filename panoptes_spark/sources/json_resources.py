@@ -21,21 +21,38 @@ from ..schemas import RESOURCE_SCHEMA
 
 
 def read_resources_json(
-    spark: SparkSession, path: str, dedup: bool = True
+    spark: SparkSession, path: str, dedup: bool = True,
+    multi_line: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (valid_resources, corrupt_rows).
 
     Valid rows must carry the required identity fields; everything else is
-    tolerated (open metadata map).
+    tolerated (open metadata map). ``multi_line`` reads pretty-printed
+    JSON arrays (the reference's discovery config-file format) instead of
+    JSON-lines.
     """
+    # the creation timestamp arrives as either a JSON number or a quoted
+    # string (the reference's discovery fixtures use strings; python
+    # float()s it) — parse as string, cast after, so a quoted value
+    # doesn't poison the whole record in PERMISSIVE mode
+    parse_fields = [
+        f if f.name != "resource_creation_timestamp"
+        else T.StructField(f.name, T.StringType(), True)
+        for f in RESOURCE_SCHEMA.fields
+    ]
     schema = T.StructType(
-        RESOURCE_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+        parse_fields + [T.StructField("_corrupt_record", T.StringType())]
     )
     raw = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", str(multi_line).lower())
         .json(path)
+        .withColumn(
+            "resource_creation_timestamp",
+            F.expr("try_cast(resource_creation_timestamp as double)"),
+        )
         # Spark forbids querying only _corrupt_record on an uncached scan
         .cache()
     )
@@ -52,7 +69,13 @@ def read_resources_json(
         "resource_endpoint",
     ]
     for c in required:
-        valid = valid.where(F.col(c).isNotNull())
+        # PanoptesResource requires each identity field to BE a string
+        # (resources.py:105-118); a JSON array/object lands here as its
+        # serialized text, which the reference would have rejected with
+        # an AssertionError -> drop it the same way
+        valid = valid.where(
+            F.col(c).isNotNull() & ~F.col(c).rlike(r"^\s*[\[{]")
+        )
     if dedup:
         valid = dedup_resources(valid)
     return valid, corrupt
