@@ -2847,6 +2847,67 @@ FROM agg ORDER BY device_id
 """
 
 
+def _s15_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: heartbeat subsystem pair (operators/heartbeat.py) — build the
+    enrichment for a device universe derived from supplier, drop a
+    deterministic subset (suppkey % 7 == 3 'lost' their enrichment), run
+    the polling twin, and flatten to one row per metric."""
+    from panoptes_spark.operators.heartbeat import (
+        heartbeat_enrichment,
+        heartbeat_metrics,
+    )
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    devices = sup.select(
+        F.concat(F.lit("hb-"), (F.col("s_suppkey") % 25).cast("string"))
+        .alias("device_id"),
+        (F.col("s_suppkey") % 7).alias("k"),
+    ).groupBy("device_id").agg(F.min("k").alias("k"))
+    enr = heartbeat_enrichment(devices, 1512629517.03121)
+    surviving = enr.join(
+        devices.where(F.col("k") != 3).select("device_id"),
+        "device_id",
+        "left_semi",
+    ).select("device_id", "timestamp")
+    groups = heartbeat_metrics(devices, surviving, interval_sec=60)
+    return groups.select(
+        "device_id",
+        "metrics_group_type",
+        "metrics_group_interval",
+        F.explode("metrics").alias("m"),
+    ).select(
+        "device_id",
+        "metrics_group_type",
+        "metrics_group_interval",
+        F.col("m.metric_name").alias("metric_name"),
+        F.col("m.metric_value").alias("metric_value"),
+        F.col("m.metric_type").alias("metric_type"),
+    ).orderBy("device_id", "metric_name")
+
+
+_S15_ORACLE = """
+WITH devices AS (
+  SELECT 'hb-' || (s_suppkey % 25) AS device_id,
+         MIN(s_suppkey % 7) AS k
+  FROM supplier GROUP BY 1
+)
+SELECT device_id, 'heartbeat' AS metrics_group_type,
+       CAST(60 AS BIGINT) AS metrics_group_interval,
+       m.name AS metric_name, m.value AS metric_value,
+       'gauge' AS metric_type
+FROM devices, (
+  VALUES ('status', NULL), ('heartbeat_enrichment_timestamp', NULL)
+) v(name, dummy),
+LATERAL (
+  SELECT CAST(CASE v.name
+    WHEN 'status' THEN 1.0
+    ELSE CASE WHEN k = 3 THEN -1.0 ELSE 1512629517.0 END
+  END AS DOUBLE) AS value, v.name AS name
+) m
+ORDER BY device_id, metric_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(dsl) for name, dsl in _DSL_QUERIES.items()
@@ -2905,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w13_transition_matrix": _w13_transitions,
             "w14_rolling_engagement": _w14_rolling_engagement,
             "s14_device_enrich": _s14_device_enrich,
+            "s15_heartbeat": _s15_heartbeat,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -2994,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
             "w13_transition_matrix": _W13_TRANSITIONS_ORACLE,
             "w14_rolling_engagement": _W14_ENGAGEMENT_ORACLE,
             "s14_device_enrich": _S14_ORACLE,
+            "s15_heartbeat": _S15_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

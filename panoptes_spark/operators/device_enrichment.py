@@ -1242,3 +1242,995 @@ def bgp_session_enrichment(
             F.lit(', "metrics_groups": ' + json.dumps(_BGP_METRICS_GROUPS) + "}"),
         ).alias("enrichment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cisco NX-OS device-metrics enrichment
+# (plugins/enrichment/generic/snmp/cisco/nxos/
+#  plugin_enrichment_cisco_nxos_device_metrics.py)
+# ---------------------------------------------------------------------------
+
+CPM_CPU_MEMORY_USED = ".1.3.6.1.4.1.9.9.109.1.1.1.1.12"
+CPM_CPU_MEMORY_FREE = ".1.3.6.1.4.1.9.9.109.1.1.1.1.13"
+
+_NXOS_TEMP_GROUP = {
+    "group_name": "environment",
+    "dimensions": {"sensor": "temp_sensor_name.$index"},
+    "metrics": {
+        "temperature_fahrenheit": {
+            "metric_type": "gauge",
+            "type": "float",
+            "indices_from": "temp_sensor_scales",
+            "transform": "lambda x: round((x * 1.8) + 32, 2)",
+            "value": "int(ent_sensor_values.$index) * temp_sensor_scales.$index",
+        }
+    },
+}
+_NXOS_FANS_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([x for x in cefc_fru_fan.values() if x == '2'])",
+        },
+        "fans_total": "__N__",
+    },
+}
+_NXOS_POWER_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "value": "len([(x,y) for (x,y) in entity_fru_control.items() if "
+            "x in power_supplies and y in ['2', '9', '12']])",
+        },
+        "power_units_total": "__N__",
+    },
+}
+
+
+def cisco_nxos_device_enrichment(
+    spark: SparkSession,
+    walk: DataFrame,
+    devices: DataFrame,
+    polling_frequency: int = 300,
+    n3k_models: tuple = ("3048T", "3064-X", "3064"),
+) -> DataFrame:
+    """Cisco NX-OS device-metrics enrichment builder
+    (plugin_enrichment_cisco_nxos_device_metrics.py:45-461).
+
+    N3K models re-key CPU/memory walks through the INVERTED
+    entPhysicalParentRelPos table (module number -> smallest entity id,
+    :269-281) and emit that map as the DSL ``index_transform``; memory
+    types render as 'Module <relpos> (<entity name of relpos>)'.
+    """
+    cpu_oid = cisco_cpu_interval_oid(polling_frequency)
+    tables = {
+        "name": ENT_PHYSICAL_NAME,
+        "pclass": ENT_PHYSICAL_CLASS,
+        "relpos": ENT_PHYSICAL_RELPOS,
+        "cpu": cpu_oid,
+        "mem_used": CPM_CPU_MEMORY_USED,
+        "mem_free": CPM_CPU_MEMORY_FREE,
+        "s_type": ENT_SENSOR_TYPE,
+        "s_scale": ENT_SENSOR_SCALES,
+        "fan": CEFC_FANTRAY_STATUS,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    flags = devices.select(
+        "device_id",
+        F.col("model").isin(list(n3k_models)).alias("n3k"),
+    ).persist()
+
+    names = tbl("name").select(
+        "device_id",
+        F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("name"),
+    ).persist()
+    relpos = tbl("relpos").select(
+        "device_id",
+        F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("relpos"),
+    ).persist()
+    # inverse: module number (int of relpos) -> SMALLEST entity id
+    inverse = relpos.groupBy(
+        "device_id", F.col("relpos").cast("long").alias("relkey")
+    ).agg(F.min("eid").alias("min_eid")).persist()
+
+    def remap(df: DataFrame) -> DataFrame:
+        """raw walk id -> n3k inverse-table id (per-device conditional);
+        non-n3k devices keep the raw id. A missing inverse entry on an
+        n3k device is the reference's KeyError -> row dropped."""
+        raw = df.select(
+            "device_id",
+            F.element_at(F.split("index", r"\."), -1).cast("long")
+            .alias("raw_id"),
+            "value",
+        ).join(flags, "device_id")
+        n3k = raw.where("n3k").join(
+            inverse.withColumnRenamed("relkey", "raw_id"),
+            ["device_id", "raw_id"],
+        ).select("device_id", F.col("min_eid").alias("mid"), "value")
+        plain = raw.where(~F.col("n3k")).select(
+            "device_id", F.col("raw_id").alias("mid"), "value"
+        )
+        return n3k.unionByName(plain)
+
+    # cpus (:283-305): keep ids present in BOTH names and relpos
+    cpus = (
+        remap(tbl("cpu"))
+        .join(names.withColumnRenamed("eid", "mid"), ["device_id", "mid"])
+        .join(
+            relpos.withColumnRenamed("eid", "mid").select(
+                "device_id", "mid", "relpos"
+            ),
+            ["device_id", "mid"],
+        )
+        .select(
+            "device_id", "mid", F.col("name").alias("cpu_name"),
+            F.concat(F.lit("Module "), "relpos").alias("cpu_no"),
+        )
+        .persist()
+    )
+
+    # memory (:219-267): used + free on the mapped id; type from relpos
+    memory = (
+        remap(tbl("mem_used")).withColumnRenamed("value", "used")
+        .join(
+            remap(tbl("mem_free")).withColumnRenamed("value", "free"),
+            ["device_id", "mid"],
+        )
+        .join(
+            relpos.withColumnRenamed("eid", "mid").select(
+                "device_id", "mid", "relpos"
+            ),
+            ["device_id", "mid"],
+        )
+        .withColumn("relpos_eid", F.col("relpos").cast("long"))
+        .join(
+            names.select(
+                "device_id",
+                F.col("eid").alias("relpos_eid"),
+                F.col("name").alias("module_name"),
+            ),
+            ["device_id", "relpos_eid"],
+            "left",
+        )
+        .select(
+            "device_id", "mid",
+            (F.col("used").cast("long") + F.col("free").cast("long"))
+            .alias("memory_total"),
+            F.when(
+                F.col("module_name").isNotNull(),
+                F.concat(
+                    F.lit("Module "), "relpos", F.lit(" ("),
+                    "module_name", F.lit(")"),
+                ),
+            ).otherwise(F.concat(F.lit("Module "), "relpos"))
+            .alias("memory_type"),
+        )
+        .persist()
+    )
+
+    power = (
+        tbl("pclass")
+        .where(F.col("value") == "6")
+        .select("device_id", F.col("index").cast("long").alias("eid"))
+        .join(names, ["device_id", "eid"])
+        .persist()
+    )
+
+    scales = tbl("s_scale").select(
+        "device_id", F.col("index").cast("long").alias("eid"),
+        F.col("value").cast("int").alias("scale"),
+    )
+    exp_map = F.create_map(
+        *[F.lit(x) for i, e in enumerate(SENSOR_EXPONENTS) for x in (i + 1, e)]
+    )
+    temps = (
+        tbl("s_type")
+        .where(F.col("value") == "8")
+        .select("device_id", F.col("index").cast("long").alias("eid"))
+        .join(scales, ["device_id", "eid"])
+        .join(names, ["device_id", "eid"], "left")
+        .select(
+            "device_id", "eid",
+            F.pow(F.lit(10.0), exp_map[F.col("scale")]).alias("scale_value"),
+            F.regexp_replace(
+                F.coalesce("name", F.lit("")), "celsius", "fahrenheit"
+            ).alias("sensor_name"),
+        )
+        .persist()
+    )
+    fans = tbl("fan")
+
+    # n3k devices emit the inverse table as index_transform; others '{}'
+    xform_frag = _frag(
+        inverse.join(flags.where("n3k"), "device_id", "left_semi"),
+        "index_transform",
+        F.col("relkey").cast("string"),
+        F.col("min_eid").cast("string"),
+    )
+    frags = [
+        _frag(cpus, "cpu_name", F.col("mid").cast("string"), F.col("cpu_name")),
+        _frag(cpus, "cpu_no", F.col("mid").cast("string"), F.col("cpu_no")),
+        _frag(memory, "memory_type", F.col("mid").cast("string"),
+              F.col("memory_type")),
+        _frag(memory, "memory_total", F.col("mid").cast("string"),
+              F.col("memory_total")),
+        _frag(power, "power_supplies", F.col("eid").cast("string"),
+              F.col("name")),
+        _frag(temps, "temp_sensor_name", F.col("eid").cast("string"),
+              F.col("sensor_name")),
+        _frag(temps, "temp_sensor_scales", F.col("eid").cast("string"),
+              F.col("scale_value")),
+        _count_frag(fans, "_n_fans"),
+        _count_frag(power, "_n_power"),
+        xform_frag,
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = flags.join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id",
+        "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    def n(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)).cast("int"), F.lit(0))
+
+    def _bulk_xform(oid: str) -> F.Column:
+        return F.concat(
+            F.lit('{"method": "bulk_walk", "oid": "' + oid + '",'
+                  ' "index_transform": '),
+            g("index_transform"),
+            F.lit("}"),
+        )
+
+    oid_entries = [
+        ('"cpu_name": ', _static(g("cpu_name"))),
+        ('"cpu_no": ', _static(g("cpu_no"))),
+        ('"cpu_util": ', _bulk_xform(cpu_oid)),
+        ('"memory_type": ', _static(g("memory_type"))),
+        ('"memory_used": ', _bulk_xform(CPM_CPU_MEMORY_USED)),
+        ('"memory_total": ', _static(g("memory_total"))),
+        ('"cefc_fru_fan": ', _bulk(CEFC_FANTRAY_STATUS)),
+        ('"entity_fru_control": ', _bulk(CEFC_FRU_POWER_STATUS)),
+        ('"power_supplies": ', _static(g("power_supplies"))),
+        ('"ent_sensor_values": ', _bulk(ENT_SENSOR_VALUES)),
+        ('"temp_sensor_scales": ', _static(g("temp_sensor_scales"))),
+        ('"temp_sensor_name": ', _static(g("temp_sensor_name"))),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+    groups_json = F.concat(
+        F.lit("[" + json.dumps(_NXOS_TEMP_GROUP) + ", "),
+        _splice_count(_NXOS_FANS_GROUP, n("_n_fans")),
+        F.lit(", "),
+        _splice_count(_NXOS_POWER_GROUP, n("_n_power")),
+        F.lit(
+            ", " + json.dumps(_CISCO_CPU_GROUP)
+            + ", " + json.dumps(_CISCO_MEMORY_GROUP).replace(
+                "memory_name", "memory_type"
+            )
+            + "]"
+        ),
+    )
+
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '),
+            oids_json,
+            F.lit(', "metrics_groups": '),
+            groups_json,
+            F.lit("}"),
+        ).alias("enrichment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aruba device + WAP, Ciena Waveserver device + light, Cisco ASA — the
+# remaining generic-SNMP enrichment family members. No reference goldens
+# exist for these; verified by hand-computed differentials in
+# tests/test_device_enrichment_family.py.
+# ---------------------------------------------------------------------------
+
+ARUBA_PREFIX = ".1.3.6.1.4.1.14823"
+ARUBA_CPU_LOAD = ARUBA_PREFIX + ".2.2.1.2.1.13.1.3"
+ARUBA_CPU_DESCR = ARUBA_PREFIX + ".2.2.1.2.1.13.1.2"
+ARUBA_MEM_TOTAL = ARUBA_PREFIX + ".2.2.1.1.1.11.1.2.1"
+ARUBA_MEM_USED = ARUBA_PREFIX + ".2.2.1.1.1.11.1.3.1"
+ARUBA_INT_TEMP = ARUBA_PREFIX + ".2.2.1.2.1.10.0"
+ARUBA_FAN_STATUS = ARUBA_PREFIX + ".2.2.1.2.1.17.1.2"
+ARUBA_PSU_STATUS = ARUBA_PREFIX + ".2.2.1.2.1.18.1.2"
+
+_ARUBA_CPU_GROUP = _CISCO_CPU_GROUP  # identical template (aruba :133-147)
+_ARUBA_MEMORY_GROUP_PRE = {
+    "group_name": "memory",
+    "dimensions": {"memory_type": "'dram'"},
+    "metrics": {
+        "memory_used": {"metric_type": "gauge", "value": "memory_used"},
+        "memory_total": {"metric_type": "gauge", "value": "__N__"},
+    },
+}
+_ARUBA_TEMP_GROUP = {
+    "group_name": "environment",
+    "dimensions": {"sensor": "'internal'"},
+    "metrics": {
+        "temperature_fahrenheit": {
+            "metric_type": "gauge",
+            "type": "string",
+            "transform":
+                "lambda x: round((float(x.split(' ')[0]) * 1.8) + 32,2)",
+            "value": "temperature",
+        }
+    },
+}
+_ARUBA_FANS_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([x for x in fan_statuses.values() if x == '1'])",
+        },
+        "fans_total": "__N__",
+    },
+}
+_ARUBA_POWER_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "value": "len([x for x in power_status.values() if x == '1'])",
+        },
+        "power_units_total": "__N__",
+    },
+}
+
+
+def aruba_device_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Aruba device-metrics enrichment builder
+    (plugin_enrichment_aruba_device_metrics.py:22-227): processor
+    load/descr walks, a scalar memory-total get baked into the program
+    as a literal, string-typed internal temperature, conditional
+    fan/power groups."""
+    tables = {
+        "cpu_descr": ARUBA_CPU_DESCR,
+        "cpu_load": ARUBA_CPU_LOAD,
+        "fan": ARUBA_FAN_STATUS,
+        "psu": ARUBA_PSU_STATUS,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    names = tbl("cpu_descr").select(
+        "device_id", F.col("index").alias("cpu_id"),
+        F.col("value").alias("cpu_name"),
+    )
+    cpus = (
+        tbl("cpu_load")
+        .select(
+            "device_id",
+            F.element_at(F.split("index", r"\."), -1).alias("cpu_id"),
+        )
+        .join(names, ["device_id", "cpu_id"])
+    )
+    mem_total = walk.where(
+        F.col("oid") == ARUBA_MEM_TOTAL.lstrip(".")
+    ).select("device_id", F.col("value").alias("frag")).withColumn(
+        "frag_name", F.lit("_mem_total")
+    )
+
+    frags = [
+        _frag(cpus, "cpu_name", F.col("cpu_id"), F.col("cpu_name")),
+        _frag(cpus, "cpu_no", F.col("cpu_id"),
+              F.concat(F.lit("Module "), "cpu_id")),
+        _count_frag(tbl("fan"), "_n_fans"),
+        _count_frag(tbl("psu"), "_n_psu"),
+        mem_total.select("device_id", "frag_name", "frag"),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id",
+        "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    def n(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)).cast("int"), F.lit(0))
+
+    oid_entries = [
+        ('"cpu_name": ', _static(g("cpu_name"))),
+        ('"cpu_no": ', _static(g("cpu_no"))),
+        ('"cpu_util": ', _bulk(ARUBA_CPU_LOAD)),
+        ('"memory_used": ',
+         F.lit('{"method": "get", "oid": "' + ARUBA_MEM_USED + '"}')),
+        ('"fan_statuses": ', _bulk(ARUBA_FAN_STATUS)),
+        ('"temperature": ',
+         F.lit('{"method": "get", "oid": "' + ARUBA_INT_TEMP + '"}')),
+        ('"power_status": ', _bulk(ARUBA_PSU_STATUS)),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+    # memory_total is baked into the program as an integer literal
+    groups_json = F.concat(
+        F.lit("[" + json.dumps(_ARUBA_CPU_GROUP) + ", "),
+        _splice_count(
+            _ARUBA_MEMORY_GROUP_PRE,
+            F.coalesce(
+                F.element_at("m", F.lit("_mem_total")).cast("long"),
+                F.lit(0),
+            ),
+        ),
+        F.lit(", " + json.dumps(_ARUBA_TEMP_GROUP)),
+        F.when(
+            n("_n_fans") > 0,
+            F.concat(
+                F.lit(", "), _splice_count(_ARUBA_FANS_GROUP, n("_n_fans"))
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            n("_n_psu") > 0,
+            F.concat(
+                F.lit(", "), _splice_count(_ARUBA_POWER_GROUP, n("_n_psu"))
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '), oids_json,
+            F.lit(', "metrics_groups": '), groups_json, F.lit("}"),
+        ).alias("enrichment"),
+    )
+
+
+CIENA_FAN_STATE = ".1.3.6.1.4.1.1271.3.4.6.25.1.3"
+CIENA_PSU_STATE = ".1.3.6.1.4.1.1271.3.4.6.21.1.3"
+_CIENA_FANS_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "fans_ok": {
+            "metric_type": "gauge",
+            "value": "len([x for x in fan_status.values() if x == '1'])",
+        },
+        "fans_total": "__N__",
+    },
+}
+_CIENA_POWER_GROUP = {
+    "group_name": "environment",
+    "dimensions": {},
+    "metrics": {
+        "power_units_on": {
+            "metric_type": "gauge",
+            "value": "len([x for x in power_status.values() if x == '1'])",
+        },
+        "power_units_total": "__N__",
+    },
+}
+
+
+def ciena_ws_device_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Ciena Waveserver device-metrics builder
+    (plugin_enrichment_cienaws_device_metrics.py:22-112): chassis
+    fan/PSU operational-state counts with conditional groups."""
+    fan_rows = walk.where(
+        F.col("oid").startswith(CIENA_FAN_STATE.lstrip(".") + ".")
+    ).select("device_id")
+    psu_rows = walk.where(
+        F.col("oid").startswith(CIENA_PSU_STATE.lstrip(".") + ".")
+    ).select("device_id")
+    counts = devices.select("device_id").join(
+        fan_rows.groupBy("device_id").agg(
+            F.count(F.lit(1)).alias("_n_fans")
+        ),
+        "device_id", "left",
+    ).join(
+        psu_rows.groupBy("device_id").agg(
+            F.count(F.lit(1)).alias("_n_psu")
+        ),
+        "device_id", "left",
+    ).select(
+        "device_id",
+        F.coalesce("_n_fans", F.lit(0)).alias("_n_fans"),
+        F.coalesce("_n_psu", F.lit(0)).alias("_n_psu"),
+    )
+    oids_json = (
+        '{"fan_status": {"method": "bulk_walk", "oid": "'
+        + CIENA_FAN_STATE + '"}, "power_status": '
+        '{"method": "bulk_walk", "oid": "' + CIENA_PSU_STATE + '"}}'
+    )
+    groups_json = F.concat(
+        F.lit("["),
+        F.when(
+            F.col("_n_fans") > 0,
+            _splice_count(_CIENA_FANS_GROUP, F.col("_n_fans")),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("_n_fans") > 0) & (F.col("_n_psu") > 0), F.lit(", ")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("_n_psu") > 0,
+            _splice_count(_CIENA_POWER_GROUP, F.col("_n_psu")),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    return counts.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": ' + oids_json + ', "metrics_groups": '),
+            groups_json,
+            F.lit("}"),
+        ).alias("enrichment"),
+    )
+
+
+CIENA_PORT_NAME = ".1.3.6.1.4.1.1271.3.4.7.4.1.2"
+CIENA_XCVR_TYPE = ".1.3.6.1.4.1.1271.3.4.8.6.1.2"
+CIENA_XCVR_RX = ".1.3.6.1.4.1.1271.3.4.8.11.1.2"
+CIENA_XCVR_TX = ".1.3.6.1.4.1.1271.3.4.8.13.1.2"
+
+_CIENA_LIGHT_GROUP = {
+    "group_name": "light_levels",
+    "dimensions": {},
+    "metrics": {
+        "xcvr_interfaces": {
+            "metric_type": "gauge",
+            "value": "xcvr_interfaces.$index",
+        },
+        "rx_light_level": {
+            "metric_type": "gauge",
+            "value": "rx_light_level.$index",
+        },
+        "tx_light_level": {
+            "metric_type": "gauge",
+            "value": "tx_light_level.$index",
+        },
+    },
+}
+
+
+def ciena_ws_light_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Ciena Waveserver transceiver light-level builder
+    (plugin_enrichment_cienaws_light_metrics.py:14-137): ports whose
+    XcvrType is '4' form the transceiver universe; rx/tx dBm tables
+    (raw/10, keyed by port NAME, last row wins) ride in the oids map
+    alongside their walk OIDs, exactly like the reference's
+    values+oid hybrid entries.
+
+    The reference sub-walks ``<rx_oid>.<index.strip('.0')>`` per port —
+    ``str.strip`` trims '.' AND '0' from both ends (so index '10'
+    becomes '1'); preserved here as a trim-chain expression."""
+    tables = {
+        "name": CIENA_PORT_NAME,
+        "xtype": CIENA_XCVR_TYPE,
+        "rx": CIENA_XCVR_RX,
+        "tx": CIENA_XCVR_TX,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    xcvr = (
+        tbl("xtype").where(F.col("value") == "4")
+        .select("device_id", "index")
+        .join(tbl("name"), ["device_id", "index"])
+        .select("device_id", "index", F.col("value").alias("port_name"))
+        # python str.strip('.0') trims both chars from both ends
+        .withColumn(
+            "walk_key",
+            F.expr(r"regexp_replace(regexp_replace(index,"
+                   r" '^[.0]+', ''), '[.0]+$', '')"),
+        )
+        .persist()
+    )
+
+    def light(table: str, name: str) -> DataFrame:
+        vals = tbl(table).select(
+            "device_id",
+            F.col("index").alias("vidx"),
+            (F.col("value").cast("double") / 10.0).alias("dbm"),
+        )
+        # sub-walk under <base>.<stripped index>: prefix or exact match
+        joined = xcvr.join(vals, "device_id").where(
+            (F.col("vidx") == F.col("walk_key"))
+            | F.col("vidx").startswith(
+                F.concat(F.col("walk_key"), F.lit("."))
+            )
+        )
+        # dict insert order -> last row wins; walk rows ascend, so take
+        # the max index per port name (deterministic stand-in)
+        picked = joined.groupBy("device_id", "port_name").agg(
+            F.max(F.struct(F.col("vidx"), F.col("dbm"))).alias("s")
+        ).select("device_id", "port_name", F.col("s.dbm").alias("dbm"))
+        return _frag(picked, name, F.col("port_name"), F.col("dbm"))
+
+    frags = [
+        _frag(xcvr, "xcvr_interfaces", F.col("index"), F.col("port_name")),
+        light("rx", "rx_light_level"),
+        light("tx", "tx_light_level"),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id", "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    oids_json = F.concat(
+        F.lit('{"xcvr_interfaces": '),
+        _static(g("xcvr_interfaces")),
+        F.lit(', "rx_light_level": {"method": "bulk_walk", "oid": "'
+              + CIENA_XCVR_RX + '", "values": '),
+        g("rx_light_level"),
+        F.lit('}, "tx_light_level": {"method": "bulk_walk", "oid": "'
+              + CIENA_XCVR_TX + '", "values": '),
+        g("tx_light_level"),
+        F.lit("}}"),
+    )
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '), oids_json,
+            F.lit(', "metrics_groups": '
+                  + json.dumps([_CIENA_LIGHT_GROUP]) + "}"),
+        ).alias("enrichment"),
+    )
+
+
+ASA_MEM_POOL_NAME = ".1.3.6.1.4.1.9.9.221.1.1.1.1.3"
+ASA_MEM_POOL_USED = ".1.3.6.1.4.1.9.9.221.1.1.1.1.18"
+ASA_MEM_POOL_FREE = ".1.3.6.1.4.1.9.9.221.1.1.1.1.20"
+
+
+def cisco_asa_device_enrichment(
+    spark: SparkSession,
+    walk: DataFrame,
+    devices: DataFrame,
+    polling_frequency: int = 300,
+) -> DataFrame:
+    """Cisco ASA 5500 device-metrics builder
+    (plugin_enrichment_cisco_asa_device_metrics.py:44-247): CPU ids must
+    be class-12 entities present in names AND relpos; memory via the
+    enhanced-mempool name/used/free walks (id = last index element)."""
+    cpu_oid = cisco_cpu_interval_oid(polling_frequency)
+    tables = {
+        "name": ENT_PHYSICAL_NAME,
+        "pclass": ENT_PHYSICAL_CLASS,
+        "relpos": ENT_PHYSICAL_RELPOS,
+        "cpu": cpu_oid,
+        "mem_name": ASA_MEM_POOL_NAME,
+        "mem_used": ASA_MEM_POOL_USED,
+        "mem_free": ASA_MEM_POOL_FREE,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    names = tbl("name").select(
+        "device_id", F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("name"),
+    )
+    classes = tbl("pclass").select(
+        "device_id", F.col("index").cast("long").alias("eid"),
+        F.col("value").alias("cls"),
+    )
+    relpos_ids = tbl("relpos").select(
+        "device_id", F.col("index").cast("long").alias("eid")
+    ).distinct()
+    cpus = (
+        tbl("cpu")
+        .select(
+            "device_id",
+            F.element_at(F.split("index", r"\."), -1).cast("long")
+            .alias("eid"),
+        )
+        .join(names, ["device_id", "eid"])
+        .join(relpos_ids, ["device_id", "eid"])
+        .join(classes.where(F.col("cls") == "12"), ["device_id", "eid"])
+        .select("device_id", "eid", F.col("name").alias("cpu_name"))
+    )
+
+    def mem(table: str, col: str) -> DataFrame:
+        return tbl(table).select(
+            "device_id",
+            F.element_at(F.split("index", r"\."), -1).cast("long")
+            .alias("mid"),
+            F.col("value").alias(col),
+        )
+
+    memory = (
+        mem("mem_name", "memory_name")
+        .join(mem("mem_used", "used"), ["device_id", "mid"])
+        .join(mem("mem_free", "free"), ["device_id", "mid"])
+        .select(
+            "device_id", "mid", "memory_name",
+            (F.col("used").cast("long") + F.col("free").cast("long"))
+            .alias("memory_total"),
+        )
+    )
+
+    frags = [
+        _frag(cpus, "cpu_name", F.col("eid").cast("string"),
+              F.col("cpu_name")),
+        _frag(cpus, "cpu_no", F.col("eid").cast("string"),
+              F.concat(F.lit("Module "), F.col("eid").cast("string"))),
+        _frag(memory, "memory_name", F.col("mid").cast("string"),
+              F.col("memory_name")),
+        _frag(memory, "memory_total", F.col("mid").cast("string"),
+              F.col("memory_total")),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id", "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    oid_entries = [
+        ('"cpu_name": ', _static(g("cpu_name"))),
+        ('"cpu_no": ', _static(g("cpu_no"))),
+        ('"cpu_util": ', _bulk(cpu_oid)),
+        ('"memory_used": ', _bulk(ASA_MEM_POOL_USED)),
+        ('"memory_total": ', _static(g("memory_total"))),
+        ('"memory_name": ', _static(g("memory_name"))),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+    groups = [_CISCO_CPU_GROUP, _CISCO_MEMORY_GROUP]
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '), oids_json,
+            F.lit(', "metrics_groups": ' + json.dumps(groups) + "}"),
+        ).alias("enrichment"),
+    )
+
+
+ARUBA_WAP_NUM_USERS = ARUBA_PREFIX + ".2.2.1.4.1.1"
+ARUBA_WAP_NUM_APS = ARUBA_PREFIX + ".2.2.1.1.3.1"
+ARUBA_WAP_RADIO_CLIENTS = ARUBA_PREFIX + ".2.2.1.5.2.1.5.1.7"
+ARUBA_WAP_RADIO_UTIL = ARUBA_PREFIX + ".2.2.1.5.2.1.5.1.6"
+ARUBA_WAP_CH_STATIONS = ARUBA_PREFIX + ".2.2.1.5.3.1.6.1.2"
+ARUBA_WAP_CH_NOISE = ARUBA_PREFIX + ".2.2.1.5.3.1.6.1.9"
+ARUBA_WAP_CH_RX = ARUBA_PREFIX + ".2.2.1.5.3.1.6.1.35"
+ARUBA_WAP_CH_TX = ARUBA_PREFIX + ".2.2.1.5.3.1.6.1.36"
+ARUBA_WAP_CH_UTIL = ARUBA_PREFIX + ".2.2.1.5.3.1.6.1.37"
+ARUBA_WAP_AP_IP = ARUBA_PREFIX + ".2.2.1.5.2.1.4.1.2"
+ARUBA_WAP_AP_NAME = ARUBA_PREFIX + ".2.2.1.5.2.1.4.1.3"
+ARUBA_WAP_AP_STATUS = ARUBA_PREFIX + ".2.2.1.5.2.1.4.1.19"
+
+_WAP_USER_GROUP = {
+    "group_name": "user",
+    "dimensions": {},
+    "metrics": {
+        "number_of_users": {
+            "metric_type": "gauge",
+            "value": "controller_number_of_users.$index",
+        }
+    },
+}
+_WAP_AP_GROUP = {
+    "group_name": "access_point",
+    "dimensions": {
+        "access_point_name": "access_point_name.$index",
+        "access_point_ip": "access_point_ip.$index",
+    },
+    "metrics": {
+        "access_point_status": {
+            "metric_type": "gauge",
+            "value": "access_point_status.$index",
+        }
+    },
+}
+_WAP_RADIO_GROUP = {
+    "group_name": "radio",
+    "dimensions": {"radio_name": "radio_index.$index"},
+    "metrics": {
+        "radio_utilization": {
+            "metric_type": "gauge",
+            "value": "radio_utilization.$index",
+        },
+        "number_of_radio_clients": {
+            "metric_type": "gauge",
+            "value": "radio_clients_number.$index",
+        },
+        "stations_per_channel": {
+            "metric_type": "gauge",
+            "value": "number_of_stations_per_channel.$index",
+        },
+        "channel_noise": {
+            "metric_type": "gauge",
+            "value": "channel_noise.$index",
+        },
+        "channel_rx_utilization": {
+            "metric_type": "gauge",
+            "value": "channel_rx_utilization.$index",
+        },
+        "channel_tx_utilization": {
+            "metric_type": "gauge",
+            "value": "channel_tx_utilization.$index",
+        },
+        "channel_utilization": {
+            "metric_type": "gauge",
+            "value": "channel_utilization.$index",
+        },
+    },
+}
+
+
+def aruba_wap_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Aruba WLC access-point/radio enrichment builder
+    (plugin_enrichment_aruba_wap_metrics.py:31-215): AP name/IP statics
+    (the reference zips the two walks by position — their indices are
+    identical in practice, so this joins on index), the per-AP radio
+    index table emitted INVERTED ('<ap_index>.<1|2>' ->
+    '<ap_name>.radio<1|2>'), and the controller AP count as a scalar
+    static value (last walk row wins)."""
+    tables = {
+        "ap_ip": ARUBA_WAP_AP_IP,
+        "ap_name": ARUBA_WAP_AP_NAME,
+        "ap_count": ARUBA_WAP_NUM_APS,
+    }
+    tagged = slice_walk(walk, tables).persist()
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    ap = tbl("ap_name").withColumnRenamed("value", "ap_name").join(
+        tbl("ap_ip").withColumnRenamed("value", "ap_ip"),
+        ["device_id", "index"],
+    ).persist()
+    radios = ap.select(
+        "device_id",
+        F.explode(F.array(F.lit("1"), F.lit("2"))).alias("radio_no"),
+        "index",
+        "ap_name",
+    ).select(
+        "device_id",
+        F.concat("index", F.lit("."), "radio_no").alias("radio_key"),
+        F.concat("ap_name", F.lit(".radio"), "radio_no").alias("radio_name"),
+    )
+    # 'last row wins' scalar: walk rows ascend -> max index
+    ap_count = tbl("ap_count").groupBy("device_id").agg(
+        F.lit("_ap_count").alias("frag_name"),
+        F.max(F.struct(F.col("index"), F.col("value")))
+        .getField("value").alias("frag"),
+    )
+
+    frags = [
+        _frag(ap, "access_point_ip", F.col("index"), F.col("ap_ip")),
+        _frag(ap, "access_point_name", F.col("index"), F.col("ap_name")),
+        _frag(radios, "radio_index", F.col("radio_key"),
+              F.col("radio_name")),
+        ap_count,
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("frag_name", "frag"))
+            ).alias("m")
+        ),
+        "device_id", "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    oid_entries = [
+        ('"controller_number_of_users": ', _bulk(ARUBA_WAP_NUM_USERS)),
+        ('"number_of_access_point": ',
+         F.concat(
+             F.lit('{"method": "static", "values": "'),
+             F.coalesce(F.element_at("m", F.lit("_ap_count")), F.lit("0")),
+             F.lit('"}'),
+         )),
+        ('"access_point_ip": ', _static(g("access_point_ip"))),
+        ('"access_point_name": ', _static(g("access_point_name"))),
+        ('"access_point_status": ', _bulk(ARUBA_WAP_AP_STATUS)),
+        ('"radio_index": ', _static(g("radio_index"))),
+        ('"radio_clients_number": ', _bulk(ARUBA_WAP_RADIO_CLIENTS)),
+        ('"radio_utilization": ', _bulk(ARUBA_WAP_RADIO_UTIL)),
+        ('"number_of_stations_per_channel": ', _bulk(ARUBA_WAP_CH_STATIONS)),
+        ('"channel_noise": ', _bulk(ARUBA_WAP_CH_NOISE)),
+        ('"channel_rx_utilization": ', _bulk(ARUBA_WAP_CH_RX)),
+        ('"channel_tx_utilization": ', _bulk(ARUBA_WAP_CH_TX)),
+        ('"channel_utilization": ', _bulk(ARUBA_WAP_CH_UTIL)),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+    groups = [_WAP_USER_GROUP, _WAP_AP_GROUP, _WAP_RADIO_GROUP]
+    return per_device.select(
+        "device_id",
+        F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '), oids_json,
+            F.lit(', "metrics_groups": ' + json.dumps(groups) + "}"),
+        ).alias("enrichment"),
+    )

@@ -438,7 +438,11 @@ def simhash_hamming_pairs(
     sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:
     """SimHash near-dup candidates — the text instantiation of
-    :func:`hamming_band_pairs`."""
+    :func:`hamming_band_pairs`. ``bands`` auto-raises to
+    ``max_hamming + 1`` so the pigeonhole precondition always holds
+    (bands need not divide the hash width: uncovered bits only ADD
+    candidates, and the exact bit_count verify filters them)."""
     return hamming_band_pairs(
-        sim_df, id_col, "simhash", SIMHASH_BITS, max_hamming, bands
+        sim_df, id_col, "simhash", SIMHASH_BITS, max_hamming,
+        max(bands, max_hamming + 1),
     )

@@ -169,3 +169,42 @@ def test_bgp_session_enrichment_golden(spark):
     assert ordered(got["oids"]) == ordered(exp_payload["oids"]), (
         "oids map diverges"
     )
+
+
+NXOS_DATA = (
+    "/root/reference/tests/plugins/enrichment/generic/snmp/cisco/nxos/data"
+)
+
+
+@pytest.mark.parametrize(
+    "stem,model", [("3048", "3048"), ("n3k_3048T", "3048T")]
+)
+def test_cisco_nxos_enrichment_golden(spark, stem, model):
+    """NX-OS builder vs both reference goldens — the n3k case exercises
+    the inverted-relpos index_transform path."""
+    from panoptes_spark.operators.device_enrichment import (
+        cisco_nxos_device_enrichment,
+    )
+
+    expected = json.load(open(f"{NXOS_DATA}/{stem}.results.json"))
+    exp_payload = expected["enrichment"][0]["data"][0][DEVICE]
+
+    rec = corpus.parse_snmprec(f"{NXOS_DATA}/recording/{stem}.snmprec")
+    rows = [(DEVICE, oid, value) for oid, _t, value in rec]
+    walk = spark.createDataFrame(
+        rows, "device_id string, oid string, value string"
+    )
+    devices = spark.createDataFrame(
+        [(DEVICE, model)], "device_id string, model string"
+    )
+    out = cisco_nxos_device_enrichment(
+        spark, walk, devices, polling_frequency=300
+    ).collect()
+    assert len(out) == 1
+    got = json.loads(out[0].enrichment)
+    assert ordered(got["metrics_groups"]) == ordered(
+        exp_payload["metrics_groups"]
+    ), f"{stem}: metrics_groups diverge"
+    assert ordered(got["oids"]) == ordered(exp_payload["oids"]), (
+        f"{stem}: oids map diverges"
+    )
