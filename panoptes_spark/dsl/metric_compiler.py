@@ -400,6 +400,8 @@ class MetricDSLCompiler:
         single device-dim join."""
         if t.mode == "py":
             return self._indexed_values_py(t)
+        if t.info.is_aggregate:
+            return self._indexed_aggregate_values(t)
         tmap = t.tmap
         pivot_set = set(self._pivotable())
         tables = sorted(t.info.tables)
@@ -449,6 +451,7 @@ class MetricDSLCompiler:
                 df = df.join(tv, ["device_id", "index"], "left")
         if scalar_refs:
             df = df.join(self._scalars_wide(), "device_id", "left")
+        df = self._join_subscripts(df, t.info)
         df = self._join_member_flags(df, t.info, key_scope="index")
         df = df.withColumn("__raw", F.expr(t.info.sql))  # single evaluation
         out = df.select(
@@ -463,6 +466,8 @@ class MetricDSLCompiler:
         tables, or membership tests keyed on anything but ``index``)."""
         if t.mode != "sql" or t.info is None:
             return None
+        if t.info.is_aggregate or t.info.subscripts:
+            return None  # these need the aggregate / subscript-join plans
         pivot = set(self._pivotable())
         tmap = t.tmap
         if "indices" in tmap:
@@ -568,6 +573,91 @@ class MetricDSLCompiler:
             )
             .where(F.size("_m") > 0)
         )
+
+    def _join_subscripts(self, df: DataFrame, info) -> DataFrame:
+        """Left-join one column per table SUBSCRIPT (``pmt[x]``): value
+        of ``tname`` at the computed key; NULL = python KeyError (the
+        translator hazard-scopes the lookup, so guarded lookups never
+        poison)."""
+        for i, ((tname, key_sql), col) in enumerate(
+            sorted(info.subscripts.items())
+        ):
+            keycol = f"__skey_{i}"
+            tv = self.table(tname).select(
+                "device_id",
+                F.col("index").alias(keycol),
+                F.col("value").alias(col),
+            )
+            df = (
+                df.withColumn(keycol, F.expr(key_sql))
+                .join(tv, ["device_id", keycol], "left")
+                .drop(keycol)
+            )
+        return df
+
+    def _indexed_aggregate_values(self, t: _Target) -> DataFrame:
+        """Indexed AGGREGATE target (juniper power_units_on): a
+        count-comprehension whose filter references the DRIVING index
+        (``indices_from``), re-evaluated per (device, index).
+
+        Plan: driving frame × the (device-dim) aggregate table, filter
+        per pair, count per (device, index). The cross product is
+        dim × dim per device — bounded, never corpus-sized. Per-element
+        hazards poison the (device, index) pair like python's raise
+        aborting that index's evaluation."""
+        info = t.info
+        driving = self._driving_frame(t)
+        base = self.table(info.agg_table).select(
+            "device_id",
+            F.col("index").alias("__agg_index"),
+            F.col("value").alias("__agg_value"),
+        )
+        base = self._join_subscripts(base, info)
+        base = self._join_member_flags(base, info, key_scope="agg")
+        # driving and agg frames share the walk's lineage -> alias both
+        # sides so the device-keyed cross join resolves unambiguously
+        d = driving.alias("__drv")
+        b = base.alias("__aggt")
+        cross = d.join(
+            b, F.col("__drv.device_id") == F.col("__aggt.device_id"), "left"
+        ).select(
+            F.col("__drv.device_id").alias("device_id"),
+            F.col("__drv.index").alias("index"),
+            *[
+                F.col(f"__aggt.{c}")
+                for c in base.columns
+                if c != "device_id"
+            ],
+        )
+        # row hazards may reference the DRIVING index ($index in the
+        # filter) -> evaluate after the cross join
+        if info.agg_row_hazards:
+            row_poison = " OR ".join(
+                f"({h}) IS NULL" for h in info.agg_row_hazards
+            )
+            cross = cross.withColumn("__row_hz", F.expr(row_poison))
+        else:
+            cross = cross.withColumn("__row_hz", F.lit(False))
+        counted = (
+            cross.groupBy("device_id", "index")
+            .agg(
+                F.sum(
+                    F.when(F.expr(info.agg_filter_sql), 1).otherwise(0)
+                ).alias("__agg_count"),
+                F.max(F.coalesce("__row_hz", F.lit(False))).alias(
+                    "__poisoned"
+                ),
+            )
+            .where(~F.col("__poisoned"))
+            .withColumn(
+                "__agg_count", F.coalesce("__agg_count", F.lit(0))
+            )
+        )
+        df = counted.withColumn("__raw", F.expr(info.sql))
+        return df.select(
+            "device_id", "index",
+            F.expr(self._guarded_sql(t)).alias("value"),
+        ).where(F.col("value").isNotNull())
 
     def _guarded_sql(self, t: _Target) -> str:
         """Wrap the value expression in the error-poison guard: a python

@@ -58,6 +58,12 @@ class ExprInfo:
     # for ANY element aborts the whole len([...]) -> the aggregate is
     # poisoned for that device, not just the row
     agg_row_hazards: list = field(default_factory=list)
+    # table SUBSCRIPTS (``pmt[x]`` — python dict lookup of another table
+    # by a computed key): (table, key_sql) -> joined column alias. The
+    # compiler left-joins each entry on (device_id, key) and a NULL
+    # column models python's KeyError (hazard-scoped, so a lookup behind
+    # a lazy ``k in pmt and pmt[k] ...`` guard never poisons)
+    subscripts: dict = field(default_factory=dict)
     # Error-poison fragments: in the reference, ANY python error while
     # evaluating an expression skips the whole index — including errors
     # inside a ternary CONDITION, where SQL three-valued logic would
@@ -142,6 +148,25 @@ class _Translator:
 
     def _t_Attribute(self, node):
         raise UnsupportedExpression("attribute access outside table.$index")
+
+    def _t_Subscript(self, node):
+        # python dict lookup of a table by a computed key (the juniper
+        # power program's ``power_module_types[x]``): resolves to a
+        # column left-joined by the compiler; NULL = KeyError (hazard)
+        if not (
+            isinstance(node.value, ast.Name)
+            and node.value.id in self.known_tables
+        ):
+            raise UnsupportedExpression("subscript of non-table")
+        tname = node.value.id
+        sl = node.slice
+        key_sql = self.translate(sl)
+        col = self.info.subscripts.get((tname, key_sql))
+        if col is None:
+            col = f"__sub_{tname}_{len(self.info.subscripts)}"
+            self.info.subscripts[(tname, key_sql)] = col
+        self._add_hazard(col)
+        return col
 
     # -- operators -------------------------------------------------------
 
@@ -309,6 +334,9 @@ class _Translator:
             k, v = gen.target.elts
             env[k.id] = "__agg_index"
             env[v.id] = "__agg_value"
+        # $index inside the filter = the DRIVING index of an indexed
+        # aggregate target (juniper power_units_on)
+        env["__IDX__"] = "index"
         sub = _Translator(self.known_tables, self.scalar_oids, env)
         if gen.ifs:
             cond = " AND ".join(sub.translate(i) for i in gen.ifs)
@@ -320,6 +348,7 @@ class _Translator:
         self.info.agg_row_hazards = list(sub.info.hazards)
         self.info.member_tables |= sub.info.member_tables
         self.info.tables |= sub.info.tables
+        self.info.subscripts.update(sub.info.subscripts)
         return "__agg_count"  # placeholder; compiler builds the agg plan
 
 

@@ -243,3 +243,60 @@ def test_golden_results_bgp_session(spark):
     got = _replay(spark, program, snmprec)
     expected = _canon_golden(f"{BGP_DATA}/results.json")
     assert got == expected
+
+
+JNP_POLL = "/root/reference/tests/plugins/polling/generic/snmp/juniper/data"
+_JNP_CASES = ["mx960", "mx2020", "srx1400", "qfx", "ex"]
+
+
+@pytest.mark.parametrize("stem", _JNP_CASES)
+def test_golden_results_juniper_device_metrics(spark, stem):
+    """The five juniper device-metrics polling goldens: the A1
+    conditional-count programs (power_units_on comprehensions over
+    oper_status x power_module_types) that the juniper enrichment
+    builder generates, replayed through the compiler against the
+    reference's own expected MetricsGroupSets."""
+    program = corpus.load_program(f"{JNP_POLL}/{stem}_enrichment")
+    snmprec = corpus.parse_snmprec(f"{JNP_POLL}/recording/{stem}.snmprec")
+    got = _replay(spark, program, snmprec)
+    expected = _canon_golden(f"{JNP_POLL}/{stem}_results.json")
+    assert got == expected
+
+
+@pytest.mark.parametrize("stem", _JNP_CASES)
+def test_juniper_builder_composes_into_polling_program(spark, stem):
+    """Composition: the juniper device-metrics ENRICHMENT BUILDER run on
+    the polling suite's recording reproduces the checked-in polling
+    program exactly (the polling fixtures were generated without the
+    disk metrics group) — builder output IS what polling consumes."""
+    import json as _json
+
+    from panoptes_spark.operators.device_enrichment import (
+        juniper_device_enrichment,
+    )
+
+    program = corpus.load_program(f"{JNP_POLL}/{stem}_enrichment")
+    rec = corpus.parse_snmprec(f"{JNP_POLL}/recording/{stem}.snmprec")
+    walk = spark.createDataFrame(
+        [(DEVICE, oid, value) for oid, _t, value in rec],
+        "device_id string, oid string, value string",
+    )
+    devices = spark.createDataFrame(
+        [(DEVICE, "model")], "device_id string, model string"
+    )
+    out = juniper_device_enrichment(
+        spark, walk, devices, polling_frequency=300, include_disk=False
+    ).collect()
+    built = _json.loads(out[0].enrichment)
+
+    def ordered(obj):
+        if isinstance(obj, dict):
+            return sorted((k, ordered(v)) for k, v in obj.items())
+        if isinstance(obj, list):
+            return sorted(ordered(x) for x in obj)
+        return str(obj)
+
+    assert ordered(built["oids"]) == ordered(program["oids"])
+    assert ordered(built["metrics_groups"]) == ordered(
+        program["metrics_groups"]
+    )
