@@ -1024,14 +1024,18 @@ joined AS (
   LEFT JOIN sensor_value v ON n.device_id = v.device_id AND n.index = v.index
   WHERE TRY_CAST(v.value AS BIGINT) IS NOT NULL
 )
-SELECT device_id, 'strict' AS metrics_group_type,
+-- DISTINCT per arm: the reference accumulates metrics groups into a
+-- python SET (PanoptesMetricsGroupSet, framework/metrics.py:411-418),
+-- so identical (dims, metrics) groups collapse; each group here carries
+-- exactly one metric, so flattened-row DISTINCT is group-set DISTINCT
+SELECT DISTINCT device_id, 'strict' AS metrics_group_type,
        CAST(60 AS BIGINT) AS metrics_group_interval,
        'sensor=' || sensor AS dims_str,
        'reading' AS metric_name, CAST(reading AS DOUBLE) AS metric_value,
        'gauge' AS metric_type
 FROM joined WHERE sensor <> ''
 UNION ALL
-SELECT device_id, 'lenient', CAST(60 AS BIGINT),
+SELECT DISTINCT device_id, 'lenient', CAST(60 AS BIGINT),
        CASE WHEN sensor = '' THEN '' ELSE 'sensor=' || sensor END,
        'reading', CAST(reading AS DOUBLE), 'gauge'
 FROM joined
@@ -2908,6 +2912,209 @@ ORDER BY device_id, metric_name
 """
 
 
+def _s16_srx_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: juniper SRX functional-metrics enrichment builder
+    (plugin_enrichment_functional_metrics_juniper_srx.py:37-187) on a
+    synthetic NAT-pool walk from supplier, projected to driver-checkable
+    scalars through the emitted enrichment JSON (incl. the last-4-octet
+    translated-address rule)."""
+    from panoptes_spark.operators.device_enrichment import (
+        SRX_NAT_NUM_SESSIONS,
+        SRX_NAT_POOL_NAME,
+        SRX_SPU_CUR_FLOW,
+        SRX_SPU_NODE_DESCR,
+        juniper_srx_functional_enrichment,
+    )
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("k")
+    base = sup.select(
+        F.concat(
+            F.lit("srx-"), (F.col("s_suppkey") % 10).cast("string")
+        ).alias("device_id"),
+        F.col("s_suppkey").alias("k"),
+    )
+    # pool index: <pool id>.4.112.10.<a>.<b>  -> address 112.10.a.b
+    pool_idx = F.concat(
+        F.expr("k div 10").cast("string"),
+        F.lit(".4.112.10."),
+        ((k * 7) % 256).cast("string"),
+        F.lit("."),
+        (k % 256).cast("string"),
+    )
+    rows = F.array(
+        F.struct(
+            F.concat(
+                F.lit(SRX_NAT_POOL_NAME.lstrip(".") + "."), pool_idx
+            ).alias("oid"),
+            F.concat(F.lit("pool-"), (k % 5).cast("string")).alias("value"),
+        ),
+        F.struct(
+            F.concat(
+                F.lit(SRX_SPU_NODE_DESCR.lstrip(".") + "."),
+                (k % 4).cast("string"),
+            ).alias("oid"),
+            F.concat(F.lit("node"), (k % 4).cast("string")).alias("value"),
+        ),
+        # walked counters must NOT contribute statics
+        F.struct(
+            F.concat(
+                F.lit(SRX_SPU_CUR_FLOW.lstrip(".") + "."),
+                (k % 4).cast("string"),
+            ).alias("oid"),
+            (k % 1000).cast("string").alias("value"),
+        ),
+    )
+    walk = base.select("device_id", F.explode(rows).alias("r")).select(
+        "device_id", "r.oid", "r.value"
+    ).distinct()  # a device walk has one row per OID
+    devices = walk.select("device_id").distinct()
+    enr = juniper_srx_functional_enrichment(spark, walk, devices)
+
+    def vals(tbl: str) -> F.Column:
+        return F.from_json(
+            F.get_json_object("enrichment", f"$.oids.{tbl}.values"),
+            "map<string,string>",
+        )
+
+    addr = vals("nat_src_translated_address")
+    return enr.select(
+        "device_id",
+        "namespace",
+        F.size(vals("source_pool_name")).cast("int").alias("n_pools"),
+        F.size(vals("monitoring_node_descriptions")).cast("int")
+        .alias("n_nodes"),
+        # every translated address is the last 4 octets -> 112.10.a.b
+        F.size(
+            F.filter(
+                F.map_values(addr), lambda v: v.startswith("112.10.")
+            )
+        ).cast("int").alias("n_addr_ok"),
+        F.get_json_object(
+            "enrichment", "$.oids.num_sessions.oid"
+        ).alias("sessions_oid"),
+        F.expr(
+            "cast(json_array_length(get_json_object(enrichment,"
+            " '$.metrics_groups')) as int)"
+        ).alias("n_groups"),
+    ).orderBy("device_id")
+
+
+_S16_ORACLE = """
+WITH base AS (
+  SELECT 'srx-' || (s_suppkey % 10) AS device_id, s_suppkey AS k
+  FROM supplier
+)
+SELECT device_id,
+  'functional_metrics' AS namespace,
+  CAST(COUNT(DISTINCT (k // 10) || '.4.112.10.' || ((k * 7) % 256)
+             || '.' || (k % 256)) AS INT) AS n_pools,
+  CAST(COUNT(DISTINCT k % 4) AS INT) AS n_nodes,
+  CAST(COUNT(DISTINCT (k // 10) || '.4.112.10.' || ((k * 7) % 256)
+             || '.' || (k % 256)) AS INT) AS n_addr_ok,
+  '.1.3.6.1.4.1.2636.3.39.1.7.1.1.4.1.6' AS sessions_oid,
+  CAST(2 AS INT) AS n_groups
+FROM base GROUP BY device_id ORDER BY device_id
+"""
+
+
+def _s17_ping_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: ping polling plugin twin (plugin_polling_ping.py:19-84) over
+    synthetic captured ping output — success / 100%-loss / unparseable
+    in one batch — flattened to one row per (device, metric)."""
+    from panoptes_spark.operators.ping_polling import (
+        parse_ping_output,
+        ping_metrics_groups,
+    )
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    mn = (k % 50).cast("string")
+    text = (
+        F.when(
+            k % 5 == 4, F.lit("connect: Network is unreachable")
+        )
+        .when(
+            k % 5 == 3,
+            F.lit(
+                "ping statistics ---\n10 packets transmitted, 0 received,"
+                " 100% packet loss, time 10000ms\n"
+                "rtt min/avg/max/mdev = 0.0/0.0/0.0/0.0 ms"
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    "ping statistics ---\n10 packets transmitted,"
+                    " 10 received, 0% packet loss, time 1439ms\n"
+                    "rtt min/avg/max/mdev = "
+                ),
+                mn, F.lit(".500/"),
+                mn, F.lit(".750/"),
+                mn, F.lit(".900/0.057 ms"),
+            )
+        )
+    )
+    probes = sup.select(
+        F.concat(F.lit("ping-"), k.cast("string")).alias("device_id"),
+        text.alias("ping_output"),
+    )
+    groups = ping_metrics_groups(parse_ping_output(probes), interval=60)
+    return groups.select(
+        "device_id",
+        "metrics_group_type",
+        "metrics_group_interval",
+        F.explode("metrics").alias("m"),
+    ).select(
+        "device_id",
+        "metrics_group_type",
+        "metrics_group_interval",
+        F.col("m.metric_name").alias("metric_name"),
+        F.col("m.metric_value").alias("metric_value"),
+        F.col("m.metric_type").alias("metric_type"),
+    ).orderBy("device_id", "metric_name")
+
+
+_S17_ORACLE = """
+WITH probes AS (
+  SELECT 'ping-' || s_suppkey AS device_id, s_suppkey AS k,
+         s_suppkey % 50 AS mn
+  FROM supplier
+),
+mets AS (
+  SELECT device_id, name,
+    CASE
+      WHEN k % 5 = 4 THEN CASE WHEN name = 'ping_status' THEN 7.0 END
+      WHEN k % 5 = 3 THEN CASE name
+        WHEN 'ping_status' THEN 7.0
+        WHEN 'packet_loss_percent' THEN 100.0
+        ELSE 0.0 END
+      ELSE CASE name
+        WHEN 'ping_status' THEN 0.0
+        WHEN 'packet_loss_percent' THEN 0.0
+        WHEN 'round_trip_minimum' THEN mn + 0.5
+        WHEN 'round_trip_average' THEN mn + 0.75
+        WHEN 'round_trip_maximum' THEN mn + 0.9
+        WHEN 'round_trip_standard_deviation' THEN 0.057
+      END
+    END AS value,
+    k % 5 = 4 AS err
+  FROM probes, (
+    VALUES ('ping_status'), ('packet_loss_percent'),
+           ('round_trip_minimum'), ('round_trip_average'),
+           ('round_trip_maximum'), ('round_trip_standard_deviation')
+  ) n(name)
+)
+SELECT device_id, 'ping' AS metrics_group_type,
+       CAST(60 AS BIGINT) AS metrics_group_interval,
+       name AS metric_name, value AS metric_value,
+       'gauge' AS metric_type
+FROM mets
+WHERE NOT (err AND name <> 'ping_status')
+ORDER BY device_id, metric_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _dsl_query(dsl) for name, dsl in _DSL_QUERIES.items()
@@ -2967,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "w14_rolling_engagement": _w14_rolling_engagement,
             "s14_device_enrich": _s14_device_enrich,
             "s15_heartbeat": _s15_heartbeat,
+            "s16_srx_functional": _s16_srx_functional,
+            "s17_ping_poll": _s17_ping_poll,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -3057,6 +3266,8 @@ def oracle_sql() -> dict[str, str]:
             "w14_rolling_engagement": _W14_ENGAGEMENT_ORACLE,
             "s14_device_enrich": _S14_ORACLE,
             "s15_heartbeat": _S15_ORACLE,
+            "s16_srx_functional": _S16_ORACLE,
+            "s17_ping_poll": _S17_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

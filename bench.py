@@ -1,6 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints ONE compact JSON line as the
+LAST line of stdout:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver keeps only the TAIL of the merged output stream, so the
+summary line must come last and stay small. The full per-query timing
+map is written to BENCH_DETAIL.json next to this file; the stdout
+summary carries the slowest 10 queries only.
 """
 
 from __future__ import annotations
@@ -39,7 +45,6 @@ def main():
     ]
     timings = {}
     total = 0.0
-    progress = []  # buffered: the JSON line must lead the output stream
     for name in names:
         fn = qs[name]
         # best-of-2: first run pays codegen/classloader warmup per query;
@@ -54,24 +59,45 @@ def main():
         spark.catalog.clearCache()  # drop per-query persists; keep memory flat
         timings[name] = round(best, 3)
         total += best
-        progress.append(f"# {name}: {n} rows in {best:.2f}s")
+        # per-query progress on stderr only; stdout must end with the JSON
+        print(f"# {name}: {n} rows in {best:.2f}s", file=sys.stderr)
 
-    # The JSON line goes out FIRST (and is also flushed immediately) so a
-    # tail-truncated capture of the merged stream still carries the numbers;
-    # the per-query log follows on stderr.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+        )
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    # compact summary LAST on stdout (tail-truncation-proof, < 1 KiB)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
             }
         ),
         flush=True,
     )
-    print("\n".join(progress), file=sys.stderr)
 
 
 if __name__ == "__main__":

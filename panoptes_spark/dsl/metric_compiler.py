@@ -291,6 +291,22 @@ class MetricDSLCompiler:
         self._table_cache[name] = df
         return df
 
+    def _cell_frame(self, name: str) -> DataFrame:
+        """(device_id, index, value) carved from the program-wide pivot
+        when the table lives there: a filter+projection that KEEPS the
+        pivot's (device_id, index) hash partitioning, so downstream
+        equi-joins between two pivot-carved frames plan with no new
+        Exchange. Falls back to the per-table frame for static /
+        index_transform / get tables."""
+        if self.wide() is not None and name in self._pivotable():
+            c = table_col(name)
+            return (
+                self.wide()
+                .where(F.col(c).isNotNull())
+                .select("device_id", "index", F.col(c).alias("value"))
+            )
+        return self.table(name)
+
     def scalar(self, name: str) -> DataFrame:
         """(device_id, value) for a get-method oid (one value per device)."""
         cached = self._table_cache.get(f"__scalar_{name}")
@@ -384,9 +400,11 @@ class MetricDSLCompiler:
             )
             return self._devices.crossJoin(F.broadcast(idx))
         if "indices_from" in tmap:
-            return self.table(tmap["indices_from"]).select("device_id", "index")
+            return self._cell_frame(tmap["indices_from"]).select(
+                "device_id", "index"
+            )
         first = self._first_table(str(tmap["value"]))
-        return self.table(first).select("device_id", "index")
+        return self._cell_frame(first).select("device_id", "index")
 
     def _indexed_values(self, t: _Target) -> DataFrame:
         """(device_id, index, value) for an indexed target; NULL values
@@ -583,7 +601,7 @@ class MetricDSLCompiler:
             sorted(info.subscripts.items())
         ):
             keycol = f"__skey_{i}"
-            tv = self.table(tname).select(
+            tv = self._cell_frame(tname).select(
                 "device_id",
                 F.col("index").alias(keycol),
                 F.col("value").alias(col),
@@ -607,7 +625,7 @@ class MetricDSLCompiler:
         aborting that index's evaluation."""
         info = t.info
         driving = self._driving_frame(t)
-        base = self.table(info.agg_table).select(
+        base = self._cell_frame(info.agg_table).select(
             "device_id",
             F.col("index").alias("__agg_index"),
             F.col("value").alias("__agg_value"),
@@ -759,7 +777,11 @@ class MetricDSLCompiler:
                 .groupBy("device_id")
                 .agg(
                     F.map_from_entries(
-                        F.collect_list(F.struct("index", "value"))
+                        # sorted: .items() iteration in the interpreter
+                        # must not depend on task scheduling order
+                        F.array_sort(
+                            F.collect_list(F.struct("index", "value"))
+                        )
                     ).alias(f"__m_{tbl}")
                 )
             )
@@ -813,18 +835,26 @@ class MetricDSLCompiler:
         self, df: DataFrame, info: ExprInfo, key_scope: str
     ) -> DataFrame:
         for tbl, left_sql in sorted(info.member_tables):
+            # The key frame shares the walk's lineage with ``df`` (both
+            # derive from the same pivot), so drop-by-Column after a
+            # self-join is a no-op and leaves a duplicate device_id that
+            # poisons downstream aliases (AMBIGUOUS_REFERENCE). Rename
+            # the lookup side's key BEFORE joining and drop it by name.
             keys = (
                 self._member_keys(tbl)
-                .select("device_id", F.col("index").alias("__mk"))
+                .select(
+                    F.col("device_id").alias("__mk_dev"),
+                    F.col("index").alias("__mk"),
+                )
                 .distinct()
                 .withColumn(f"__in_{tbl}", F.lit(True))
             )
             df = df.join(
                 keys,
-                (df["device_id"] == keys["device_id"])
-                & (F.expr(left_sql) == keys["__mk"]),
+                (F.col("device_id") == F.col("__mk_dev"))
+                & (F.expr(left_sql) == F.col("__mk")),
                 "left",
-            ).drop(keys["device_id"]).drop("__mk")
+            ).drop("__mk_dev", "__mk")
             df = df.withColumn(
                 f"__in_{tbl}", F.coalesce(F.col(f"__in_{tbl}"), F.lit(False))
             )
@@ -837,7 +867,7 @@ class MetricDSLCompiler:
             return self._top_level_value_py(t)
         info = t.info
         if info.is_aggregate:
-            base = self.table(info.agg_table).select(
+            base = self._cell_frame(info.agg_table).select(
                 "device_id",
                 F.col("index").alias("__agg_index"),
                 F.col("value").alias("__agg_value"),
@@ -1173,7 +1203,12 @@ class MetricDSLCompiler:
                 " WHEN a.dimension_name > b.dimension_name THEN 1 ELSE 0 END)"
             ),
         )
-        return df
+        # the reference accumulates groups into a python set
+        # (PanoptesMetricsGroupSet, framework/metrics.py:411-418, __eq__
+        # on (resource, metrics, dimensions)) — identical groups collapse
+        # (e.g. many no-dims cpu rows all reading 0). Arrays are already
+        # canonically sorted, so whole-row distinct models the set.
+        return df.dropDuplicates()
 
 
 def flatten_groups(df: DataFrame) -> DataFrame:

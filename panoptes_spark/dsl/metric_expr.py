@@ -245,7 +245,11 @@ class _Translator:
                 self.info.member_tables.add((right.id, left_sql))
                 flag = f"__in_{right.id}"
                 return f"({neg}({flag}))" if neg else f"({flag})"
-            raise UnsupportedExpression("membership target")
+            # python `in` on a STRING value (e.g. a table cell:
+            # `'Routing Engine' in cpu_name.$index`, juniper cpu_type)
+            # is substring containment -> JVM instr, no py fallback
+            right_sql = self.translate(right)
+            return f"({neg}(instr({right_sql}, {left_sql}) > 0))"
         if type(op) not in self._CMPOPS:
             raise UnsupportedExpression(f"comparison {op}")
         return f"({left_sql} {self._CMPOPS[type(op)]} {self.translate(right)})"

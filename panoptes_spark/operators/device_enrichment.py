@@ -402,7 +402,9 @@ def juniper_device_enrichment(
         allfrags = allfrags.unionByName(fdf)
     per_device = allfrags.groupBy("device_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("frag_name", "frag"))
+            # array_sort: collect_list order is task-scheduling-dependent;
+            # sorted entries make the fragment map deterministic
+            F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
         ).alias("m")
     )
     per_device = devices.select("device_id", "model").join(
@@ -840,7 +842,8 @@ def cisco_ios_device_enrichment(
     per_device = flags.join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id",
@@ -1189,7 +1192,8 @@ def bgp_session_enrichment(
     per_device = devices.select("device_id").join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id",
@@ -1482,7 +1486,8 @@ def cisco_nxos_device_enrichment(
     per_device = flags.join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id",
@@ -1664,7 +1669,8 @@ def aruba_device_enrichment(
     per_device = devices.select("device_id").join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id",
@@ -1908,7 +1914,8 @@ def ciena_ws_light_enrichment(
     per_device = devices.select("device_id").join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id", "left",
@@ -2030,7 +2037,8 @@ def cisco_asa_device_enrichment(
     per_device = devices.select("device_id").join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id", "left",
@@ -2191,7 +2199,8 @@ def aruba_wap_enrichment(
     per_device = devices.select("device_id").join(
         allfrags.groupBy("device_id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("frag_name", "frag"))
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
             ).alias("m")
         ),
         "device_id", "left",
@@ -2229,6 +2238,132 @@ def aruba_wap_enrichment(
     return per_device.select(
         "device_id",
         F.lit("metrics").alias("namespace"),
+        F.concat(
+            F.lit('{"oids": '), oids_json,
+            F.lit(', "metrics_groups": ' + json.dumps(groups) + "}"),
+        ).alias("enrichment"),
+    )
+
+
+# -- juniper SRX functional metrics (NAT / flow-session) ----------------
+
+JNX_CHASSIS = ".1.3.6.1.4.1.2636"
+SRX_SPU_TABLE = JNX_CHASSIS + ".3.39.1.12.1.1"
+SRX_SPU_NODE_DESCR = SRX_SPU_TABLE + ".1.11"
+SRX_SPU_CUR_FLOW = SRX_SPU_TABLE + ".1.6"
+SRX_NAT_OBJECTS = JNX_CHASSIS + ".3.39.1.7.1.1"
+SRX_NAT_POOL_NAME = SRX_NAT_OBJECTS + ".4.1.1"
+SRX_NAT_PORT_INUSE = SRX_NAT_OBJECTS + ".4.1.5"
+SRX_NAT_NUM_SESSIONS = SRX_NAT_OBJECTS + ".4.1.6"
+
+# metrics_groups are UNconditional constants in the reference
+# (plugin_enrichment_functional_metrics_juniper_srx.py:130-166)
+_SRX_NAT_GROUP = {
+    "group_name": "nat",
+    "dimensions": {
+        "source_pool_name": "source_pool_name.$index",
+        "address": "nat_src_translated_address.$index",
+    },
+    "metrics": {
+        "num_sessions": {
+            "metric_type": "gauge",
+            "value": "num_sessions.$index",
+        },
+        "ports_in_use": {
+            "metric_type": "gauge",
+            "value": "num_ports_in_use.$index",
+        },
+        "max_ports": {
+            "metric_type": "gauge",
+            "transform": "lambda x: 64512",
+            "value": "num_ports_in_use.$index",
+        },
+    },
+}
+_SRX_SESSION_GROUP = {
+    "group_name": "session",
+    "dimensions": {},
+    "metrics": {
+        "current_session_flow": {
+            "metric_type": "gauge",
+            "value": "sum([int(x) for x in current_session_flow.values()])",
+        }
+    },
+}
+
+
+def juniper_srx_functional_enrichment(
+    spark: SparkSession, walk: DataFrame, devices: DataFrame
+) -> DataFrame:
+    """Juniper SRX functional-metrics enrichment builder
+    (plugin_enrichment_functional_metrics_juniper_srx.py:37-187):
+    NAT source-pool statics come from the pool-name walk (index keeps
+    the whole OID remainder; the translated address is the LAST FOUR
+    index octets joined with '.', `_get_nat_source_pool_address` :49-51)
+    plus the SPU node-description walk; flow/port/session counters ride
+    as bulk_walk oids. The reference also walks MaxFlowSession but never
+    places it in the oids map (`_session_enrichments` :63-67 is dead in
+    the emitted enrichment) — mirrored here by NOT emitting it."""
+    tables = {
+        "pool_name": SRX_NAT_POOL_NAME,
+        "node_descr": SRX_SPU_NODE_DESCR,
+    }
+    tagged = slice_walk(walk, tables)
+
+    def tbl(name: str) -> DataFrame:
+        return tagged.where(F.col("table") == name).select(
+            "device_id", "index", "value"
+        )
+
+    pools = tbl("pool_name").withColumn(
+        # last 4 dot-separated index elements -> translated IPv4
+        "address",
+        F.array_join(
+            F.slice(F.split("index", r"\."), -4, 4), "."
+        ),
+    )
+    frags = [
+        _frag(pools, "source_pool_name", F.col("index"), F.col("value")),
+        _frag(pools, "nat_src_translated_address", F.col("index"),
+              F.col("address")),
+        _frag(tbl("node_descr"), "monitoring_node_descriptions",
+              F.col("index"), F.col("value")),
+    ]
+    allfrags = frags[0]
+    for fdf in frags[1:]:
+        allfrags = allfrags.unionByName(fdf)
+    per_device = devices.select("device_id").join(
+        allfrags.groupBy("device_id").agg(
+            F.map_from_entries(
+                # deterministic: collect_list order is task-dependent
+                F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
+            ).alias("m")
+        ),
+        "device_id", "left",
+    )
+
+    def g(name: str) -> F.Column:
+        return F.coalesce(F.element_at("m", F.lit(name)), F.lit("{}"))
+
+    oid_entries = [
+        ('"source_pool_name": ', _static(g("source_pool_name"))),
+        ('"nat_src_translated_address": ',
+         _static(g("nat_src_translated_address"))),
+        ('"monitoring_node_descriptions": ',
+         _static(g("monitoring_node_descriptions"))),
+        ('"current_session_flow": ', _bulk(SRX_SPU_CUR_FLOW)),
+        ('"num_ports_in_use": ', _bulk(SRX_NAT_PORT_INUSE)),
+        ('"num_sessions": ', _bulk(SRX_NAT_NUM_SESSIONS)),
+    ]
+    oids_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(", ", *[F.concat(F.lit(k), v) for k, v in oid_entries]),
+        F.lit("}"),
+    )
+    groups = [_SRX_NAT_GROUP, _SRX_SESSION_GROUP]
+    return per_device.select(
+        "device_id",
+        F.lit("functional_metrics").alias("namespace"),
         F.concat(
             F.lit('{"oids": '), oids_json,
             F.lit(', "metrics_groups": ' + json.dumps(groups) + "}"),

@@ -89,7 +89,9 @@ cum AS (
   FROM pts
 ),
 tot AS (SELECT {key}, sum(ia) AS n_a, sum(ib) AS n_b FROM pts GROUP BY 1)
-SELECT {key}, n_a, n_b,
+-- CAST AS BIGINT: DuckDB sum() is HUGEINT, which pandas widens to
+-- float64 and the driver's exact-hash canon rejects vs Spark's bigint
+SELECT {key}, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   round(max(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE))), 6)
     AS ks
 FROM cum JOIN tot USING ({key})

@@ -507,13 +507,16 @@ WITH counts AS (
   ) WHERE token <> '' GROUP BY token
 ),
 top AS (SELECT n FROM counts ORDER BY n DESC, token ASC LIMIT {_VOCAB_K})
-SELECT (SELECT sum(n) FROM top) AS covered_tokens,
-       sum(n) AS total_tokens,
+SELECT CAST((SELECT sum(n) FROM top) AS BIGINT) AS covered_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
        count(*) AS n_distinct,
        round((SELECT sum(n) FROM top) / CAST(sum(n) AS DOUBLE), 6)
          AS coverage
 FROM counts
 """
+# ^ BIGINT casts: DuckDB sum() yields HUGEINT which pandas widens to
+# float64; the driver's exact-hash canon then mismatches Spark's bigint
+# even when values are identical (CORRECTNESS_r04 vocab_coverage).
 
 
 _SEMDEDUP_THRESH = 0.45  # same corpus-density choice as embedding_neardup
@@ -674,8 +677,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.lit("txt").alias("format"),
     )
-    return multimodal.extract_features(media).select(
-        "media_id", "media_type", "n_bytes", "features"
+    # exploded (media, idx, value) rows: raw array<double> columns break
+    # the driver's pandas canonicalizer (unhashable list cells,
+    # CORRECTNESS_r04), and to_json float formatting is engine-dependent
+    return (
+        multimodal.extract_features(media)
+        .select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            F.posexplode("features").alias("feature_idx", "feature"),
+        )
     )
 
 
@@ -684,10 +696,10 @@ SELECT doc_id AS media_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS media_type,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
-  list_transform(range(0, {multimodal.FEATURE_DIM}),
-    i -> round(('0x' || substr(md5(text), i*2 + 1, 2))::BIGINT / 255.0, 6)
-  ) AS features
-FROM documents
+  CAST(i AS INT) AS feature_idx,
+  round(('0x' || substr(md5(text), i*2 + 1, 2))::BIGINT / 255.0, 6)
+    AS feature
+FROM documents, range(0, {multimodal.FEATURE_DIM}) t(i)
 """
 
 
@@ -732,8 +744,11 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = base.mapInPandas(enc, schema=multimodal.MEDIA_SCHEMA)
+    # exploded rows — see q_multimodal_features for why not raw arrays
     return multimodal.extract_features(media).select(
-        "media_id", "decoder", "features"
+        "media_id",
+        "decoder",
+        F.posexplode("features").alias("feature_idx", "feature"),
     )
 
 
@@ -744,8 +759,9 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id AS media_id, 'wav' AS decoder,
-       [v, 0.0, v, v, v, v, v, v] AS features
-FROM q
+       CAST(i AS INT) AS feature_idx,
+       CASE WHEN i = 1 THEN 0.0 ELSE v END AS feature
+FROM q, range(0, 8) t(i)
 """
 
 
@@ -1908,7 +1924,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.quantize import quantize_embeddings
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return quantize_embeddings(emb, "vec_id", "embedding").orderBy("vec_id")
+    # exploded (vec, dim, code) rows: the raw array<int> column breaks
+    # the driver's pandas canonicalizer (unhashable list cells)
+    return (
+        quantize_embeddings(emb, "vec_id", "embedding")
+        .select("vec_id", F.posexplode("codes").alias("dim", "code"))
+    )
 
 
 O_EMBEDDING_QUANTIZE = """
@@ -1921,18 +1942,14 @@ WITH d AS (
 dims AS (
   SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
   FROM d GROUP BY i
-),
-q AS (
-  SELECT d.vec_id, d.i,
-    CAST(CASE WHEN dims.mx > dims.mn THEN
-      least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
-        floor((CAST(d.x AS DOUBLE) - dims.mn) * 255.0
-              / (dims.mx - dims.mn) + 0.5)))
-    ELSE 0.0 END AS INT) AS c
-  FROM d JOIN dims USING (i)
 )
-SELECT vec_id, list(c ORDER BY i) AS codes
-FROM q GROUP BY vec_id ORDER BY vec_id
+SELECT d.vec_id, CAST(d.i AS INT) AS dim,
+  CAST(CASE WHEN dims.mx > dims.mn THEN
+    least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+      floor((CAST(d.x AS DOUBLE) - dims.mn) * 255.0
+            / (dims.mx - dims.mn) + 0.5)))
+  ELSE 0.0 END AS INT) AS code
+FROM d JOIN dims USING (i)
 """
 
 
@@ -2048,7 +2065,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
-    return bpe_encode(docs, merges, "text", "doc_id").orderBy("doc_id")
+    # tokens joined on space (tokens are whitespace-split, so ' ' can
+    # never occur inside one): raw array<string> cells are unhashable
+    # in the driver's pandas canonicalizer
+    return (
+        bpe_encode(docs, merges, "text", "doc_id")
+        .select(
+            "doc_id",
+            F.array_join("tokens", " ").alias("tokens_str"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _o_bpe_encode() -> str:
@@ -2077,9 +2105,9 @@ dw AS (
   FROM documents
 )
 SELECT doc_id,
-  flatten(list_transform(ws, w ->
+  array_to_string(flatten(list_transform(ws, w ->
     list_transform(regexp_extract_all({chain}, '{sym}'),
-      s -> substr(s, 2, length(s) - 2)))) AS tokens,
+      s -> substr(s, 2, length(s) - 2)))), ' ') AS tokens_str,
   CAST(len(flatten(list_transform(ws, w ->
     list_transform(regexp_extract_all({chain}, '{sym}'),
       s -> substr(s, 2, length(s) - 2))))) AS BIGINT) AS n_tokens

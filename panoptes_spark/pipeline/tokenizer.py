@@ -122,6 +122,23 @@ def bpe_train(
                 break
             pa, pb, cnt = top[0]["pa"], top[0]["pb"], top[0]["cnt"]
             merged = SYM_L + _strip(pa) + _strip(pb) + SYM_R
+            # Equivalence guard: the rank-priority encoder and the
+            # in-order replace chain (the DuckDB oracle) agree only if
+            # no two rounds yield the same surface symbol — (a,bc) and
+            # (ab,c) both produce 'abc', after which a later merge CAN
+            # recreate an earlier merge's pair and the two applications
+            # diverge. Never fires on natural corpora (the earlier
+            # merge's symbol has strictly higher count), so fail loudly
+            # rather than silently drift.
+            if any(
+                SYM_L + m.left_sym + m.right_sym + SYM_R == merged
+                for m in merges
+            ):
+                raise ValueError(
+                    f"duplicate merged symbol {merged!r} at round {r}: "
+                    "rank-priority apply would diverge from in-order "
+                    "replace semantics"
+                )
             nxt = vocab.select(
                 F.call_function(
                     "replace", F.col("enc"), F.lit(pa + pb), F.lit(merged)
@@ -215,6 +232,15 @@ def bpe_encode(
 
     rows = merges.orderBy("merge_round").collect()
     ranks = {(r.left_sym, r.right_sym): i for i, r in enumerate(rows)}
+    # same equivalence guard as bpe_train, for externally-supplied
+    # merge tables: two rounds producing one surface symbol would make
+    # rank-priority apply diverge from in-order replace semantics
+    surfaces = [r.left_sym + r.right_sym for r in rows]
+    if len(set(surfaces)) != len(surfaces):
+        dup = next(s for s in surfaces if surfaces.count(s) > 1)
+        raise ValueError(
+            f"merge table contains duplicate merged symbol {dup!r}"
+        )
     # Java-regex \s (ASCII class) to match the trainer's word_counts
     # split; empty + marker-char words dropped identically
     ws_re = re.compile(r"\s+", re.ASCII)

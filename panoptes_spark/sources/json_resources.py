@@ -72,9 +72,23 @@ def read_resources_json(
         # PanoptesResource requires each identity field to BE a string
         # (resources.py:105-118); a JSON array/object lands here as its
         # serialized text, which the reference would have rejected with
-        # an AssertionError -> drop it the same way
+        # an AssertionError -> drop it the same way. Only values that
+        # actually PARSE as JSON arrays/objects are rejected — a genuine
+        # string that merely starts with '[' (e.g. a bracketed IPv6
+        # endpoint "[2001:db8::1]") is a valid identity string.
+        looks_json = F.col(c).rlike(r"^\s*[\[{]")
+        parses_json = (
+            F.try_parse_json(F.col(c)).isNotNull()
+            if hasattr(F, "try_parse_json")
+            else F.from_json(
+                F.col(c), "array<string>", {"mode": "PERMISSIVE"}
+            ).isNotNull()
+            | F.from_json(
+                F.col(c), "map<string,string>", {"mode": "PERMISSIVE"}
+            ).isNotNull()
+        )
         valid = valid.where(
-            F.col(c).isNotNull() & ~F.col(c).rlike(r"^\s*[\[{]")
+            F.col(c).isNotNull() & ~(looks_json & parses_json)
         )
     if dedup:
         valid = dedup_resources(valid)

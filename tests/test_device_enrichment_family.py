@@ -167,3 +167,82 @@ def test_cisco_asa_enrichment(spark):
     assert [g["group_name"] for g in got["metrics_groups"]] == [
         "cpu", "memory"
     ]
+
+
+def test_juniper_srx_functional_enrichment(spark):
+    """SRX functional metrics (NAT/session): statics from the pool-name
+    and node-descr walks; the translated address is the LAST FOUR index
+    octets (plugin :49-51); groups are unconditional constants
+    (:130-166); MaxFlowSession is walked but never emitted (:63-67)."""
+    POOL = de.SRX_NAT_POOL_NAME
+    DESCR = de.SRX_SPU_NODE_DESCR
+    rows = [
+        # index = <pool id>.<4-octet address>
+        (POOL + ".6.4.112.10.1.2.3", "src-pool-a"),
+        (POOL + ".6.4.112.10.1.2.4", "src-pool-b"),
+        (DESCR + ".0", "node0"),
+        (DESCR + ".1", "node1"),
+        # walked counters do NOT contribute statics
+        (de.SRX_SPU_CUR_FLOW + ".0", "1234"),
+        (de.SRX_NAT_NUM_SESSIONS + ".6.4.112.10.1.2.3", "7"),
+    ]
+    out = de.juniper_srx_functional_enrichment(
+        spark, _walk(spark, rows), _devices(spark)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].namespace == "functional_metrics"
+    got = json.loads(out[0].enrichment)
+    oids = got["oids"]
+    assert oids["source_pool_name"]["values"] == {
+        "6.4.112.10.1.2.3": "src-pool-a",
+        "6.4.112.10.1.2.4": "src-pool-b",
+    }
+    assert oids["nat_src_translated_address"]["values"] == {
+        "6.4.112.10.1.2.3": "10.1.2.3",
+        "6.4.112.10.1.2.4": "10.1.2.4",
+    }
+    assert oids["monitoring_node_descriptions"]["values"] == {
+        "0": "node0", "1": "node1"
+    }
+    assert oids["current_session_flow"] == {
+        "method": "bulk_walk", "oid": de.SRX_SPU_CUR_FLOW
+    }
+    assert oids["num_ports_in_use"] == {
+        "method": "bulk_walk", "oid": de.SRX_NAT_PORT_INUSE
+    }
+    assert oids["num_sessions"] == {
+        "method": "bulk_walk", "oid": de.SRX_NAT_NUM_SESSIONS
+    }
+    # MaxFlowSession must not appear anywhere in the program
+    assert "max_flow" not in out[0].enrichment
+    assert de.SRX_SPU_TABLE + ".1.7" not in out[0].enrichment
+    groups = {g["group_name"]: g for g in got["metrics_groups"]}
+    assert set(groups) == {"nat", "session"}
+    nat = groups["nat"]
+    assert nat["dimensions"] == {
+        "source_pool_name": "source_pool_name.$index",
+        "address": "nat_src_translated_address.$index",
+    }
+    assert nat["metrics"]["max_ports"] == {
+        "metric_type": "gauge",
+        "transform": "lambda x: 64512",
+        "value": "num_ports_in_use.$index",
+    }
+    assert groups["session"]["metrics"]["current_session_flow"][
+        "value"
+    ] == "sum([int(x) for x in current_session_flow.values()])"
+
+
+def test_juniper_srx_functional_no_pools(spark):
+    """A device with no NAT pools still gets the full program shape —
+    empty statics, same unconditional groups."""
+    rows = [(de.SRX_SPU_CUR_FLOW + ".0", "99")]
+    got = _run(
+        de.juniper_srx_functional_enrichment, spark, _walk(spark, rows)
+    )
+    assert got["oids"]["source_pool_name"]["values"] == {}
+    assert got["oids"]["nat_src_translated_address"]["values"] == {}
+    assert got["oids"]["monitoring_node_descriptions"]["values"] == {}
+    assert [g["group_name"] for g in got["metrics_groups"]] == [
+        "nat", "session"
+    ]

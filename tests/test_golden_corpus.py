@@ -42,42 +42,47 @@ def _canon_value(v):
     return round(f, 6)
 
 
+# NOTE: canon rows use sorted TUPLES, not frozensets. Equal-content
+# frozensets can repr() in different element orders (layout depends on
+# insertion history), which made `sorted(out, key=repr)` order-unstable
+# between the golden side and the replay side — the source of the r4
+# bgp-session flake and deterministic mx2020/srx1400 mismatches.
 def _canon_golden(path):
     with open(path) as f:
         data = json.load(f)
     out = []
     for g in data:
-        dims = frozenset(
+        dims = tuple(sorted(
             (d["dimension_name"], d["dimension_value"]) for d in g["dimensions"]
-        )
-        mets = frozenset(
+        ))
+        mets = tuple(sorted(
             (m["metric_name"], m["metric_type"], _canon_value(m["metric_value"]))
             for m in g["metrics"]
-        )
+        ))
         out.append(
             (g["metrics_group_type"], g["metrics_group_interval"], dims, mets)
         )
-    return sorted(out, key=repr)
+    return sorted(out)
 
 
 def _canon_compiled(rows, status_code, interval=60):
     out = []
     for r in rows:
-        dims = frozenset(
+        dims = tuple(sorted(
             (d.dimension_name, d.dimension_value) for d in r.dimensions
-        )
-        mets = frozenset(
+        ))
+        mets = tuple(sorted(
             (m.metric_name, m.metric_type, _canon_value(m.metric_value))
             for m in r.metrics
-        )
+        ))
         out.append((r.metrics_group_type, r.metrics_group_interval, dims, mets))
     # the plugin always appends the polling-status group
     # (get_device_metrics, plugin_polling_generic_snmp.py:703)
     out.append(
-        ("status", interval, frozenset(),
-         frozenset({("polling_status", "gauge", float(status_code))}))
+        ("status", interval, (),
+         (("polling_status", "gauge", float(status_code)),))
     )
-    return sorted(out, key=repr)
+    return sorted(out)
 
 
 def _replay(spark, program, snmprec, service_active=True, ping_ok=True):
@@ -115,8 +120,8 @@ def test_golden_results_missing_cpu_oids(spark):
     expected = _canon_golden(f"{DATA}/missing_cpu_oids_results.json")
     assert got == expected
     # the poisoning path: cpu_util subtree absent -> PARTIAL(4)
-    assert ("status", 60, frozenset(),
-            frozenset({("polling_status", "gauge", 4.0)})) in got
+    assert ("status", 60, (),
+            (("polling_status", "gauge", 4.0),)) in got
 
 
 def test_golden_results_no_service_active(spark):
@@ -125,8 +130,8 @@ def test_golden_results_no_service_active(spark):
     expected = _canon_golden(f"{DATA}/from_file_no_service_active_results.json")
     assert got == expected
     # every walk timed out; ping also failed -> PING_FAILURE(7)
-    assert ("status", 60, frozenset(),
-            frozenset({("polling_status", "gauge", 7.0)})) in got
+    assert ("status", 60, (),
+            (("polling_status", "gauge", 7.0),)) in got
 
 
 def test_golden_line_protocol_render(spark):
@@ -267,8 +272,13 @@ def test_golden_results_juniper_device_metrics(spark, stem):
 def test_juniper_builder_composes_into_polling_program(spark, stem):
     """Composition: the juniper device-metrics ENRICHMENT BUILDER run on
     the polling suite's recording reproduces the checked-in polling
-    program exactly (the polling fixtures were generated without the
-    disk metrics group) — builder output IS what polling consumes."""
+    program exactly — builder output IS what polling consumes.
+
+    mx2020/srx1400 were generated with include_disk_metrics_group=1
+    (storage oids always present; disk GROUP only when the storage
+    walk is non-empty — srx1400 has the oids but no group,
+    plugin_enrichment_juniper_device_metrics.py:287,407-408); the other
+    three fixtures were generated with the flag off."""
     import json as _json
 
     from panoptes_spark.operators.device_enrichment import (
@@ -285,7 +295,8 @@ def test_juniper_builder_composes_into_polling_program(spark, stem):
         [(DEVICE, "model")], "device_id string, model string"
     )
     out = juniper_device_enrichment(
-        spark, walk, devices, polling_frequency=300, include_disk=False
+        spark, walk, devices, polling_frequency=300,
+        include_disk=stem in ("mx2020", "srx1400"),
     ).collect()
     built = _json.loads(out[0].enrichment)
 

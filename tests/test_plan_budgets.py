@@ -98,3 +98,48 @@ def test_unique_shuffle_budget(spark, name):
     assert got <= UNIQUE_BUDGETS[name], (
         f"{name}: {got} distinct exchanges > budget {UNIQUE_BUDGETS[name]}"
     )
+
+
+# -- indexed-aggregate compiler plan (juniper power_units_on) -----------
+
+_JNP = "/root/reference/tests/plugins/polling/generic/snmp/juniper/data"
+
+
+def test_indexed_aggregate_plan_budget(spark):
+    """The r4 indexed-aggregate path (power_units_on: driving frame ×
+    device-dim agg table, _indexed_aggregate_values): the per-device
+    cross join must stay a bounded dim×dim join keyed on device_id —
+    never a CartesianProduct — and the whole mx2020 program (cpu,
+    memory, environment incl. the aggregate, disk) must hold a distinct-
+    exchange budget."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(_JNP):
+        _pytest.skip("reference corpus not available")
+
+    from panoptes_spark.dsl import corpus
+    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler
+
+    program = corpus.load_program(f"{_JNP}/mx2020_enrichment")
+    snmprec = corpus.parse_snmprec(f"{_JNP}/recording/mx2020.snmprec")
+    oid_maps, _events = corpus.build_oid_fixture(
+        program, snmprec, service_active=True
+    )
+    tables = corpus.oid_tables_df(spark, oid_maps, program, "127.0.0.1")
+    devices = spark.createDataFrame([("127.0.0.1",)], "device_id string")
+    comp = MetricDSLCompiler(
+        spark, program, tables, interval_sec=60,
+        schema_version="0.1", static_devices=devices,
+    )
+    plan = comp.compile()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = _unique_shuffles(plan)
+    # 25 at lock time: the program has TWO aggregate targets (indexed
+    # power_units_on + top-level fans_ok), a table subscript, member
+    # flags, and four groups incl. disk. Every exchanged frame is
+    # device-dim or entity-dim sized (never walk-corpus sized) and
+    # keyed on device_id / (device_id, index) — the natural parallelism
+    # — so the count locks REGRESSION, not an efficiency target.
+    assert got <= 25, f"mx2020 program: {got} distinct exchanges > 25\n"

@@ -260,7 +260,12 @@ def test_metric_expr_differential(spark, expr):
             py_vals.append(float(v))
         except Exception:
             continue
-    assert spark_vals == sorted(py_vals), f"expr: {expr}"
+    # the reference accumulates groups into a python SET
+    # (PanoptesMetricsGroupSet, framework/metrics.py:411-418): with no
+    # dimensions, groups whose single metric reads the same value are
+    # EQUAL and collapse — e.g. expr '0' yields ONE group, not one per
+    # index. The compiler's compile() models this with dropDuplicates.
+    assert spark_vals == sorted(set(py_vals)), f"expr: {expr}"
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,31 @@ def test_json_resource_scan_tolerates_corrupt(spark, tmp_path):
     assert corrupt.count() == 1
 
 
+def test_json_resource_scan_bracketed_ipv6_endpoint(spark, tmp_path):
+    """A genuine string identity value that merely STARTS with '[' (a
+    bracketed IPv6 endpoint) must survive — only values that parse as
+    JSON arrays/objects model the reference's string-type assertion
+    failure (resources.py:105-118)."""
+    base = {
+        "resource_site": "dc1", "resource_class": "network",
+        "resource_subclass": "switch", "resource_type": "cisco",
+        "resource_creation_timestamp": 1.0, "resource_plugin": "disc",
+        "resource_metadata": {},
+    }
+    ipv6 = dict(base, resource_id="r6",
+                resource_endpoint="[2001:db8::1]")
+    arr = dict(base, resource_id="bad",
+               resource_endpoint=["not", "a", "string"])
+    p = tmp_path / "resources.json"
+    with open(p, "w") as f:
+        f.write(json.dumps(ipv6) + "\n")
+        f.write(json.dumps(arr) + "\n")
+
+    valid, _ = read_resources_json(spark, str(p))
+    rows = valid.collect()
+    assert [r.resource_endpoint for r in rows] == ["[2001:db8::1]"]
+
+
 def test_store_ops(spark):
     store = spark.createDataFrame(
         [("enrich:r1:interface", "v1", 100.0), ("enrich:r2:interface", "v2", 10.0),

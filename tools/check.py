@@ -1,9 +1,16 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB at the given scale factor; compares row count, column names, and
-order-insensitive values (columns sorted by name, rows sorted by all
-columns, floats compared to 9 significant digits).
+DuckDB at the given scale factor, then compares the way the DRIVER does:
+both results go through pandas, columns sorted by name, rows sorted by
+all columns, cells compared EXACTLY (no significant-digit rounding).
+
+Additional guards the r4 post-mortem demanded (VERDICT r4 #6):
+- pandas-dtype parity: an int64 vs float64 skew (e.g. a DuckDB HUGEINT
+  sum widened to float) is a FAIL even when the values print the same.
+- complex-typed cells (list/dict/ndarray) are a FAIL on sight: the
+  driver's canonicalizer dies with "unhashable type" on them, which
+  counts as a failed gate.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
 """
@@ -18,6 +25,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from panoptes_spark.session import get_spark  # noqa: E402
@@ -28,29 +37,44 @@ TABLES = [
 ]
 
 
+class ComplexCell(Exception):
+    pass
+
+
 def norm_cell(v):
-    if v is None:
+    """Exact canonical string for a cell — NO float rounding."""
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, bool):
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise ComplexCell(type(v).__name__)
+    if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        if v == 0:
+        if f == 0:
             return "0"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(v[k])}" for k in sorted(v)) + "}"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     return str(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out, [cols[i] for i in order]
+def canon_pdf(pdf: pd.DataFrame):
+    """(sorted rows, sorted cols, dtype map) — driver-shaped canon."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # dtype KIND parity ('i' int / 'f' float / 'O' object / 'b' bool):
+    # the driver's stringified-cell hash survives width skew (int32 vs
+    # int64 — text_features passed in r4) but NOT kind skew (HUGEINT →
+    # float64 vs bigint — vocab_coverage failed in r4)
+    dtypes = {c: pdf[c].dtype.kind for c in cols}
+    rows = []
+    for r in pdf.itertuples(index=False, name=None):
+        rows.append(tuple(norm_cell(v) for v in r))
+    rows.sort()
+    return rows, cols, dtypes
 
 
 def main():
@@ -74,42 +98,60 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows, "
+            print(f"SKIP {name}: no oracle (rows-only: {len(spdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
 
-        s_canon, s_cols = canon(srows, scols)
-        o_canon, o_cols = canon(orows, ocols)
+        try:
+            s_rows, s_cols, s_dt = canon_pdf(spdf)
+        except ComplexCell as e:
+            print(f"FAIL {name}: complex-typed cell on SPARK side ({e}) — "
+                  "the driver's canonicalizer cannot hash this")
+            n_fail += 1
+            continue
+        try:
+            o_rows, o_cols, o_dt = canon_pdf(opdf)
+        except ComplexCell as e:
+            print(f"FAIL {name}: complex-typed cell on ORACLE side ({e}) — "
+                  "the driver's canonicalizer cannot hash this")
+            n_fail += 1
+            continue
+
         dt = time.time() - t0
         if s_cols != o_cols:
             print(f"FAIL {name}: columns differ spark={s_cols} duckdb={o_cols}")
             n_fail += 1
-        elif len(s_canon) != len(o_canon):
-            print(f"FAIL {name}: rowcount spark={len(s_canon)} duckdb={len(o_canon)}")
+        elif s_dt != o_dt:
+            skew = {
+                c: (s_dt[c], o_dt[c]) for c in s_cols if s_dt[c] != o_dt[c]
+            }
+            print(f"FAIL {name}: dtype skew (spark, duckdb): {skew} — "
+                  "the driver's exact hash will mismatch")
             n_fail += 1
-        elif s_canon != o_canon:
+        elif len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} "
+                  f"duckdb={len(o_rows)}")
+            n_fail += 1
+        elif s_rows != o_rows:
             diffs = [
-                (a, b) for a, b in zip(s_canon, o_canon) if a != b
+                (a, b) for a, b in zip(s_rows, o_rows) if a != b
             ][:3]
             print(f"FAIL {name}: values differ; first diffs: {diffs}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(s_canon)} rows ({dt:.1f}s)")
+            print(f"PASS {name}: {len(s_rows)} rows ({dt:.1f}s)")
             n_pass += 1
 
     unknown = only - set(qs)
