@@ -1024,10 +1024,15 @@ joined AS (
   LEFT JOIN sensor_value v ON n.device_id = v.device_id AND n.index = v.index
   WHERE TRY_CAST(v.value AS BIGINT) IS NOT NULL
 )
--- DISTINCT per arm: the reference accumulates metrics groups into a
--- python SET (PanoptesMetricsGroupSet, framework/metrics.py:411-418),
--- so identical (dims, metrics) groups collapse; each group here carries
--- exactly one metric, so flattened-row DISTINCT is group-set DISTINCT
+-- The reference accumulates metrics groups into a python SET
+-- (PanoptesMetricsGroupSet) whose __eq__ IGNORES group_type
+-- (framework/metrics.py:405-409): identical (dims, metrics) collapse
+-- ACROSS the strict/lenient pair, first program group ('strict') wins.
+-- A lenient row for a non-empty sensor is identical to its strict twin
+-- and vanishes; only the empty-sensor lenient rows (dim omitted)
+-- survive as 'lenient'. DISTINCT within each arm models same-type
+-- collapse; each group carries exactly one metric so flattened-row
+-- DISTINCT is group-set DISTINCT.
 SELECT DISTINCT device_id, 'strict' AS metrics_group_type,
        CAST(60 AS BIGINT) AS metrics_group_interval,
        'sensor=' || sensor AS dims_str,
@@ -1036,9 +1041,8 @@ SELECT DISTINCT device_id, 'strict' AS metrics_group_type,
 FROM joined WHERE sensor <> ''
 UNION ALL
 SELECT DISTINCT device_id, 'lenient', CAST(60 AS BIGINT),
-       CASE WHEN sensor = '' THEN '' ELSE 'sensor=' || sensor END,
-       'reading', CAST(reading AS DOUBLE), 'gauge'
-FROM joined
+       '', 'reading', CAST(reading AS DOUBLE), 'gauge'
+FROM joined WHERE sensor = ''
 """
 
 

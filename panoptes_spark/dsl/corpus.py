@@ -242,3 +242,35 @@ def oid_tables_df(
     return spark.createDataFrame(rows, schema) if rows else (
         spark.createDataFrame([], schema)
     )
+
+
+def enrichment_config_status(
+    has_preload: bool, file_text: str | None
+) -> int:
+    """Status code of the plugin's enrichment-config bootstrap as a pure
+    function (``get_device_metrics``'s outer try,
+    plugin_polling_generic_snmp.py:695-703 + ``_get_config``/
+    ``_read_enrichment`` :364-372,706-719 and the exception->state map
+    ``polling_status.py:42-56,178-188``):
+
+    - preload AND file            -> PanoptesPluginConfigurationError
+                                     (unmapped)      -> INTERNAL_FAILURE(5)
+    - neither preload nor file    -> PanoptesPluginConfigurationError
+                                                     -> INTERNAL_FAILURE(5)
+    - file present but unparseable -> PanoptesEnrichmentFileEmptyError
+      (subclass of PanoptesEnrichmentCacheError, found via MRO)
+                                                     -> ENRICHMENT_FAILURE(8)
+    - otherwise the config loads  -> SUCCESS(0), polling proceeds
+    """
+    import json as _json
+
+    if has_preload and file_text is not None:
+        return INTERNAL_FAILURE
+    if not has_preload and file_text is None:
+        return INTERNAL_FAILURE
+    if file_text is not None:
+        try:
+            _json.loads(file_text)
+        except Exception:
+            return ENRICHMENT_FAILURE
+    return SUCCESS

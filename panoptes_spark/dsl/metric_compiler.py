@@ -234,6 +234,11 @@ class MetricDSLCompiler:
         literal lookup — projection, no join (all devices share the
         same values dict)."""
         spec = self.oids_spec[name]
+        if not spec["values"]:
+            # empty static (cisco 4900M): create_map() is map<void,void>
+            # and a string lookup on it fails analysis — every lookup is
+            # a KeyError, i.e. NULL
+            return F.lit(None).cast("string")
         m = F.create_map(
             *[
                 F.lit(s)
@@ -252,15 +257,26 @@ class MetricDSLCompiler:
         spec = self.oids_spec[name]
         if spec["method"] == "static":
             # literal rows per device as an exploded array — a pure
-            # projection (no crossJoin / broadcast exchange per table)
-            entries = F.array(
-                *[
-                    F.struct(
-                        F.lit(str(k)).alias("index"), F.lit(str(v)).alias("value")
-                    )
-                    for k, v in spec["values"].items()
-                ]
-            )
+            # projection (no crossJoin / broadcast exchange per table).
+            # An EMPTY values map (cisco 4900M polling fixture) must
+            # build a typed empty array: F.array() of zero literals is
+            # array<void> and exploding it breaks downstream field
+            # extraction.
+            if not spec["values"]:
+                entries = F.expr(
+                    "cast(array() as"
+                    " array<struct<index:string,value:string>>)"
+                )
+            else:
+                entries = F.array(
+                    *[
+                        F.struct(
+                            F.lit(str(k)).alias("index"),
+                            F.lit(str(v)).alias("value"),
+                        )
+                        for k, v in spec["values"].items()
+                    ]
+                )
             df = self._devices.select(
                 "device_id", F.explode(entries).alias("e")
             ).select("device_id", "e.index", "e.value")
@@ -1092,7 +1108,12 @@ class MetricDSLCompiler:
                 gname.alias("metrics_group_type"),
                 interval.alias("metrics_group_interval"),
                 F.col("top_metrics").alias("metrics"),
-                F.col("top_dims").alias("dimensions"),
+                # the reference's fallback branch attaches top-level
+                # dims ONLY when top-level metrics exist (:661-668);
+                # a metric-less fallback group is fully empty
+                F.when(
+                    F.expr("size(top_metrics) > 0"), F.col("top_dims")
+                ).otherwise(F.expr(_EMPTY_D)).alias("dimensions"),
             )
             return out.unionByName(top_only)
 
@@ -1108,7 +1129,10 @@ class MetricDSLCompiler:
             gname.alias("metrics_group_type"),
             interval.alias("metrics_group_interval"),
             F.col("top_metrics").alias("metrics"),
-            F.col("top_dims").alias("dimensions"),
+            # same fallback rule as above: dims ride only with metrics
+            F.when(
+                F.expr("size(top_metrics) > 0"), F.col("top_dims")
+            ).otherwise(F.expr(_EMPTY_D)).alias("dimensions"),
         )
 
     def _union_long(self, targets: list[_Target], value_type: str) -> DataFrame:
@@ -1183,7 +1207,10 @@ class MetricDSLCompiler:
 
     def compile(self) -> DataFrame:
         """All metrics_groups unioned, canonical array order applied."""
-        outs = [self.compile_group(g) for g in self.program["metrics_groups"]]
+        outs = [
+            self.compile_group(g).withColumn("__gpos", F.lit(i))
+            for i, g in enumerate(self.program["metrics_groups"])
+        ]
         df = outs[0]
         for o in outs[1:]:
             df = df.unionByName(o)
@@ -1203,12 +1230,40 @@ class MetricDSLCompiler:
                 " WHEN a.dimension_name > b.dimension_name THEN 1 ELSE 0 END)"
             ),
         )
-        # the reference accumulates groups into a python set
-        # (PanoptesMetricsGroupSet, framework/metrics.py:411-418, __eq__
-        # on (resource, metrics, dimensions)) — identical groups collapse
-        # (e.g. many no-dims cpu rows all reading 0). Arrays are already
-        # canonically sorted, so whole-row distinct models the set.
-        return df.dropDuplicates()
+        # The reference accumulates groups into a python SET
+        # (PanoptesMetricsGroupSet, framework/metrics.py:411-418) whose
+        # __eq__/__hash__ compare (resource, metrics, dimensions) — NOT
+        # group_type (:388-409). Identical (dims, metrics) groups
+        # therefore collapse even ACROSS group types, and python set.add
+        # keeps the FIRST inserted element: the surviving group carries
+        # the name of the EARLIEST program group (the cisco nxos/4900M
+        # goldens each hold exactly one fully-empty group named
+        # 'environment' — the first group in those programs). Arrays are
+        # canonically sorted, so a (metrics, dimensions)-keyed min over
+        # (program position, name) models the set exactly.
+        return (
+            df.groupBy(
+                "device_id",
+                "metrics_group_interval",
+                "metrics",
+                "dimensions",
+            )
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("__gpos"),
+                        F.col("metrics_group_type").alias("gname"),
+                    )
+                ).alias("__w")
+            )
+            .select(
+                "device_id",
+                F.col("__w.gname").alias("metrics_group_type"),
+                "metrics_group_interval",
+                "metrics",
+                "dimensions",
+            )
+        )
 
 
 def flatten_groups(df: DataFrame) -> DataFrame:

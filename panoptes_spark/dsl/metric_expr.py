@@ -177,6 +177,23 @@ class _Translator:
         ast.Mod: "%",
     }
 
+    # operand SQLs with these prefixes are STRING-typed table cells /
+    # subscript lookups; python arithmetic on them works only when the
+    # value parses numerically (the reference's static maps keep JSON
+    # number types; walked values are numeric strings). Spark's implicit
+    # string coercion is a STRICT cast under ANSI — '1.0' * bigint is
+    # job-fatal (cisco 6509-E temp_sensor_scales) — so coerce explicitly
+    # with TRY_CAST and register the hazard: a non-numeric string maps
+    # to python's TypeError/ValueError, skipping the index.
+    _STR_OPERAND = ("__t_", "__sub_", "__agg_value")
+
+    def _num(self, sql: str) -> str:
+        if sql.startswith(self._STR_OPERAND):
+            out = f"TRY_CAST({sql} AS DOUBLE)"
+            self._add_hazard(out)
+            return out
+        return sql
+
     def _t_BinOp(self, node):
         l, r = self.translate(node.left), self.translate(node.right)
         if isinstance(node.op, ast.Div):
@@ -191,7 +208,7 @@ class _Translator:
         op = self._BINOPS.get(type(node.op))
         if not op:
             raise UnsupportedExpression(f"operator {node.op}")
-        return f"({l} {op} {r})"
+        return f"({self._num(l)} {op} {self._num(r)})"
 
     def _t_UnaryOp(self, node):
         v = self.translate(node.operand)

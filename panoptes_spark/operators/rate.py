@@ -104,3 +104,47 @@ def rate_oracle_sql(
       AND ({ts_col} - prev_t) / 1000.0 <= {float(ttl_multiple * interval_sec)}
       AND ({value_col} - prev_v) >= 0
     """
+
+
+def agent_rate_gauges(
+    samples: DataFrame,
+    series_cols: list[str],
+    seq_col: str = "seq",
+    ts_col: str = "metric_ts",
+    value_col: str = "metric_value",
+    interval_col: str = "interval",
+    ttl_multiple: int = METRICS_KV_STORE_TTL_MULTIPLE,
+) -> DataFrame:
+    """Polling-agent counter->gauge transform twin
+    (``polling_plugin_agent.py:_transformation_rate`` :178-243): each
+    arriving counter sample is getset against the KV store, so the
+    comparison base is the IMMEDIATELY PRECEDING sample in arrival
+    order — even when that sample's own conversion was skipped. A lag
+    window over the arrival sequence reproduces the store exactly.
+
+    Emits one row per sample with the computed ``gauge_value`` (NULL =
+    the reference's skip: first sample, dt <= 0, dt beyond
+    interval*TTL_MULTIPLE, or counter reset) plus ``confidence``
+    (round(interval/dt, 2) — the reference only LOGS a low value,
+    :221-225, so it rides along un-filtered). rate = int(diff/dt)
+    truncated (:229), diff >= 0 so floor == int.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(seq_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    dt = F.col(ts_col) - prev_t
+    diff = F.col(value_col) - prev_v
+    ok = (
+        prev_t.isNotNull()
+        & (dt > 0)
+        & (dt <= F.col(interval_col) * F.lit(ttl_multiple))
+        & (diff >= 0)
+    )
+    return samples.select(
+        "*",
+        F.when(ok, F.floor(diff / dt)).cast("long").alias("gauge_value"),
+        F.when(
+            prev_t.isNotNull() & (dt > 0),
+            F.round(F.col(interval_col) / dt, 2),
+        ).alias("confidence"),
+    )

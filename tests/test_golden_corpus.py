@@ -85,7 +85,8 @@ def _canon_compiled(rows, status_code, interval=60):
     return sorted(out)
 
 
-def _replay(spark, program, snmprec, service_active=True, ping_ok=True):
+def _replay(spark, program, snmprec, service_active=True, ping_ok=True,
+            schema_version="0.1"):
     oid_maps, events = corpus.build_oid_fixture(
         program, snmprec, service_active=service_active
     )
@@ -97,7 +98,7 @@ def _replay(spark, program, snmprec, service_active=True, ping_ok=True):
         program,
         tables,
         interval_sec=60,
-        schema_version="0.1",
+        schema_version=schema_version,
         static_devices=devices,
     )
     rows = compiler.compile().collect()
@@ -311,3 +312,78 @@ def test_juniper_builder_composes_into_polling_program(spark, stem):
     assert ordered(built["metrics_groups"]) == ordered(
         program["metrics_groups"]
     )
+
+
+# -- cisco IOS / NXOS polling goldens (schema 0.2) ----------------------
+
+IOS_POLL = (
+    "/root/reference/tests/plugins/polling/generic/snmp/cisco/ios/data"
+)
+NXOS_POLL = (
+    "/root/reference/tests/plugins/polling/generic/snmp/cisco/nxos/data"
+)
+_IOS_CASES = ["3560G-48TS-S", "4900M", "6509-E", "4948E"]
+_NXOS_CASES = ["3048", "n3k_3048T"]
+
+
+@pytest.mark.parametrize("stem", _IOS_CASES)
+def test_golden_results_cisco_ios_polling(spark, stem):
+    """The four cisco-IOS polling goldens at enrichment_schema_version
+    0.2 (test_plugin_polling_cisco_ios.py plugin_conf): covers empty
+    static tables (4900M), string*numeric arithmetic through
+    temp_sensor_scales (6509-E/4948E — python TypeError parity via
+    TRY_CAST hazards), and the MetricsGroupSet cross-type collapse of
+    fully-empty groups (framework/metrics.py:405-409 __eq__ without
+    group_type)."""
+    program = corpus.load_program(f"{IOS_POLL}/{stem}.enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{IOS_POLL}/recording/{stem}.snmprec")
+    got = _replay(spark, program, snmprec, schema_version="0.2")
+    expected = _canon_golden(f"{IOS_POLL}/{stem}.results.json")
+    assert got == expected
+
+
+@pytest.mark.parametrize("stem", _NXOS_CASES)
+def test_golden_results_cisco_nxos_polling(spark, stem):
+    """The two cisco-NXOS polling goldens: EMPTY recordings — every walk
+    comes back empty, polling status MISSING_METRICS(6), and the one
+    surviving group is the collapsed empty group named after the FIRST
+    program group ('environment') per python-set first-insert-wins."""
+    program = corpus.load_program(f"{NXOS_POLL}/{stem}_enrichment_data")
+    snmprec = corpus.parse_snmprec(f"{NXOS_POLL}/recording/{stem}.snmprec")
+    got = _replay(spark, program, snmprec, schema_version="0.2")
+    expected = _canon_golden(f"{NXOS_POLL}/{stem}_results.json")
+    assert got == expected
+    assert ("status", 60, (), (("polling_status", "gauge", 6.0),)) in got
+
+
+def test_golden_enrichment_config_failures():
+    """The two config-bootstrap failure goldens
+    (TestPluginPollingCiscoIOSEnrichmentFromFileBad / ...Missing /
+    ...BothPresent): a malformed enrichment file degrades to
+    ENRICHMENT_FAILURE(8); a missing or doubly-specified enrichment
+    source to INTERNAL_FAILURE(5); either way the plugin emits ONLY the
+    status group."""
+    bad_text = open(
+        f"{IOS_POLL}/3560G-48TS-S.enrichment_bad.json"
+    ).read()
+    good_text = open(
+        f"{IOS_POLL}/3560G-48TS-S.enrichment_data.json"
+    ).read()
+
+    # bad file -> 8, matching enrichment_failure.results.json
+    code = corpus.enrichment_config_status(False, bad_text)
+    exp = _canon_golden(f"{IOS_POLL}/enrichment_failure.results.json")
+    assert [("status", 60, (), (("polling_status", "gauge", float(code)),))] \
+        == exp
+
+    # no enrichment source at all -> 5, internal_failure.results.json
+    code = corpus.enrichment_config_status(False, None)
+    exp = _canon_golden(f"{IOS_POLL}/internal_failure.results.json")
+    assert [("status", 60, (), (("polling_status", "gauge", float(code)),))] \
+        == exp
+
+    # both file AND preload -> PanoptesEnrichmentCacheError path, also 5
+    assert corpus.enrichment_config_status(True, good_text) == 5
+    # a loadable single source proceeds to polling
+    assert corpus.enrichment_config_status(False, good_text) == 0
+    assert corpus.enrichment_config_status(True, None) == 0
