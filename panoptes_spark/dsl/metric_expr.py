@@ -178,13 +178,20 @@ class _Translator:
     }
 
     # operand SQLs with these prefixes are STRING-typed table cells /
-    # subscript lookups; python arithmetic on them works only when the
-    # value parses numerically (the reference's static maps keep JSON
-    # number types; walked values are numeric strings). Spark's implicit
-    # string coercion is a STRICT cast under ANSI — '1.0' * bigint is
-    # job-fatal (cisco 6509-E temp_sensor_scales) — so coerce explicitly
-    # with TRY_CAST and register the hazard: a non-numeric string maps
-    # to python's TypeError/ValueError, skipping the index.
+    # subscript lookups. The reference's static maps keep their JSON
+    # number types (int/float) and arithmetic on them is numeric; Spark
+    # stores every cell as string, and its implicit string coercion is a
+    # STRICT cast under ANSI — '1.0' * bigint is job-fatal (cisco 6509-E
+    # temp_sensor_scales) — so coerce explicitly with TRY_CAST and
+    # register the hazard: a non-numeric string maps to python's
+    # TypeError/ValueError, skipping the index.
+    #
+    # DEVIATION (documented): python `str * int` REPEATS and
+    # `str + str` CONCATENATES ('42' * 2 -> '4242'); we interpret both
+    # numerically ('42' * 2 -> 84). No reference program applies
+    # arithmetic to a bare walked string (they cast first or multiply
+    # against numeric statics) — all 14 polling goldens replay exactly —
+    # and the numeric reading is the sane one for a metrics DSL.
     _STR_OPERAND = ("__t_", "__sub_", "__agg_value")
 
     def _num(self, sql: str) -> str:

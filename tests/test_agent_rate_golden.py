@@ -159,3 +159,72 @@ def test_agent_topic_fanout_golden(spark):
     assert {m["metric_name"] for m in payload["metrics"]} == {
         m["metric_name"] for m in groups_json[0]["metrics"]
     }
+
+
+# ---------------------------------------------------------------------------
+# property differential: lag-window twin vs a literal KV-store replay
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_scenario = st.lists(
+    st.tuples(
+        st.sampled_from(["r1", "r2"]),       # resource
+        st.sampled_from(["m1", "m2"]),       # metric name
+        st.integers(min_value=0, max_value=1000),   # counter value
+        st.integers(min_value=0, max_value=500),    # ts step
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_agent_transform(samples, interval=60, ttl_multiple=3):
+    """Literal replay of _transformation_rate's getset-then-compare loop
+    (polling_plugin_agent.py:178-243)."""
+    store = {}
+    out = []
+    for seq, (rid, name, value, ts) in enumerate(samples, start=1):
+        key = (rid, name)
+        prev = store.get(key)
+        store[key] = (value, ts)
+        gauge = None
+        if prev is not None:
+            pv, pt = prev
+            dt = ts - pt
+            if dt > 0 and dt <= interval * ttl_multiple and value - pv >= 0:
+                gauge = int((value - pv) / dt)
+        out.append((seq, gauge))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_scenario)
+def test_agent_rate_matches_kv_replay(spark, scenario):
+    # monotone-ish timestamps with occasional regressions via raw steps
+    samples = []
+    t = 1000.0
+    for rid, name, value, step in scenario:
+        t = t + step - 100  # steps < 100 move time BACKWARD
+        samples.append((rid, name, float(value), t))
+    rows = [
+        (i, rid, "g", 60, name, v, ts)
+        for i, (rid, name, v, ts) in enumerate(samples, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq int, resource_id string, group_type string, interval long,"
+        " metric_name string, metric_value double, metric_ts double",
+    )
+    got = {
+        r.seq: r.gauge_value
+        for r in agent_rate_gauges(
+            df, ["resource_id", "group_type", "metric_name"]
+        ).collect()
+    }
+    want = dict(
+        _py_agent_transform(
+            [(rid, name, v, ts) for rid, name, v, ts in samples]
+        )
+    )
+    assert got == want, (samples,)
