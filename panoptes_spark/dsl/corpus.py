@@ -262,15 +262,13 @@ def enrichment_config_status(
                                                      -> ENRICHMENT_FAILURE(8)
     - otherwise the config loads  -> SUCCESS(0), polling proceeds
     """
-    import json as _json
-
     if has_preload and file_text is not None:
         return INTERNAL_FAILURE
     if not has_preload and file_text is None:
         return INTERNAL_FAILURE
     if file_text is not None:
         try:
-            _json.loads(file_text)
+            json.loads(file_text)
         except Exception:
             return ENRICHMENT_FAILURE
     return SUCCESS

@@ -307,6 +307,24 @@ class MetricDSLCompiler:
         self._table_cache[name] = df
         return df
 
+    def unpersist(self) -> None:
+        """Release every frame this compiler persisted (devices, the
+        wide pivot, per-table frames). Long-running callers that build
+        one compiler per unit of work — the streaming polling pipeline's
+        per-micro-batch compile — must call this after consuming the
+        output, or cached blocks from dead batches linger in executor
+        storage until GC + ContextCleaner get around to them."""
+        self._devices.unpersist()
+        if self._wide_cache is not None:
+            self._wide_cache.unpersist()
+            self._wide_cache = None
+        if self._scalars_cache is not None:
+            self._scalars_cache.unpersist()
+            self._scalars_cache = None
+        for df in self._table_cache.values():
+            df.unpersist()
+        self._table_cache.clear()
+
     def _cell_frame(self, name: str) -> DataFrame:
         """(device_id, index, value) carved from the program-wide pivot
         when the table lives there: a filter+projection that KEEPS the

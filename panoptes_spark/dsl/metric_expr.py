@@ -220,7 +220,9 @@ class _Translator:
     def _t_UnaryOp(self, node):
         v = self.translate(node.operand)
         if isinstance(node.op, ast.USub):
-            return f"(- {v})"
+            # negating a string cell: python raises; ANSI's implicit
+            # strict cast would kill the job — same coercion as BinOp
+            return f"(- {self._num(v)})"
         if isinstance(node.op, ast.Not):
             return f"(NOT {v})"
         raise UnsupportedExpression(f"unary {node.op}")
@@ -276,7 +278,25 @@ class _Translator:
             return f"({neg}(instr({right_sql}, {left_sql}) > 0))"
         if type(op) not in self._CMPOPS:
             raise UnsupportedExpression(f"comparison {op}")
-        return f"({left_sql} {self._CMPOPS[type(op)]} {self.translate(right)})"
+        right_sql = self.translate(right)
+        if not isinstance(op, (ast.Eq, ast.NotEq)):
+            # ORDERING comparison with exactly one string-cell side and a
+            # non-string other side: Spark's implicit coercion is a
+            # STRICT cast under ANSI ('1.0' > 1 is job-fatal), so coerce
+            # the cell with TRY_CAST + hazard. ==/<> and cell-vs-quoted /
+            # cell-vs-cell comparisons stay raw: string equality and
+            # lexicographic string ordering agree across both engines.
+            # (python would RAISE on str-vs-int ordering; same documented
+            # numeric-reading deviation as _num's arithmetic note.)
+            l_cell = left_sql.startswith(self._STR_OPERAND)
+            r_cell = right_sql.startswith(self._STR_OPERAND)
+            l_str = left_sql.startswith("'")
+            r_str = right_sql.startswith("'")
+            if l_cell and not (r_cell or r_str):
+                left_sql = self._num(left_sql)
+            elif r_cell and not (l_cell or l_str):
+                right_sql = self._num(right_sql)
+        return f"({left_sql} {self._CMPOPS[type(op)]} {right_sql})"
 
     def _t_IfExp(self, node):
         # python laziness: only the test plus the TAKEN branch can raise.

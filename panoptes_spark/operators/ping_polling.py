@@ -74,11 +74,26 @@ def parse_ping_output(
     )
 
 
-def ping_metrics_groups(parsed: DataFrame, interval: int) -> DataFrame:
+def ping_metrics_groups(
+    parsed: DataFrame, interval: int, proc_failed_col: str | None = None
+) -> DataFrame:
     """Assemble the plugin's MetricsGroupSet rows (plugin :52-78): one
     'ping' group per device; metrics per the three-way status table in
-    the module docstring."""
+    the module docstring.
+
+    ``proc_failed_col`` (optional boolean): the probe process exited
+    non-zero. The REAL ``/bin/ping`` exits rc=1 on 100% loss, so
+    ``subprocess.check_output`` raises and ``PanoptesPingDirect``
+    re-raises (ping.py:234-238) BEFORE the plugin adds any RTT metrics
+    — such rows emit ping_status ONLY, even when the captured output
+    parses. The reference's own plugin test mocks ``check_output`` to
+    RETURN the 100%-loss text (rc unchecked), which takes the
+    parse-success branch and emits all six metrics
+    (TEST_PLUGIN_RESULT_FAILURE) — both behaviors are reference-real;
+    the column selects between them."""
     ok = F.col("packet_loss_pct").isNotNull()
+    if proc_failed_col is not None:
+        ok = ok & ~F.coalesce(F.col(proc_failed_col), F.lit(False))
     status = (
         F.when(~ok, F.lit(PING_FAILURE))
         .when(F.col("packet_loss_pct") == 100.0, F.lit(PING_FAILURE))

@@ -125,26 +125,28 @@ def agent_rate_gauges(
     Emits one row per sample with the computed ``gauge_value`` (NULL =
     the reference's skip: first sample, dt <= 0, dt beyond
     interval*TTL_MULTIPLE, or counter reset) plus ``confidence``
-    (round(interval/dt, 2) — the reference only LOGS a low value,
-    :221-225, so it rides along un-filtered). rate = int(diff/dt)
-    truncated (:229), diff >= 0 so floor == int.
+    (round(interval/dt, 2)). Confidence is computed AFTER the dt guards
+    but BEFORE the counter-difference check (:206-229): a counter-reset
+    sample carries confidence with no gauge; a TTL-overrun sample never
+    reaches the confidence line, so it carries neither. A low value only
+    LOGS (:221-225) — it never filters. rate = int(diff/dt) truncated
+    (:229), diff >= 0 so floor == int.
     """
     w = Window.partitionBy(*series_cols).orderBy(seq_col)
     prev_v = F.lag(value_col).over(w)
     prev_t = F.lag(ts_col).over(w)
     dt = F.col(ts_col) - prev_t
     diff = F.col(value_col) - prev_v
-    ok = (
+    dt_ok = (
         prev_t.isNotNull()
         & (dt > 0)
         & (dt <= F.col(interval_col) * F.lit(ttl_multiple))
-        & (diff >= 0)
     )
+    ok = dt_ok & (diff >= 0)
     return samples.select(
         "*",
         F.when(ok, F.floor(diff / dt)).cast("long").alias("gauge_value"),
         F.when(
-            prev_t.isNotNull() & (dt > 0),
-            F.round(F.col(interval_col) / dt, 2),
+            dt_ok, F.round(F.col(interval_col) / dt, 2)
         ).alias("confidence"),
     )

@@ -33,9 +33,13 @@ def compile_batch(
     program: dict,
     interval_sec: int = 60,
     schema_version: str = "0.2",
-) -> DataFrame:
+) -> tuple[DataFrame, MetricDSLCompiler]:
     """Compile one micro-batch of walk snapshots into metrics-group rows
-    (the body of the foreachBatch callback, separated for testability)."""
+    (the body of the foreachBatch callback, separated for testability).
+    Returns the output AND the compiler so the caller can
+    ``unpersist()`` its cached frames once the sink has consumed the
+    batch — without it, a long-running stream accumulates dead cached
+    blocks from old batches in executor storage."""
     compiler = MetricDSLCompiler(
         spark,
         program,
@@ -43,7 +47,7 @@ def compile_batch(
         interval_sec=interval_sec,
         schema_version=schema_version,
     )
-    return compiler.compile()
+    return compiler.compile(), compiler
 
 
 def run_polling_stream(
@@ -65,14 +69,17 @@ def run_polling_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sink(
-            compile_batch(
-                spark, batch_df, program,
-                interval_sec=interval_sec,
-                schema_version=schema_version,
-            ),
-            batch_id,
+        out, compiler = compile_batch(
+            spark, batch_df, program,
+            interval_sec=interval_sec,
+            schema_version=schema_version,
         )
+        try:
+            sink(out, batch_id)
+        finally:
+            # bound executor-storage growth: the sink has consumed the
+            # batch, so this trigger's cached frames are dead
+            compiler.unpersist()
 
     writer = walk_stream.writeStream.foreachBatch(_process)
     if checkpoint_dir:

@@ -97,3 +97,30 @@ def test_ping_multi_device_batch(spark):
     assert out["d-lost"]["ping_status"] == 7.0
     assert set(out["d-err"]) == {"ping_status"}
     assert len(out["d-ok"]) == 6
+
+
+def test_ping_proc_failure_overrides_parse(spark):
+    """The REAL /bin/ping exits rc=1 on 100% loss; subprocess raises and
+    PanoptesPingDirect re-raises (ping.py:234-238) before the plugin
+    adds RTT metrics — a failed process emits ping_status ONLY even when
+    the captured output parses (the plugin test's all-six-metrics path
+    exists only because its mock RETURNS the text instead of raising)."""
+    df = spark.createDataFrame(
+        [
+            ("d-real-loss", PING_RESPONSE_FAILURE, True),   # rc=1
+            ("d-mocked-loss", PING_RESPONSE_FAILURE, False),  # mock path
+        ],
+        "device_id string, ping_output string, proc_failed boolean",
+    )
+    parsed = parse_ping_output(df).join(
+        df.select("device_id", "proc_failed"), "device_id"
+    )
+    out = {
+        r.device_id: {m.metric_name: m.metric_value for m in r.metrics}
+        for r in ping_metrics_groups(
+            parsed, 60, proc_failed_col="proc_failed"
+        ).collect()
+    }
+    assert out["d-real-loss"] == {"ping_status": float(PING_FAILURE)}
+    assert len(out["d-mocked-loss"]) == 6
+    assert out["d-mocked-loss"]["ping_status"] == float(PING_FAILURE)
