@@ -2916,6 +2916,123 @@ ORDER BY device_id, metric_name
 """
 
 
+def _o2_dsl_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the resource DSL's canonical result order
+    (``resources.py:770,786`` ORDER BY rowid == stable per-resource
+    order; engine identity = resource_id). The driver compare is
+    order-insensitive, so the order is encoded AS A VALUE: the rank of
+    each row in the canonical order, per site — partitioned so the plan
+    carries no global (unpartitioned) window; the global sort variant
+    lives in ``query_resources(ordered=True)`` for sinks."""
+    from pyspark.sql import Window
+
+    from panoptes_spark.dsl.resource_filter import query_resources
+
+    dsl = (
+        'resource_class = "network"'
+        ' AND resource_metadata.os_version LIKE "3%"'
+    )
+    res = fx.resources(spark, sf_dir)
+    out = query_resources(res, dsl, ordered=False)
+    w = Window.partitionBy("resource_site").orderBy("resource_id")
+    return out.select(
+        "resource_site",
+        "resource_id",
+        F.row_number().over(w).alias("site_rank"),
+    )
+
+
+def _o2_oracle() -> str:
+    from panoptes_spark.dsl.resource_filter import ResourceFilter
+
+    flat = ResourceFilter(
+        'resource_class = "network"'
+        ' AND resource_metadata.os_version LIKE "3%"'
+    ).to_flat_sql()
+    return f"""
+WITH {fx.RESOURCES_CTE}
+SELECT resource_site, resource_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY resource_site ORDER BY resource_id
+  ) AS INT) AS site_rank
+FROM resources_flat WHERE {flat}
+"""
+
+
+def _p5_wire_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: the consumer's key filter and wire validation
+    (``consumer.py:383-405``) over a kafka-shaped frame synthesized from
+    orders: one wire message per order — corrupt JSON (o_orderkey%7==0),
+    parseable-but-missing resource_id (%7==1), valid otherwise — keyed
+    by class:subclass:partition; the P4 filter keeps 2 of 3 keys."""
+    from panoptes_spark.streaming.ingest import parse_and_validate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    ok_payload = F.concat(
+        F.lit(
+            '{"metrics_group_type":"order_metrics",'
+            '"metrics_group_interval":60,'
+            '"metrics_group_creation_timestamp":1.0,'
+            '"metrics_group_schema_version":"0.2",'
+            '"resource":{"resource_site":"s","resource_class":"network",'
+            '"resource_subclass":"sw","resource_type":"t",'
+            '"resource_id":"r-'
+        ),
+        k.cast("string"),
+        F.lit('"},"metrics":[{"metric_name":"m","metric_value":'),
+        (k % 100).cast("string"),
+        F.lit(
+            ',"metric_type":"gauge","metric_creation_timestamp":1.0}],'
+            '"dimensions":[]}'
+        ),
+    )
+    corrupt = F.concat(
+        F.lit('{"metrics_group_type":"order_metrics","resource":{'),
+        k.cast("string"),
+    )
+    missing_id = (
+        '{"metrics_group_type":"order_metrics",'
+        '"metrics_group_interval":60,'
+        '"resource":{"resource_site":"s"},"metrics":[],"dimensions":[]}'
+    )
+    value = (
+        F.when(k % 7 == 0, corrupt)
+        .when(k % 7 == 1, F.lit(missing_id))
+        .otherwise(ok_payload)
+    )
+    key = F.concat(F.lit("network:sw:grp"), (k % 3).cast("string"))
+    raw = orders.select(
+        F.lit("site-processed").alias("topic"),
+        key.cast("binary").alias("key"),
+        value.cast("binary").alias("value"),
+    )
+    parsed = parse_and_validate(
+        raw, keys=["network:sw:grp0", "network:sw:grp1"]
+    )
+    return parsed.select(
+        "key",
+        "is_valid",
+        F.col("metrics_group.resource.resource_id").alias("resource_id"),
+        # try_element_at: ANSI element_at throws on the empty metrics
+        # array of the missing-id rows
+        F.try_element_at(
+            "metrics_group.metrics", F.lit(1)
+        )["metric_value"].alias("mv"),
+    )
+
+
+_P5_WIRE_ORACLE = """
+SELECT 'network:sw:grp' || (o_orderkey % 3) AS key,
+  o_orderkey % 7 NOT IN (0, 1) AS is_valid,
+  CASE WHEN o_orderkey % 7 IN (0, 1) THEN NULL
+       ELSE 'r-' || o_orderkey END AS resource_id,
+  CASE WHEN o_orderkey % 7 IN (0, 1) THEN NULL
+       ELSE CAST(o_orderkey % 100 AS DOUBLE) END AS mv
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
 def _s16_srx_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16: juniper SRX functional-metrics enrichment builder
     (plugin_enrichment_functional_metrics_juniper_srx.py:37-187) on a
@@ -3180,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s15_heartbeat": _s15_heartbeat,
             "s16_srx_functional": _s16_srx_functional,
             "s17_ping_poll": _s17_ping_poll,
+            "o2_dsl_order_by": _o2_dsl_order_by,
+            "p5_wire_validation": _p5_wire_validation,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -3272,6 +3391,8 @@ def oracle_sql() -> dict[str, str]:
             "s15_heartbeat": _S15_ORACLE,
             "s16_srx_functional": _S16_ORACLE,
             "s17_ping_poll": _S17_ORACLE,
+            "o2_dsl_order_by": _o2_oracle(),
+            "p5_wire_validation": _P5_WIRE_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
