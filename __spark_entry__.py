@@ -2916,6 +2916,74 @@ ORDER BY device_id, metric_name
 """
 
 
+def _s9_kafka_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the Kafka producer sink's fan-out projection
+    (``polling_plugin_agent.py:307-364`` via ``ingest.prepare_fanout``)
+    over metrics groups synthesized from orders — per-site topic plus
+    the global topic, partitioning key = the series key
+    (resource_id|group_type|sorted dims, ``_make_key`` :157-171)."""
+    from panoptes_spark.streaming.ingest import prepare_fanout
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    groups = orders.select(
+        F.struct(
+            F.concat(F.lit("site-"), (k % 5).cast("string"))
+            .alias("resource_site"),
+            F.lit("network").alias("resource_class"),
+            F.lit("sw").alias("resource_subclass"),
+            F.lit("t").alias("resource_type"),
+            F.concat(F.lit("r-"), k.cast("string")).alias("resource_id"),
+            F.lit(None).cast("string").alias("resource_endpoint"),
+            F.lit(None).cast("double")
+            .alias("resource_creation_timestamp"),
+            F.lit(None).cast("string").alias("resource_plugin"),
+        ).alias("resource"),
+        F.lit("order_metrics").alias("metrics_group_type"),
+        F.lit(60).cast("long").alias("metrics_group_interval"),
+        F.lit(0.0).alias("metrics_group_creation_timestamp"),
+        F.lit("0.2").alias("metrics_group_schema_version"),
+        F.array(
+            F.struct(
+                F.lit("v").alias("metric_name"),
+                (k % 100).cast("double").alias("metric_value"),
+                F.lit("gauge").alias("metric_type"),
+                F.lit(0.0).alias("metric_creation_timestamp"),
+            )
+        ).alias("metrics"),
+        F.array(
+            F.struct(
+                F.lit("prio").alias("dimension_name"),
+                F.col("o_orderpriority").alias("dimension_value"),
+            ),
+            F.struct(
+                F.lit("status").alias("dimension_name"),
+                F.col("o_orderstatus").alias("dimension_value"),
+            ),
+        ).alias("dimensions"),
+    )
+    out = prepare_fanout(
+        groups, suffix="processed", global_topic="panoptes-metrics"
+    )
+    # value is the full wire JSON whose field ORDER is engine-specific;
+    # the driver-checkable projection is the routing decision itself
+    return out.select("topic", "key")
+
+
+_S9_ORACLE = """
+WITH g AS (
+  SELECT 'site-' || (o_orderkey % 5) AS site,
+    'r-' || o_orderkey || '|order_metrics|'
+      || 'prio|' || o_orderpriority || '|status|' || o_orderstatus AS key
+  FROM orders
+)
+SELECT t.topic, g.key
+FROM g, LATERAL (
+  VALUES (g.site || '-processed'), ('panoptes-metrics')
+) t(topic)
+"""
+
+
 def _o2_dsl_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: the resource DSL's canonical result order
     (``resources.py:770,786`` ORDER BY rowid == stable per-resource
@@ -3299,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s17_ping_poll": _s17_ping_poll,
             "o2_dsl_order_by": _o2_dsl_order_by,
             "p5_wire_validation": _p5_wire_validation,
+            "s9_kafka_fanout": _s9_kafka_fanout,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -3393,6 +3462,7 @@ def oracle_sql() -> dict[str, str]:
             "s17_ping_poll": _S17_ORACLE,
             "o2_dsl_order_by": _o2_oracle(),
             "p5_wire_validation": _P5_WIRE_ORACLE,
+            "s9_kafka_fanout": _S9_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
