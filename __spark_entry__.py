@@ -2916,6 +2916,72 @@ ORDER BY device_id, metric_name
 """
 
 
+_S2_PROGRAM = {
+    "oids": {
+        "sensor_value": {
+            "method": "bulk_walk", "oid": ".1.3.6.1.4.1.2636.3.1.13.1.7"
+        },
+        "base_offset": {"method": "get", "oid": ".1.3.6.1.2.1.1.3.0"},
+    },
+    "metrics_groups": [
+        {
+            "group_name": "adjusted_env",
+            "dimensions": {"sensor": {"value": "$index", "indices_from": "sensor_value"}},
+            "metrics": {
+                "adjusted": {
+                    "value": "int(sensor_value.$index) + int(base_offset)"
+                }
+            },
+        }
+    ],
+}
+
+
+def _s2_scalar_get_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: a ``get``-method scalar oid riding in a DSL program — one
+    value per device (first row wins, ``_build_map_by_get``
+    :216-244 / ``_parse_expression`` :308-309) joined into every indexed
+    evaluation through the compiler's single device-dim scalars join.
+    The $index dimension keeps (device, index) groups distinct under
+    the MetricsGroupSet set semantics."""
+    from panoptes_spark.dsl.metric_compiler import (
+        MetricDSLCompiler,
+        flatten_groups,
+    )
+
+    tables = fx.oid_tables_from_lineitem(spark, sf_dir)
+    scalars = tables.select("device_id").distinct().select(
+        "device_id",
+        F.lit("base_offset").alias("table_name"),
+        F.lit("0").alias("index"),
+        (F.substring("device_id", 5, 10).cast("int") * 10)
+        .cast("string").alias("value"),
+    )
+    comp = MetricDSLCompiler(
+        spark, _S2_PROGRAM, tables.unionByName(scalars), interval_sec=60
+    )
+    return flatten_groups(comp.compile())
+
+
+def _s2_oracle() -> str:
+    return f"""
+WITH {fx.OID_TABLES_CTE},
+scal AS (
+  SELECT DISTINCT device_id,
+    CAST(SUBSTR(device_id, 5) AS INT) * 10 AS off
+  FROM oid_base
+)
+SELECT v.device_id,
+  'adjusted_env' AS metrics_group_type,
+  CAST(60 AS BIGINT) AS metrics_group_interval,
+  'sensor=' || v.index AS dims_str,
+  'adjusted' AS metric_name,
+  CAST(CAST(v.value AS BIGINT) + s.off AS DOUBLE) AS metric_value,
+  'gauge' AS metric_type
+FROM sensor_value v JOIN scal s USING (device_id)
+"""
+
+
 def _s9_kafka_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9: the Kafka producer sink's fan-out projection
     (``polling_plugin_agent.py:307-364`` via ``ingest.prepare_fanout``)
@@ -3368,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o2_dsl_order_by": _o2_dsl_order_by,
             "p5_wire_validation": _p5_wire_validation,
             "s9_kafka_fanout": _s9_kafka_fanout,
+            "s2_scalar_get_program": _s2_scalar_get_program,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -3463,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
             "o2_dsl_order_by": _o2_oracle(),
             "p5_wire_validation": _P5_WIRE_ORACLE,
             "s9_kafka_fanout": _S9_ORACLE,
+            "s2_scalar_get_program": _s2_oracle(),
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
