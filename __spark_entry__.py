@@ -656,21 +656,31 @@ FROM plan WHERE action <> 'delete'
 # ---------------------------------------------------------------------------
 
 def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary with every money step EXACT in decimals:
+    DECIMAL(28,6) squared overflows 38 digits and both engines then
+    round DIFFERENTLY (a sum_disc_price hash mismatch surfaced at
+    sf0.001) — tight precisions keep the three-factor product at
+    (38,18)/(36,18), inside exact range for Spark and DuckDB alike."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    dec = "decimal(28,6)"
     li = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-    qty = F.col("l_quantity").cast(dec)
-    price = F.col("l_extendedprice").cast(dec)
-    disc = F.col("l_discount").cast(dec)
-    tax = F.col("l_tax").cast(dec)
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    one = F.lit(1).cast("decimal(7,6)")
+    disc_f = one - F.col("l_discount").cast("decimal(8,6)")
+    tax_f = one + F.col("l_tax").cast("decimal(8,6)")
+    # round(… , 2) BEFORE the double cast: DuckDB converts wide-scale
+    # decimals to double via hugeint/10^scale in floating point (off by
+    # an ulp on ~1e9 sums at scale 12+), while Spark's BigDecimal
+    # conversion is correctly rounded. At scale 2 the conversion is
+    # exact on both engines — and money answers are 2dp anyway.
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast(dec) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast(dec) - disc) * (F.lit(1).cast(dec) + tax))
-            .cast("double")
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * disc_f), 2).cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price * disc_f * tax_f), 2).cast("double")
             .alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
@@ -679,10 +689,16 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) * (1 - CAST(l_discount AS DECIMAL(28,6))) * (1 + CAST(l_tax AS DECIMAL(28,6)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+    AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(8,6)))), 2)
+    AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(8,6)))
+    * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2)
+    AS DOUBLE) AS sum_charge,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
