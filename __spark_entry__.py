@@ -786,19 +786,26 @@ WITH probes AS (
 )
 SELECT device_id, packets_transmitted, packets_received, packet_loss_pct,
   round_trip_min,
-  round(s / packets_received, 3) AS round_trip_avg,
+  -- integer half-up round of the avg in 0.001-ms units: sum/n can land
+  -- EXACTLY on a .0005 tie and a float round is then decided by the ulp
+  CASE WHEN packets_received > 0 THEN
+    CAST((2*s6 + 1000*packets_received) // (2000*packets_received) AS DOUBLE)
+      / 1000.0 END AS round_trip_avg,
   round_trip_max,
-  round(sqrt(greatest(sq / packets_received
-        - (s / packets_received) * (s / packets_received), 0.0)), 3)
-    AS round_trip_stddev
+  CASE WHEN packets_received > 0 THEN
+    round(sqrt(greatest(
+      CAST(packets_received * sq - s6 * s6 AS DOUBLE)
+        / (CAST(packets_received AS DOUBLE) * packets_received * 1e12),
+      0.0)), 3) END AS round_trip_stddev
 FROM (
   SELECT device_id,
     count(*) AS packets_transmitted,
     count(rtt_ms) AS packets_received,
     round((count(*) - count(rtt_ms)) * 100.0 / count(*), 2) AS packet_loss_pct,
     round(min(rtt_ms), 3) AS round_trip_min,
-    CAST(sum(CAST(rtt_ms AS DECIMAL(20,6))) AS DOUBLE) AS s,
-    CAST(sum(CAST(rtt_ms AS DECIMAL(20,6)) * CAST(rtt_ms AS DECIMAL(20,6))) AS DOUBLE) AS sq,
+    sum(CAST(CAST(rtt_ms AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS s6,
+    sum(CAST(CAST(CAST(rtt_ms AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS HUGEINT)
+        * CAST(CAST(rtt_ms AS DECIMAL(20,6)) * 1000000 AS BIGINT)) AS sq,
     round(max(rtt_ms), 3) AS round_trip_max
   FROM probes GROUP BY device_id
 )

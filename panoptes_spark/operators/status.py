@@ -62,11 +62,15 @@ def ping_stats(df: DataFrame, device_col: str = "device_id") -> DataFrame:
 
     Input: one row per probe (rtt_ms nullable = lost probe).
 
-    Sums run in decimal (RTTs carry fixed decimal precision) so avg/stddev
-    are independent of aggregation order — float partial-sum ordering
-    differs between engines/partitionings and would flake hash checks.
+    RTTs are quantized at 6dp and scaled to exact micro-ms integers so
+    every aggregate is order-independent AND the 3dp rounding of the
+    average is a deterministic integer half-up — ``sum/n`` can land
+    EXACTLY on a .0005 tie (observed at sf0.1: 3318.271/74 = 44.84150),
+    where a float round is decided by which way the engine's ulp fell.
+    The variance numerator ``n*Σx² − (Σx)²`` is likewise computed in
+    exact integer arithmetic before the one unavoidable double sqrt.
     """
-    rtt = F.col("rtt_ms").cast("decimal(20,6)")
+    rtt6 = (F.col("rtt_ms").cast("decimal(20,6)") * 1000000).cast("bigint")
     agg = df.groupBy(device_col).agg(
         F.count("*").alias("packets_transmitted"),
         F.count("rtt_ms").alias("packets_received"),
@@ -74,20 +78,30 @@ def ping_stats(df: DataFrame, device_col: str = "device_id") -> DataFrame:
             (F.count("*") - F.count("rtt_ms")) * 100.0 / F.count("*"), 2
         ).alias("packet_loss_pct"),
         F.round(F.min("rtt_ms"), 3).alias("round_trip_min"),
-        F.sum(rtt).cast("double").alias("__sum"),
-        F.sum(rtt * rtt).cast("double").alias("__sumsq"),
+        F.sum(rtt6).alias("__s6"),
+        F.sum(rtt6.cast("decimal(38,0)") * rtt6).alias("__sq"),
         F.round(F.max("rtt_ms"), 3).alias("round_trip_max"),
     )
     n = F.col("packets_received")
-    mean = F.col("__sum") / n
-    var = F.greatest(F.col("__sumsq") / n - mean * mean, F.lit(0.0))
+    # half-up round of (s6 / (1000*n)) — the avg in 0.001-ms units —
+    # done with integral `div` so both engines agree at exact ties
+    avg_milli = F.expr(
+        "(2 * __s6 + 1000 * packets_received) div (2000 * packets_received)"
+    )
+    num = (
+        n.cast("decimal(38,0)") * F.col("__sq")
+        - F.col("__s6").cast("decimal(38,0)") * F.col("__s6")
+    )
+    var = F.greatest(
+        num.cast("double") / (n.cast("double") * n * F.lit(1e12)), F.lit(0.0)
+    )
     return agg.select(
         device_col,
         "packets_transmitted",
         "packets_received",
         "packet_loss_pct",
         "round_trip_min",
-        F.round(mean, 3).alias("round_trip_avg"),
+        F.when(n > 0, avg_milli.cast("double") / 1000.0).alias("round_trip_avg"),
         "round_trip_max",
-        F.round(F.sqrt(var), 3).alias("round_trip_stddev"),
+        F.when(n > 0, F.round(F.sqrt(var), 3)).alias("round_trip_stddev"),
     )
