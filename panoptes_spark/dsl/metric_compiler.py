@@ -1043,13 +1043,20 @@ class MetricDSLCompiler:
             base = self._idx_groups_direct(idx_metrics, idx_dims)
             if base is None:  # legacy per-target union fabric
                 long_m = self._union_long(idx_metrics, "double")
+                # array_sort: collect_list order is task-scheduling-
+                # dependent, and MetricsGroupSet's dropDuplicates
+                # compares these arrays order-sensitively
                 groups_m = long_m.groupBy("device_id", "index").agg(
-                    F.collect_list(F.struct("name", "value")).alias("_m")
+                    F.array_sort(
+                        F.collect_list(F.struct("name", "value"))
+                    ).alias("_m")
                 )
                 if idx_dims:
                     long_d = self._union_long(idx_dims, "string")
                     groups_d = long_d.groupBy("device_id", "index").agg(
-                        F.collect_list(F.struct("name", "value")).alias("_d"),
+                        F.array_sort(
+                            F.collect_list(F.struct("name", "value"))
+                        ).alias("_d"),
                         F.max(F.col("value") == "").alias("_had_empty"),
                     )
                     base = groups_m.join(
@@ -1208,7 +1215,12 @@ class MetricDSLCompiler:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        return out.groupBy("device_id").agg(F.collect_list("entry").alias(colname))
+        # sorted: entry structs lead with the name field, so array_sort
+        # yields a deterministic order where collect_list alone follows
+        # task scheduling — dropDuplicates set-collapse needs stability
+        return out.groupBy("device_id").agg(
+            F.array_sort(F.collect_list("entry")).alias(colname)
+        )
 
     def float_typed_metrics(self) -> frozenset:
         """Metric names the program declares ``type: float`` — the set
