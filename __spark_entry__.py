@@ -231,7 +231,7 @@ def _enrich_build_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         interface_enrichment,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     base = li.groupBy(
         F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
             "device_id"
@@ -409,7 +409,7 @@ def _iface_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_parent_attrs,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     raw = (
         li.groupBy(
             F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
@@ -443,7 +443,7 @@ def _iface_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oper_state"),
         )
     )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = fx.read_table(spark, sf_dir, "part")
     enr_base = (
         part.groupBy((F.col("p_partkey") % 20).cast("string").alias("interface_index"))
         .agg(F.min("p_name").alias("p_name"), F.min("p_type").alias("p_type"))
@@ -531,7 +531,7 @@ _RECONCILE_SET_TS = 50.0
 
 
 def _reconcile_snapshots(spark: SparkSession, sf_dir: str):
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = fx.read_table(spark, sf_dir, "orders")
     cur = o.where(F.col("o_orderkey") % 5 < 4).select(
         "o_orderkey",
         (F.col("o_orderkey") % 100).cast("double").alias("ts"),
@@ -661,7 +661,7 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     round DIFFERENTLY (a sum_disc_price hash mismatch surfaced at
     sf0.001) — tight precisions keep the three-factor product at
     (38,18)/(36,18), inside exact range for Spark and DuckDB alike."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     li = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
     qty = F.col("l_quantity").cast("decimal(18,6)")
     price = F.col("l_extendedprice").cast("decimal(18,6)")
@@ -714,7 +714,7 @@ GROUP BY l_returnflag, l_linestatus
 def _a2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.operators.status import group_count_by_type
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = fx.read_table(spark, sf_dir, "orders")
     return group_count_by_type(o, ["o_orderstatus"], "o_orderpriority")
 
 
@@ -727,7 +727,7 @@ FROM orders GROUP BY o_orderstatus, o_orderpriority
 def _a4_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.operators.status import status_rollup
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     statuses = li.select(
         F.concat(F.lit("dev-"), (F.col("l_suppkey") % 50).cast("string")).alias(
             "device_id"
@@ -815,7 +815,7 @@ FROM (
 def _w3_ttl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.sources.stores import expire, upsert_with_ttl
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
     store = c.select(
         F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("key"),
         F.col("c_acctbal").alias("value"),
@@ -851,7 +851,7 @@ SELECT * FROM merged WHERE expires_at IS NULL OR expires_at > 50.0
 
 
 def _u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = fx.read_table(spark, sf_dir, "orders")
     cur = o.where(F.col("o_orderkey") % 5 < 4).select("o_orderkey")
     inc = o.where(F.col("o_orderkey") % 5 > 0).select("o_orderkey")
     only_cur = cur.join(inc, "o_orderkey", "left_anti").agg(
@@ -897,7 +897,7 @@ def _u_multigroupset(spark: SparkSession, sf_dir: str) -> DataFrame:
         multi_group_set_summary,
     )
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
     rid = F.concat(F.lit("user-"), (F.col("c_custkey") % 100).cast("string"))
     iface = c.select(
         rid.alias("resource_id"),
@@ -1235,14 +1235,14 @@ def _olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     The filtered customer dim broadcasts into the orders⋈lineitem keyed
     join; group on (order, date) then TakeOrdered top-20."""
     c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        fx.read_table(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    o = fx.read_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    li = fx.read_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     price = F.col("l_extendedprice").cast(_DEC)
@@ -1284,15 +1284,15 @@ def _olap_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: revenue by nation where customer and supplier share the
     nation, one region, one order-year. Every dim broadcasts; the only
     shuffle is lineitem⋈orders on the order key + the final nation agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    o = fx.read_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+    li = fx.read_table(spark, sf_dir, "lineitem")
+    c = fx.read_table(spark, sf_dir, "customer")
+    s = fx.read_table(spark, sf_dir, "supplier")
+    n = fx.read_table(spark, sf_dir, "nation")
+    r = fx.read_table(spark, sf_dir, "region").where(
         F.col("r_name") == "ASIA"
     )
     price = F.col("l_extendedprice").cast(_DEC)
@@ -1335,8 +1335,8 @@ def _olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds a threshold —
     aggregate-then-semi-join: the HAVING aggregate keys filter the fact
     join instead of re-scanning; broadcast of the qualifying key set."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
+    o = fx.read_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
@@ -1373,15 +1373,15 @@ def _olap_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: revenue lost to returns per customer over a quarter —
     selective fact filter, keyed fact-fact join, broadcast customer/
     nation dims, top-20 by revenue."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    li = fx.read_table(spark, sf_dir, "lineitem").where(
         F.col("l_returnflag") == "R"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    o = fx.read_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
+    n = fx.read_table(spark, sf_dir, "nation")
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast(_DEC)
     return (
@@ -1465,7 +1465,7 @@ def _olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-granularity totals — (flag, status), per-flag, and
     grand total in ONE pass: Catalyst expands grouping sets into a
     single Expand + keyed aggregate, not three scans."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -1497,7 +1497,7 @@ def _olap_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decorrelated 'above group average' — the correlated-subquery
     shape (s.acctbal > avg of s's nation) rewritten as a dim-sized
     aggregate broadcast back; the supplier table is scanned once."""
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = fx.read_table(spark, sf_dir, "supplier")
     avgs = s.groupBy("s_nationkey").agg(
         F.sum(F.col("s_acctbal").cast(_DEC)).alias("__sum"),
         F.count(F.lit(1)).alias("__n"),
@@ -1529,8 +1529,8 @@ def _olap_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated COUNT subquery decorrelates into. The order-side filter
     lives on the join (pre-filtered before it), not the outer WHERE, so
     filtered-out customers still count at c_count=0."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    c = fx.read_table(spark, sf_dir, "customer")
+    o = fx.read_table(spark, sf_dir, "orders").where(
         ~F.col("o_orderpriority").startswith("1-")
     )
     per_cust = (
@@ -1563,8 +1563,8 @@ def _olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated into one part-keyed aggregate joined back (broadcast:
     part-count-sized). Division-free: qty*5*n < sum, exact decimals; the
     only double division is the final /7.0 on an exact sum."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    li = fx.read_table(spark, sf_dir, "lineitem")
+    p = fx.read_table(spark, sf_dir, "part").where(
         F.col("p_brand").isin(*_Q17_BRANDS)
     )
     flt = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
@@ -1617,9 +1617,9 @@ def _olap_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast (the positive-balance average, division-free) +
     a left-anti join against the recent-order keys. The country code is
     nationkey%10 (the synthetic schema has no phone column)."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
     recent = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        fx.read_table(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
         .select("o_custkey")
     )
@@ -2093,11 +2093,11 @@ _LATE_DAYS = 60
 
 
 def _olap_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    li = fx.read_table(spark, sf_dir, "lineitem")
+    o = fx.read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = fx.read_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_LATE_DAYS} DAYS"
     )
@@ -2329,7 +2329,7 @@ def _p8_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering, measurement sanitization (consumer.py:84-169)."""
     from panoptes_spark.operators.lineprotocol import to_line_protocol
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
     groups = c.select(
         F.struct(
             F.col("c_mktsegment").alias("resource_site"),
@@ -2435,7 +2435,7 @@ def _s5_namespace_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key_value_store.py:170-193 find_keys)."""
     from panoptes_spark.sources.stores import scan_namespace
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = fx.read_table(spark, sf_dir, "customer")
     store = c.select(
         F.concat(
             F.lit("p"),
@@ -2468,7 +2468,7 @@ _MASKS = ["255.0.0.0", "255.255.0.0", "255.255.255.0", "255.255.255.255",
 def _f_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.functions import scalar as fs
 
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = fx.read_table(spark, sf_dir, "part")
     masks = F.array(*[F.lit(m) for m in _MASKS])
     df = p.select(
         "p_partkey",
@@ -2754,7 +2754,7 @@ def _s14_device_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         juniper_device_enrichment,
     )
 
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = fx.read_table(spark, sf_dir, "supplier")
     k = F.col("k")
     base = sup.select(
         F.concat(
@@ -2888,7 +2888,7 @@ def _s15_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         heartbeat_metrics,
     )
 
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = fx.read_table(spark, sf_dir, "supplier")
     devices = sup.select(
         F.concat(F.lit("hb-"), (F.col("s_suppkey") % 25).cast("string"))
         .alias("device_id"),
@@ -3013,7 +3013,7 @@ def _s9_kafka_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (resource_id|group_type|sorted dims, ``_make_key`` :157-171)."""
     from panoptes_spark.streaming.ingest import prepare_fanout
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = fx.read_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     groups = orders.select(
         F.struct(
@@ -3124,7 +3124,7 @@ def _p5_wire_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by class:subclass:partition; the P4 filter keeps 2 of 3 keys."""
     from panoptes_spark.streaming.ingest import parse_and_validate
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = fx.read_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     ok_payload = F.concat(
         F.lit(
@@ -3204,7 +3204,7 @@ def _s16_srx_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
         juniper_srx_functional_enrichment,
     )
 
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = fx.read_table(spark, sf_dir, "supplier")
     k = F.col("k")
     base = sup.select(
         F.concat(
@@ -3305,7 +3305,7 @@ def _s17_ping_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ping_metrics_groups,
     )
 
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = fx.read_table(spark, sf_dir, "supplier")
     k = F.col("s_suppkey")
     mn = (k % 50).cast("string")
     text = (

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup, multimodal, similarity, text
+from ..sources import tpch_fixtures as fx
 
 # ---------------------------------------------------------------------------
 # exact dedup (constructed duplicates: clone every 10th doc under a new id)
@@ -16,7 +17,7 @@ from . import dedup, multimodal, similarity, text
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     clones = docs.where(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -54,7 +55,7 @@ _P = dedup.MINHASH_PRIME
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup(
         docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH
     ).orderBy("a", "b")
@@ -115,7 +116,7 @@ SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return dedup.simhash(docs).select("doc_id", "simhash")
 
 
@@ -135,7 +136,7 @@ FROM documents
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     out = text.add_token_counts(docs, "text")
     out = text.add_quality_features(out, "text")
     out = text.add_language_id(out, "text")
@@ -201,7 +202,7 @@ SELECT * FROM derived
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return text.add_fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -220,7 +221,7 @@ _TOPK = 10
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
 
@@ -249,7 +250,7 @@ SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {_TOPK}
 
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors after min-id representative selection over minhash pairs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
     return dedup.dedup_keep_representatives(docs, pairs).select("doc_id")
 
@@ -269,7 +270,7 @@ _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return similarity.ivf_topk(
@@ -331,7 +332,7 @@ _KM_DIM, _KM_ITERS = 64, 2
 
 
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
     refined = similarity.kmeans_refine(emb, cents, iters=_KM_ITERS)
     return refined.select(
@@ -387,7 +388,7 @@ _LSH_NPLANES, _LSH_BANDS, _LSH_DIM = 24, 4, 64
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return similarity.lsh_topk(
         emb, queries, dim=_LSH_DIM, k=_TOPK,
@@ -440,7 +441,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF index vs the exact brute-force baseline — the
     quality report any ANN deployment publishes alongside latency. Both
     sides are gate-proven operators; per-query recall = |IVF ∩ BF| / k."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     bf = similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK).select(
         "query_id", "nbr_id"
@@ -480,7 +481,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the tokenizer-sizing report."""
     from panoptes_spark.pipeline.text import token_frequencies
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     top = token_frequencies(docs, "text", k=_VOCAB_K)
     tot = token_frequencies(docs, "text").agg(
         F.sum("n").alias("total_tokens"),
@@ -523,7 +524,7 @@ _SEMDEDUP_THRESH = 0.45  # same corpus-density choice as embedding_neardup
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     return similarity.semdedup_prune(
         emb, n_cells=_IVF_CELLS, threshold=_SEMDEDUP_THRESH
     ).select("vec_id")
@@ -558,7 +559,7 @@ WHERE vec_id NOT IN (SELECT DISTINCT b FROM pairs)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.45)
 
 
@@ -586,7 +587,7 @@ _SIMHASH_MAX_HAMMING, _SIMHASH_BANDS = 3, 4
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     clones = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit(" extra token")).alias("text"),
@@ -629,7 +630,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .components import connected_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
     return connected_components(pairs, nodes=docs.select("doc_id")).select(
         "node", "component"
@@ -664,7 +665,7 @@ SELECT node, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY node
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
@@ -719,7 +720,7 @@ def q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import media_codecs as mcodec
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", ((F.col("doc_id") % 90 + 5) / 101.0).alias("amp")
     )
@@ -768,7 +769,7 @@ FROM q, range(0, 8) t(i)
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video frame-sampling plan over the same derived media table:
     # one row per (video, sampled timestamp), decode deliberately absent
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(
@@ -802,7 +803,7 @@ FROM v
 def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import assign_split, stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     assigned = assign_split(docs, "doc_id", salt="v1")
     # downsample English to 30%, keep the rest — deterministic per doc
     sampled = stratified_sample(
@@ -841,7 +842,7 @@ _WSAMPLE_K = 200
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import weighted_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return weighted_sample(
         docs, k=_WSAMPLE_K, weight_col="n_chars", salt="ws1"
     ).select("doc_id", "lang", "n_chars")
@@ -875,7 +876,7 @@ _MIX_TARGET = 200
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import temperature_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return temperature_sample(
         docs, "lang", target_rows=_MIX_TARGET, alpha=0.5, salt="mix"
     ).select("doc_id", "lang")
@@ -919,7 +920,7 @@ _PACK_SEQ_LEN = 256
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.packing import pack_sequences
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     # whitespace token count; identical expression on the oracle side
     with_tokens = docs.select(
         "doc_id",
@@ -970,7 +971,7 @@ _VOCAB_K = 40
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.text import token_frequencies
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return token_frequencies(docs, "text", k=_VOCAB_K)
 
 
@@ -994,7 +995,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import assign_shard, assign_split
     from panoptes_spark.pipeline.text import filter_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     kept = filter_quality(docs).where("keep").select("doc_id", "text", "lang")
     deduped = dedup.exact_dedup(
         kept.withColumn("norm", dedup.normalize_text_col("text")),
@@ -1051,7 +1052,7 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jensen-Shannon term, summed to the JS divergence — the drift report
     run when a new crawl lands. Two grouped counts + one full-outer
     token join (vocab-sized, not corpus-sized) + one scalar agg."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("lang"),
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
@@ -1114,7 +1115,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: near-dup pairs grouped by the
     (lang_a, lang_b) slice pair — which sources re-publish each other.
     Pair-set-sized joins against the doc dim; corpus never re-shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
     dim_a = docs.select(
         F.col("doc_id").alias("a"), F.col("source").alias("src_a")
@@ -1156,7 +1157,7 @@ GROUP BY 1, 2
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.lm import score_documents, train_bigram_lm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     uni, bi, vocab = train_bigram_lm(docs)
     return score_documents(docs, uni, bi, vocab)
 
@@ -1173,7 +1174,7 @@ _LEAK_FRACS = (("train", 0.5), ("val", 0.25), ("test", 0.25))
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import assign_split, split_leakage
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
     splits = assign_split(
         docs, "doc_id", salt="leak", fractions=_LEAK_FRACS
@@ -1212,7 +1213,7 @@ _QUANT_PS = [0.5, 0.9, 0.99, 1.0]
 def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.stats import global_quantiles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return global_quantiles(docs, "n_chars", _QUANT_PS)
 
 
@@ -1328,7 +1329,7 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 20
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.bloom import novel_docs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     seen = docs.where(F.col("doc_id") % 3 != 0)
     # new batch = genuinely novel docs + re-ingested copies of seen ones
     new = docs.where(F.col("doc_id") % 3 == 0).unionByName(
@@ -1363,7 +1364,7 @@ _BM25_K = 50
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.search import bm25_search
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return bm25_search(docs, _BM25_TERMS, k=_BM25_K)
 
 
@@ -1379,7 +1380,7 @@ _CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.text import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return chunk_documents(
         docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
     )
@@ -1419,7 +1420,7 @@ FROM ex
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.text import add_repetition_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return add_repetition_features(docs).select(
         "doc_id", "dup_word_frac", "dup_2gram_frac", "top_word_frac"
     )
@@ -1457,7 +1458,7 @@ FROM w
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.text import filter_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return filter_quality(docs).select("doc_id", "keep", "reject_reason")
 
 
@@ -1487,7 +1488,7 @@ FROM j
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return text.corpus_stats(docs, "lang")
 
 
@@ -1513,7 +1514,7 @@ _CAP_K = 50
 
 
 def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     scored = text.add_quality_features(docs)
     return text.cap_per_group(scored, "lang", _CAP_K).select("doc_id", "lang")
 
@@ -1544,7 +1545,7 @@ _NFC_SUFFIX = " Cafe\u0301 schl o\u0308de"  # noqa: explicit decomposed
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.text import add_nfc_normalized
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text")
     )
@@ -1570,7 +1571,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, pos) occurrence corpus-wide
     from panoptes_spark.pipeline.dedup import line_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -1617,7 +1618,7 @@ def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document so the extraction paths are exercised on every row
     from panoptes_spark.pipeline.text import add_url_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -1666,7 +1667,7 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate then proves redaction order, patterns, and staged counts
     from panoptes_spark.pipeline.text import scrub_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     seeded = docs.select(
         "doc_id",
         F.concat(
@@ -1735,7 +1736,7 @@ _DECON_N = 3
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.decontaminate import ngram_contamination
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     benchmark = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return ngram_contamination(corpus, benchmark, n=_DECON_N)
@@ -1777,7 +1778,7 @@ _SPAN_K = 5
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.substrings import duplicated_ngram_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = fx.read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     clones = docs.where(F.col("doc_id") % 7 == 0).withColumn(
@@ -1854,7 +1855,7 @@ _BR = "\x1d"  # symbol close marker
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.tokenizer import bpe_train
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS).orderBy(
         "merge_round"
     )
@@ -1923,7 +1924,7 @@ def _o_bpe_train() -> str:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.quantize import quantize_embeddings
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
     # exploded (vec, dim, code) rows: the raw array<int> column breaks
     # the driver's pandas canonicalizer (unhashable list cells)
     return (
@@ -1965,7 +1966,7 @@ _COMPACT_TARGET = 4000
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.layout import plan_compaction
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     inv = docs.select(
         F.col("source").alias("part"),
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
@@ -2009,8 +2010,8 @@ _PR_SCALE = 10**12
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.graph import pagerank
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
+    orders = fx.read_table(spark, sf_dir, "orders")
     edges = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -2063,7 +2064,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document with it (the production tokenize pass)."""
     from panoptes_spark.pipeline.tokenizer import bpe_encode, bpe_train
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     merges = bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
     # tokens joined on space (tokens are whitespace-split, so ' ' can
     # never occur inside one): raw array<string> cells are unhashable
@@ -2121,7 +2122,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers up to the final rounded divisions."""
     from panoptes_spark.pipeline.text import add_readability
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return add_readability(docs).select(
         "doc_id", "n_sentences", "n_syllables", "flesch", "ttr"
     )
@@ -2161,7 +2162,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (score desc, term asc) ranking."""
     from panoptes_spark.pipeline.text import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=_TFIDF_K)
 
 
@@ -2198,7 +2199,7 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     murmur3 rank within each source — unbiased, re-run/append stable."""
     from panoptes_spark.pipeline.splits import sample_per_group
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     return sample_per_group(docs, ["source"], _GSAMPLE_K).select(
         "doc_id", "source"
     )
@@ -2232,7 +2233,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking; keep='best' picks each left doc's single best match."""
     from panoptes_spark.pipeline.fuzzy import fuzzy_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fx.read_table(spark, sf_dir, "documents")
     par = F.substring("source", 4, 10).cast("int") % 2
     left = docs.where(par == 0).select(F.col("doc_id").alias("l_doc"), "text")
     right = docs.where(par == 1).select(F.col("doc_id").alias("r_doc"), "text")
@@ -2326,8 +2327,8 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique,
     )
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = fx.read_table(spark, sf_dir, "orders")
+    c = fx.read_table(spark, sf_dir, "customer")
     return run_checks(
         o,
         [
@@ -2383,7 +2384,7 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     string column proves the non-numeric NULL min/max path."""
     from panoptes_spark.pipeline.audit import profile_columns
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fx.read_table(spark, sf_dir, "lineitem")
     return profile_columns(li, _DQ_PROFILE_COLS)
 
 

@@ -16,8 +16,29 @@ are never collected to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Catalog-style relation memo: re-planning ``spark.read.parquet`` on the
+# same static path re-lists files and re-reads footers (~90 ms per call on
+# local[32]) — a metastore-backed engine resolves a table to a cached
+# relation instead. DataFrames are immutable plan objects, so sharing one
+# per (session, path) is safe; keyed by applicationId so a stopped
+# session's plans are never resurrected in a new one.
+_RELATION_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(f"{sf_dir}/{name}.parquet")``."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    df = _RELATION_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _RELATION_MEMO[key] = df
+    return df
 
 # ---------------------------------------------------------------------------
 # resources <- customer ⋈ nation ⋈ region
@@ -65,9 +86,9 @@ _FLAT_COLS = [
 def resources_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat resources relation (metadata as meta_* columns) — must equal the
     RESOURCES_CTE relation row-for-row."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
     joined = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -150,8 +171,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read nanos as long (runtime conf) and expose both the
     raw ``ts_ns`` and an epoch-ms ``ts_ms`` column."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}#events_ts_ms")
+    cached = _RELATION_MEMO.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = read_table(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":
         # integer div: nanos exceed 2^53, double division would round
         ts_ms = F.expr("ts div 1000000")
@@ -160,7 +185,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is pinned to UTC (session.py) so the NTZ->LTZ cast is epoch-faithful
         # and matches DuckDB's epoch_ms() on the same naive timestamps.
         ts_ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
-    return e.withColumn("ts_ms", ts_ms)
+    out = e.withColumn("ts_ms", ts_ms)
+    _RELATION_MEMO[key] = out
+    return out
 
 
 def metric_points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +250,7 @@ sensor_name AS (
 
 
 def oid_tables_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_table(spark, sf_dir, "lineitem")
     base = (
         li.select(
             F.concat(F.lit("dev-"), (F.col("l_suppkey") % 5).cast("string")).alias(
@@ -270,7 +297,7 @@ def oid_tables_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def enrichment_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = read_table(spark, sf_dir, "customer")
     return c.select(
         F.concat(F.lit("user-"), F.col("c_custkey").cast("string")).alias(
             "resource_id"
