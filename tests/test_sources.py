@@ -306,3 +306,26 @@ def test_corrupt_parquet_file_tolerance(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", "false").parquet(
             str(d)
         ).count()
+
+
+def test_read_table_memoizes_per_session(spark, sf_dir):
+    """The catalog-style relation memo returns the SAME plan object for
+    repeat reads in one session (no re-listing / footer re-reads) and
+    keys by applicationId so another session can never receive a plan
+    bound to a stopped one."""
+    from panoptes_spark.sources import tpch_fixtures as fx
+
+    a = fx.read_table(spark, sf_dir, "nation")
+    b = fx.read_table(spark, sf_dir, "nation")
+    assert a is b
+    assert a.count() == b.count()
+    # distinct sf_dir or table -> distinct entries
+    c = fx.read_table(spark, sf_dir, "region")
+    assert c is not a
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app or not k[1].startswith(str(sf_dir))
+               for k in list(fx._RELATION_MEMO) if isinstance(k, tuple))
+    # events derivation memoizes its whole ts_ms frame too
+    e1 = fx.read_events(spark, sf_dir)
+    e2 = fx.read_events(spark, sf_dir)
+    assert e1 is e2
