@@ -1374,6 +1374,110 @@ def _o_bm25_search() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=_BM25_K)
 
 
+# hybrid retrieval: probe doc ids double as dense query vectors; small
+# ids exist at every SF. Terms verified present in the corpus vocab.
+_HYBRID_QUERIES = {
+    0: ["hash", "join"],
+    7: ["merge", "sort"],
+    21: ["vector", "scan"],
+}
+_HYBRID_K, _HYBRID_LEG_K, _HYBRID_C = 10, 25, 60
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline.search import hybrid_search_rrf
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    embs = fx.read_table(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        docs, embs, _HYBRID_QUERIES,
+        k=_HYBRID_K, leg_k=_HYBRID_LEG_K, c=_HYBRID_C,
+    )
+
+
+def _o_hybrid_search() -> str:
+    k1, b = 1.2, 0.75
+    all_terms = sorted({t for ts in _HYBRID_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qt_vals = ", ".join(
+        f"({q}, '{t}')" for q, ts in sorted(_HYBRID_QUERIES.items()) for t in ts
+    )
+    probes = ", ".join(str(q) for q in sorted(_HYBRID_QUERIES))
+    leg_k, k, c = _HYBRID_LEG_K, _HYBRID_K, _HYBRID_C
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')
+      AS tk
+  FROM documents
+),
+dlen AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n
+  FROM dlen
+),
+qterms(query_id, term) AS (VALUES {qt_vals}),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(tk) AS term FROM toks
+  ) WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+lex_scored AS (
+  SELECT query_id, doc_id,
+    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+              * tf * ({k1!r} + 1)
+              / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))), 6)
+      AS score
+  FROM hits JOIN qterms USING (term) JOIN dfreq USING (term)
+       JOIN dlen USING (doc_id) CROSS JOIN stats
+  GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
+    AS lex_rank
+  FROM lex_scored QUALIFY lex_rank <= {leg_k}
+),
+dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN ({probes})),
+dc AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+ds AS (
+  SELECT query_id, nbr_id AS doc_id,
+    round({_DOT_DD} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM dq CROSS JOIN dc WHERE query_id <> nbr_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT)
+    AS dense_rank
+  FROM ds QUALIFY dense_rank <= {leg_k}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(d.dense_rank, 0) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+sc AS (
+  SELECT *, round(
+      CASE WHEN lex_rank > 0
+           THEN 1.0::DOUBLE / ({c} + lex_rank) ELSE 0.0::DOUBLE END
+    + CASE WHEN dense_rank > 0
+           THEN 1.0::DOUBLE / ({c} + dense_rank) ELSE 0.0::DOUBLE END, 9)
+    AS rrf_score
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+  CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT)
+    AS fused_rank
+FROM sc QUALIFY fused_rank <= {k}
+"""
+
+
 _CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
 
 
@@ -2438,6 +2542,7 @@ QUERIES = {
     "token_frequencies": q_token_frequencies,
     "chunk_documents": q_chunk_documents,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "incremental_dedup": q_incremental_dedup,
     "global_quantiles": q_global_quantiles,
     "split_leakage": q_split_leakage,
@@ -2499,6 +2604,7 @@ ORACLES = {
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "bm25_search": _o_bm25_search(),
+    "hybrid_search": _o_hybrid_search(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "global_quantiles": O_GLOBAL_QUANTILES,
     "split_leakage": _o_split_leakage(),

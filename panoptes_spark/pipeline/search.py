@@ -23,10 +23,10 @@ DuckDB oracle selects the identical top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_search"]
+__all__ = ["bm25_search", "bm25_multi_query", "hybrid_search_rrf"]
 
 #: same letters-only lowercase tokenization as text.token_frequencies
 _TOKENIZE = "filter(split(lower({col}), '[^a-z]+'), x -> x != '')"
@@ -121,3 +121,143 @@ FROM hits JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def bm25_multi_query(
+    docs: DataFrame,
+    query_terms: dict[int, list[str]],
+    leg_k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query BM25 top-``leg_k``: (query_id, doc_id, score, rank).
+
+    Multi-query generalization of :func:`bm25_search` — the query sets
+    become a broadcast (query_id, term) dim joined onto the SAME
+    hits-only posting relation (one term may serve several queries
+    without re-scanning the corpus). Document frequency stays GLOBAL
+    per term (a property of the corpus, not of the query), so each
+    query's scores equal its single-query run. The rank window is
+    partitioned by query_id — never global.
+    """
+    all_terms = sorted({t.lower() for ts in query_terms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("query_terms must contain at least one term")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in all_terms)
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(int(q), t.lower()) for q, ts in query_terms.items() for t in ts],
+        "query_id long, term string",
+    )
+
+    toks = docs.select(
+        F.col(id_col), F.expr(_TOKENIZE.format(col=text_col)).alias("__tk")
+    )
+    stats = toks.select(F.size("__tk").alias("__dl")).agg(
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hits = (
+        toks.select(
+            id_col,
+            F.size("__tk").alias("__dl"),
+            F.explode("__tk").alias("term"),
+        )
+        .where(F.expr(f"term IN ({in_list})"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        f"ln((n - df + 0.5) / (df + 0.5) + 1)"
+        f" * tf * ({k1!r} + 1)"
+        f" / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))"
+    )
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(F.expr(contrib)), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(leg_k))
+        .select("query_id", F.col(id_col).alias("doc_id"), "score", "rank")
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: dict[int, list[str]],
+    k: int = 10,
+    leg_k: int = 25,
+    c: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword leg + query-by-example dense leg,
+    fused by reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09:
+    score(d) = Σ_legs 1/(c + rank_leg(d)), c=60).
+
+    ``query_terms`` keys double as probe vec_ids: each query supplies
+    keywords for the lexical leg and its own embedding as the dense
+    query vector (the dense leg excludes the probe itself, the lexical
+    leg may retrieve it — standard query-by-example asymmetry, kept
+    identical in the oracle).
+
+    Scale shape: both legs are already top-``leg_k``-per-query (the
+    corpus never reaches fusion), so the full-outer rank join and the
+    final window touch at most ``2·|queries|·leg_k`` rows. A doc absent
+    from a leg carries rank 0 (contributes nothing) — integer, never a
+    nullable column, so driver-side canon dtypes stay int64.
+
+    Determinism: ranks are exact ints; the fused score is the same
+    two-addend double expression on both engines, rounded at 9dp —
+    distinct rank-pairs differ by ≥ 1/(c+leg_k)⁴ ≫ 1e-9, so rounding
+    never merges them; ties (identical rank pairs) break on doc_id.
+    """
+    from panoptes_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    probe_ids = sorted(int(q) for q in query_terms)
+    lex = bm25_multi_query(
+        docs, query_terms, leg_k=leg_k, text_col=text_col, id_col=id_col
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    probes = embeddings.where(
+        F.col("vec_id").isin(probe_ids)
+    )
+    dense = cosine_topk_bruteforce(embeddings, probes, k=leg_k).select(
+        "query_id",
+        F.col("nbr_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .fillna(0, ["lex_rank", "dense_rank"])
+    )
+    rrf = F.round(
+        F.when(F.col("lex_rank") > 0, F.lit(1.0) / (F.lit(c) + F.col("lex_rank")))
+        .otherwise(F.lit(0.0))
+        + F.when(
+            F.col("dense_rank") > 0, F.lit(1.0) / (F.lit(c) + F.col("dense_rank"))
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= int(k))
+        .select(
+            "query_id", "doc_id", "lex_rank", "dense_rank",
+            "rrf_score", "fused_rank",
+        )
+    )

@@ -1178,3 +1178,74 @@ def test_tfidf_ranks_rare_terms_highest(spark):
     d1 = {r.term: r for r in out if r.doc_id == 1}
     assert d1["common"].tf == 1 and d1["common"].df == 3
     assert d1["rare"].df == 1 and d1["rare"].score > d1["common"].score
+
+
+def test_bm25_multi_query_matches_single_query(spark):
+    """Each query's scores in the multi-query run equal its standalone
+    bm25_search run (document frequency is corpus-global, so sharing the
+    posting relation across queries must not change any score)."""
+    from panoptes_spark.pipeline.search import bm25_multi_query, bm25_search
+
+    rows = [
+        (1, "alpha beta gamma " + "filler " * 10),
+        (2, "alpha alpha delta " + "filler " * 10),
+        (3, "beta delta delta " + "filler " * 10),
+        (4, "gamma " + "filler " * 15),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {10: ["alpha", "beta"], 20: ["delta"]}
+    multi = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_multi_query(df, queries, leg_k=10).collect()
+    }
+    for qid, terms in queries.items():
+        single = bm25_search(df, terms, k=10).collect()
+        for rank, r in enumerate(single, start=1):
+            assert multi[(qid, r.doc_id)] == (r.score, rank)
+    assert len(multi) == sum(
+        1 for qid, terms in queries.items()
+        for r in bm25_search(df, terms, k=10).collect()
+    )
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF: a doc ranked by both legs outscores single-leg docs at
+    comparable ranks; absent legs carry rank 0 and contribute nothing;
+    every fused score equals 1/(c+lex) + 1/(c+dense) exactly."""
+    from panoptes_spark.pipeline.search import hybrid_search_rrf
+
+    # doc 0 is the probe; docs 1-3 share its embedding direction to a
+    # varying degree, docs 2 and 4 carry the keyword
+    docs = spark.createDataFrame(
+        [
+            (0, "filler " * 10),
+            (1, "unrelated " + "filler " * 10),
+            (2, "needle needle " + "filler " * 10),
+            (3, "other " + "filler " * 10),
+            (4, "needle " + "filler " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),
+            (2, [0.9, 0.43]),
+            (3, [0.7, 0.71]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search_rrf(docs, embs, {0: ["needle"]}, k=5, leg_k=3, c=60)
+    rows = {r.doc_id: r for r in out.collect()}
+    # lexical leg: docs 2 (tf=2) then 4; dense leg (self excluded): 1,2,3
+    assert (rows[2].lex_rank, rows[2].dense_rank) == (1, 2)
+    assert (rows[4].lex_rank, rows[4].dense_rank) == (2, 0)
+    assert (rows[1].lex_rank, rows[1].dense_rank) == (0, 1)
+    for r in rows.values():
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.dense_rank) if r.dense_rank else 0.0
+        )
+        assert r.rrf_score == round(want, 9)
+    # both-leg doc 2 fuses above every single-leg doc
+    assert rows[2].fused_rank == 1
