@@ -654,6 +654,51 @@ SELECT node, CAST(min(comp) AS BIGINT) AS component FROM reach GROUP BY node
 )
 
 
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components assigned to splits atomically — no pair a
+    cross-split leakage audit could flag."""
+    from .splits import leakage_safe_splits
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    return leakage_safe_splits(docs, pairs)
+
+
+def _o_leakage_safe_splits() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+
+    final = (
+        "SELECT node, CAST(min(comp) AS BIGINT) AS component "
+        "FROM reach GROUP BY node"
+    )
+    comps_sql = O_DEDUP_COMPONENTS.replace("\n", " ")
+    # normalize the embedded newline layout of the final SELECT
+    import re
+
+    comps_sql = O_DEDUP_COMPONENTS
+    m = re.search(
+        r"SELECT node, CAST\(min\(comp\) AS BIGINT\) AS component\s+"
+        r"FROM reach GROUP BY node",
+        comps_sql,
+    )
+    assert m, "components oracle final SELECT moved"
+    chain = mmh3_cte_chain(
+        "base", "'v1' || ':' || cast(component as varchar)", "duckdb"
+    )
+    tail = f""", comps AS ({m.group(0)}),
+base AS (SELECT node AS doc_id, component FROM comps),
+{chain}
+SELECT doc_id, component,
+  __mm_hash % 10000 AS split_bucket,
+  CASE WHEN __mm_hash % 10000 < 9800 THEN 'train'
+       WHEN __mm_hash % 10000 < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM mmh3
+"""
+    return comps_sql[: m.start()] + tail + comps_sql[m.end():]
+
+
+
 # ---------------------------------------------------------------------------
 # multimodal: binary columns derived from documents. Two oracle styles:
 # `multimodal_features` feeds utf-8 text bytes (no magic header → the
@@ -2543,6 +2588,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
+    "leakage_safe_splits": q_leakage_safe_splits,
     "incremental_dedup": q_incremental_dedup,
     "global_quantiles": q_global_quantiles,
     "split_leakage": q_split_leakage,
@@ -2605,6 +2651,7 @@ ORACLES = {
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "bm25_search": _o_bm25_search(),
     "hybrid_search": _o_hybrid_search(),
+    "leakage_safe_splits": _o_leakage_safe_splits(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "global_quantiles": O_GLOBAL_QUANTILES,
     "split_leakage": _o_split_leakage(),

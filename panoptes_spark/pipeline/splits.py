@@ -302,3 +302,39 @@ def sample_per_group(
         .where(F.col("__gs_rn") <= int(k))
         .drop("__gs_hash", "__gs_rn")
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    fractions: tuple[tuple[str, float], ...] = DEFAULT_FRACTIONS,
+) -> DataFrame:
+    """Split assignment that can never leak near-duplicates across the
+    train/val/test boundary: documents are first clustered into
+    near-dup connected components (``pairs`` = undirected near-dup
+    edges, e.g. MinHash-verified Jaccard pairs), then the WHOLE
+    component is hashed into a split by its min-id label. Any two docs
+    `split_leakage` would flag as a cross-split pair are by construction
+    in the same component, hence the same split.
+
+    Returns (doc_id, component, split_bucket, split) — the same bucket
+    grammar as :func:`assign_split`, keyed on the component instead of
+    the document, so singleton docs (their own component) keep exactly
+    the assignment ``assign_split`` would give them.
+
+    Scale: component labels come from the bounded min-label propagation
+    of ``connected_components`` (edge-sized shuffles, iteration capped);
+    the split itself is one murmur3 column expression — no extra
+    shuffle beyond the (doc_id, component) join.
+    """
+    from .components import connected_components
+
+    comps = connected_components(
+        pairs, nodes=docs.select(id_col), id_col_a="a", id_col_b="b"
+    ).select(F.col("node").alias(id_col), "component")
+    labeled = docs.select(id_col).join(comps, id_col)
+    return assign_split(
+        labeled, id_col="component", salt=salt, fractions=fractions
+    ).select(id_col, "component", "split_bucket", "split")

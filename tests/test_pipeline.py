@@ -1249,3 +1249,33 @@ def test_hybrid_rrf_fusion_semantics(spark):
         assert r.rrf_score == round(want, 9)
     # both-leg doc 2 fuses above every single-leg doc
     assert rows[2].fused_rank == 1
+
+
+def test_leakage_safe_splits_invariant(spark):
+    """No near-dup pair straddles a split; whole components move
+    together; singleton docs get exactly their assign_split label
+    (component = own id -> identical hash key)."""
+    from panoptes_spark.pipeline.splits import assign_split, leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # two chained components {1,2,3} and {10,11}; the rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    out = leakage_safe_splits(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 40
+    # components are atomic: one split per component
+    assert {by_id[i].split for i in (1, 2, 3)} == {by_id[1].split}
+    assert by_id[10].split == by_id[11].split
+    assert {by_id[i].component for i in (1, 2, 3)} == {1}
+    assert by_id[11].component == 10
+    # singletons reduce to plain assign_split
+    plain = {
+        r.doc_id: r.split
+        for r in assign_split(docs.where("doc_id >= 20")).collect()
+    }
+    for i in range(20, 40):
+        assert by_id[i].split == plain[i] and by_id[i].component == i
