@@ -346,3 +346,56 @@ def test_line_dedup_matches_python_scan(spark, texts):
         if kept:
             expected[i] = "\n".join(kept)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits / RRF fusion (round 5): Spark vs direct Python
+# ---------------------------------------------------------------------------
+
+edge_sets = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    max_size=15,
+)
+
+
+@given(edge_sets)
+@settings(max_examples=10, deadline=None)
+def test_leakage_safe_splits_never_cross(spark, edges):
+    """On random near-dup graphs: both endpoints of EVERY edge land in
+    the same split, and component labels equal a union-find ground
+    truth."""
+    from panoptes_spark.pipeline.splits import leakage_safe_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a long, b long"
+    )
+    if not edges:
+        pairs = pairs.where("a <> b")  # empty edge set
+    rows = {r.doc_id: r for r in leakage_safe_splits(docs, pairs).collect()}
+    assert len(rows) == 20
+
+    # union-find ground truth
+    parent = list(range(20))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(20)}
+    # path-compress to the true min of each cluster
+    groups = {}
+    for i, c in comp.items():
+        groups.setdefault(c, []).append(i)
+    want = {i: min(g) for c, g in groups.items() for i in g}
+    assert {i: rows[i].component for i in range(20)} == want
+    for a, b in edges:
+        assert rows[a].split == rows[b].split
