@@ -46,6 +46,8 @@ GATES = [
     "w_sessionize_events",    # gap sessionization
     "pack_sequences",         # sharded running sum
     "dsl_metric_program",     # DSL compiler pivot
+    "hybrid_search",          # two-leg retrieval + RRF fusion
+    "leakage_safe_splits",    # components + murmur split
 ]
 
 
