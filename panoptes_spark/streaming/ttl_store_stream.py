@@ -63,14 +63,34 @@ def _make_store_fn():
             )
             return
 
+        # The Scala GroupState contract says timeouts "have to be set
+        # explicitly every time the function is invoked"; the PySpark
+        # applyInPandasWithState bridge observably PRESERVES an
+        # untouched timeout across invocations (verified empirically on
+        # 4.1: a stale batch without re-arm still expires). Re-arm on
+        # every early-return path anyway — it is one cheap call and
+        # keeps the no-leak guarantee independent of which semantics a
+        # future bridge implements.
+        def _rearm_from_state():
+            _, exp, last = state.get
+            state.setTimeoutDuration(max(int(exp - last), 1))
+
         best = _latest_update(pdfs)
         if best is None:
+            if state.exists:
+                _rearm_from_state()
             return
         ts_ms, value, ttl_sec = best
         if state.exists:
             _, _, last_ts = state.get
             if ts_ms <= last_ts:
-                return  # stale replay: the stored row is newer
+                # stale replay: the stored row is newer. Re-arm with the
+                # stored row's full TTL — active expiry is postponed (to
+                # at most one extra TTL per replayed batch) but never
+                # cancelled; the read-side lazy filter on expires_at_ms
+                # is unaffected.
+                _rearm_from_state()
+                return
         expires_at = ts_ms + ttl_sec * 1000
         state.update((value, expires_at, ts_ms))
         # active expiry: wall-clock countdown from now, Redis EX semantics

@@ -96,3 +96,52 @@ def test_latest_update_total_order():
     # tie on ts -> larger value string wins, regardless of frame order
     assert _latest_update(iter([a, b])) == (5, "y", 2)
     assert _latest_update(iter([b, a])) == (5, "y", 2)
+
+
+def test_stale_replay_does_not_cancel_expiry(spark, tmp_path):
+    """A stale replay processed as its OWN micro-batch
+    (maxFilesPerTrigger=1) must not cancel the pending expiry: the
+    tombstone still arrives and the stale value never surfaces. Guards
+    the no-leak guarantee against either timeout semantics (the Scala
+    GroupState doc says per-invocation re-arm is required; the PySpark
+    bridge currently preserves untouched timeouts — the store re-arms
+    defensively either way)."""
+    import time
+
+    src = str(tmp_path / "upd")
+    spark.createDataFrame(
+        [("a", "new", 9000, 2)], UPDATES_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("a", "old", 1000, 2)], UPDATES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ttl_store_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ttl_out_3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        n = 0
+        while time.monotonic() < deadline:
+            if q.awaitTermination(2):
+                break
+            n = spark.sql(
+                "SELECT count(*) FROM ttl_out_3 WHERE expired"
+            ).first()[0]
+            if n >= 1:
+                break
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ttl_out_3").collect()
+    assert not any(r.value == "old" for r in rows)
+    assert any(r.expired and r.value == "new" for r in rows), rows
