@@ -1816,6 +1816,39 @@ _GAP_THR_MS = 5 * 86_400_000  # 5-day staleness threshold
 _Z_WINDOW_N = 20
 
 
+def _w15_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy: 1m buckets from the raw scan,
+    10m and 1h tiers re-aggregated from the tier below (one corpus
+    shuffle total; coarser tiers shuffle only aggregate rows)."""
+    from panoptes_spark.operators.timeseries import multires_rollup
+
+    e = fx.read_events(spark, sf_dir).select("ts_ms", "event_type", "value")
+    return multires_rollup(e)
+
+
+# the oracle computes every tier directly from the raw table — valid
+# because the rollup carries only mergeable statistics, so tier-from-
+# tier (engine) and tier-from-raw (oracle) are algebraically identical;
+# decimal sums keep the double cast exact on both paths
+_W15_TIER = """
+SELECT '{name}' AS resolution,
+       ts_ms - (ts_ms % {span}) AS bucket_ms,
+       event_type AS key, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM pts GROUP BY 1, 2, 3
+"""
+
+_W15_MULTIRES_ORACLE = (
+    "WITH pts AS (SELECT epoch_ms(ts) AS ts_ms, event_type, value"
+    " FROM events)\n"
+    + "\nUNION ALL\n".join(
+        _W15_TIER.format(name=n, span=sp)
+        for n, sp in (("1m", 60_000), ("10m", 600_000), ("1h", 3_600_000))
+    )
+)
+
+
 def _w9_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.operators.timeseries import resample_ffill
 
@@ -3440,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a15_returned_revenue": _olap_returned_revenue,
             "a13_above_nation_avg": _olap_above_nation_avg,
             "w9_resample_ffill": _w9_resample,
+            "w15_multires_rollup": _w15_multires_rollup,
             "w10_gap_report": _w10_gap_report,
             "w11_zscore_anomaly": _w11_zscore,
             "a16_custdist": _olap_custdist,
@@ -3536,6 +3570,7 @@ def oracle_sql() -> dict[str, str]:
             "a15_returned_revenue": _OLAP_Q10_ORACLE,
             "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
             "w9_resample_ffill": _W9_RESAMPLE_ORACLE,
+            "w15_multires_rollup": _W15_MULTIRES_ORACLE,
             "w10_gap_report": _W10_GAP_ORACLE,
             "w11_zscore_anomaly": _W11_ZSCORE_ORACLE,
             "a16_custdist": _OLAP_Q13_ORACLE,

@@ -119,3 +119,40 @@ def test_plans_use_keyed_windows_only(spark):
                     elif ch == "]":
                         depth = max(0, depth - 1)
                 assert groups >= 3, f"unpartitioned window: {line.strip()}"
+
+
+def test_multires_rollup_tiers_merge_exactly(spark):
+    """Coarse tiers computed from the finer tier equal the same tier
+    computed directly from raw rows (mergeable-statistic invariant),
+    and non-nesting spans are rejected."""
+    import pytest as _pytest
+
+    from panoptes_spark.operators.timeseries import multires_rollup
+
+    rows = [
+        # two 1m buckets inside one 10m bucket, plus a far-away bucket
+        (10_000, "a", 1.25),
+        (50_000, "a", 2.50),
+        (70_000, "a", 4.00),
+        (70_000, "b", 8.00),
+        (3_700_000, "a", 16.00),
+    ]
+    e = spark.createDataFrame(rows, "ts_ms long, event_type string, value double")
+    out = multires_rollup(e).collect()
+    by = {(r.resolution, r.bucket_ms, r.key): r for r in out}
+
+    fine_a = [by[("1m", 0, "a")], by[("1m", 60_000, "a")]]
+    assert [r.n for r in fine_a] == [2, 1]
+    mid_a = by[("10m", 0, "a")]
+    assert mid_a.n == sum(r.n for r in fine_a) == 3
+    assert mid_a.sum_value == sum(r.sum_value for r in fine_a) == 7.75
+    assert mid_a.min_value == 1.25 and mid_a.max_value == 4.0
+    hour_a0 = by[("1h", 0, "a")]
+    assert (hour_a0.n, hour_a0.sum_value) == (3, 7.75)
+    assert by[("1h", 3_600_000, "a")].sum_value == 16.0
+    assert by[("10m", 0, "b")].n == 1
+    # every tier present exactly once per (bucket, key)
+    assert len(out) == len(by)
+
+    with _pytest.raises(ValueError):
+        multires_rollup(e, tiers_ms=(("1m", 60_000), ("7m", 420_001)))
