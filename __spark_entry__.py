@@ -1187,6 +1187,63 @@ FROM m
 """
 
 
+def _j10_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: purchase labels pick up the
+    latest at-or-before click and view feature values per user in ONE
+    keyed shuffle (vs one as-of join per feature)."""
+    from panoptes_spark.operators.temporal import pit_features
+
+    e = fx.read_events(spark, sf_dir)
+    labels = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    )
+
+    def feat(kind):
+        return (
+            e.where(F.col("event_type") == kind)
+            .groupBy("user_id", "ts_ms")
+            .agg(F.max("value").alias("value"))
+        )
+
+    return pit_features(
+        labels,
+        {"click_value": feat("click"), "view_value": feat("view")},
+        by=["user_id"],
+        tolerance_ms=_ASOF_TOL_MS,
+    )
+
+
+_J10_PIT_ORACLE = f"""
+WITH labels AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+clk AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+vw AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+m AS (
+  SELECT l.user_id, l.event_id, l.ts_ms,
+         c.ts_ms AS c_ts, c.v AS c_v, w.ts_ms AS w_ts, w.v AS w_v
+  FROM labels l
+  ASOF LEFT JOIN clk c ON l.user_id = c.user_id AND l.ts_ms >= c.ts_ms
+  ASOF LEFT JOIN vw w ON l.user_id = w.user_id AND l.ts_ms >= w.ts_ms
+)
+SELECT user_id, event_id, ts_ms,
+  CASE WHEN ts_ms - c_ts <= {_ASOF_TOL_MS} THEN c_v END AS click_value,
+  CASE WHEN ts_ms - c_ts <= {_ASOF_TOL_MS} THEN ts_ms - c_ts END
+    AS click_value_staleness_ms,
+  CASE WHEN ts_ms - w_ts <= {_ASOF_TOL_MS} THEN w_v END AS view_value,
+  CASE WHEN ts_ms - w_ts <= {_ASOF_TOL_MS} THEN ts_ms - w_ts END
+    AS view_value_staleness_ms
+FROM m
+"""
+
+
 def _interval_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.operators.temporal import interval_join
 
@@ -3474,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a13_above_nation_avg": _olap_above_nation_avg,
             "w9_resample_ffill": _w9_resample,
             "w15_multires_rollup": _w15_multires_rollup,
+            "j10_pit_features": _j10_pit_features,
             "w10_gap_report": _w10_gap_report,
             "w11_zscore_anomaly": _w11_zscore,
             "a16_custdist": _olap_custdist,
@@ -3571,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
             "a13_above_nation_avg": _OLAP_ABOVE_AVG_ORACLE,
             "w9_resample_ffill": _W9_RESAMPLE_ORACLE,
             "w15_multires_rollup": _W15_MULTIRES_ORACLE,
+            "j10_pit_features": _J10_PIT_ORACLE,
             "w10_gap_report": _W10_GAP_ORACLE,
             "w11_zscore_anomaly": _W11_ZSCORE_ORACLE,
             "a16_custdist": _OLAP_Q13_ORACLE,

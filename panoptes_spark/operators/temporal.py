@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "pit_features"]
 
 
 def asof_join(
@@ -179,3 +179,103 @@ def interval_join(
     return joined.where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     ).drop("__bin")
+
+
+def pit_features(
+    labels: DataFrame,
+    features: dict[str, DataFrame],
+    by: list[str],
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Point-in-time multi-feature join (the feature-store primitive):
+    for every label row, attach the latest at-or-before value of EVERY
+    feature stream — leakage-free by construction (a feature written
+    after the label's timestamp can never be seen).
+
+    ``features`` maps feature name -> (by, ts, value) DataFrame, each
+    unique per (by, ts) like :func:`asof_join`'s right side; values are
+    cast to double. Output: label columns + per feature ``{name}`` and
+    ``{name}_staleness_ms`` (NULL when absent or staler than
+    ``tolerance_ms``).
+
+    Scale: K separate as-of joins would shuffle the label stream K
+    times. Here all streams melt into ONE long relation (by, ts, side,
+    feature, value) and a single keyed shuffle + sort resolves every
+    feature with K conditional ``last(ignorenulls)`` expressions over
+    the same window — shuffle volume is labels + Σ features, once,
+    independent of K. Ties (feature at the label's exact ts) sort
+    feature-first, so at-or-before includes them; conditional lasts
+    make inter-feature tie order irrelevant.
+    """
+    if not by:
+        raise ValueError("pit_features requires non-empty `by` keys")
+    if not features:
+        raise ValueError("pit_features requires at least one feature")
+    names = sorted(features)
+    payload = [c for c in labels.columns if c not in by and c != ts_col]
+    ltypes = dict(labels.dtypes)
+
+    lhs = labels.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("string").alias("__fname"),
+        F.lit(None).cast("double").alias("__fval"),
+        *[F.col(c).alias(f"__l_{c}") for c in payload],
+    )
+    long_rel = lhs
+    for name in names:
+        f = features[name]
+        long_rel = long_rel.unionByName(
+            f.select(
+                *by,
+                F.col(ts_col).alias("__ts"),
+                F.lit(0).alias("__side"),
+                F.lit(name).alias("__fname"),
+                F.col(value_col).cast("double").alias("__fval"),
+                *[
+                    F.lit(None).cast(ltypes[c]).alias(f"__l_{c}")
+                    for c in payload
+                ],
+            )
+        )
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # all 2K lasts in ONE select so they collapse into a single Window
+    # node (withColumn would interleave projections that block Spark's
+    # CollapseWindow rule, stacking K window operators)
+    wexprs = []
+    for name in names:
+        is_f = F.col("__fname") == name
+        wexprs.append(
+            F.last(F.when(is_f, F.col("__fval")), ignorenulls=True)
+            .over(w)
+            .alias(f"__v_{name}")
+        )
+        wexprs.append(
+            F.last(F.when(is_f, F.col("__ts")), ignorenulls=True)
+            .over(w)
+            .alias(f"__t_{name}")
+        )
+    long_rel = long_rel.select("*", *wexprs)
+
+    out_cols = [*by, F.col("__ts").alias(ts_col)]
+    out_cols += [F.col(f"__l_{c}").alias(c) for c in payload]
+    for name in names:
+        age = F.col("__ts") - F.col(f"__t_{name}")
+        fresh = (
+            age <= F.lit(int(tolerance_ms))
+            if tolerance_ms is not None
+            else F.col(f"__t_{name}").isNotNull()
+        )
+        out_cols.append(F.when(fresh, F.col(f"__v_{name}")).alias(name))
+        out_cols.append(
+            F.when(fresh, age).alias(f"{name}_staleness_ms")
+        )
+    return long_rel.where(F.col("__side") == 1).select(*out_cols)

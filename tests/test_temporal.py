@@ -97,3 +97,64 @@ def test_interval_join_max_bins_guard(spark):
     )
     # degenerate month-long interval dropped by the fan-out guard
     assert interval_join(pts, iv, by=["k"], bin_ms=10, max_bins=100).count() == 0
+
+
+def test_pit_features_matches_chained_asof(spark):
+    """The single-shuffle multi-feature PIT join returns exactly what
+    two chained asof_joins return, including tolerance nulls and
+    equal-ts inclusion — and its plan carries ONE hash Exchange of the
+    long relation (a chained as-of pays one per feature)."""
+    from panoptes_spark.operators.temporal import asof_join, pit_features
+
+    labels = spark.createDataFrame(
+        [(1, 100, 5000), (1, 101, 10_000), (2, 102, 7000), (3, 103, 1000)],
+        "user_id long, event_id long, ts_ms long",
+    )
+    clicks = spark.createDataFrame(
+        [(1, 4000, 1.5), (1, 10_000, 2.5), (2, 1000, 3.0)],
+        "user_id long, ts_ms long, value double",
+    )
+    views = spark.createDataFrame(
+        [(1, 9000, 7.0), (2, 6999, 8.0)],
+        "user_id long, ts_ms long, value double",
+    )
+    tol = 5000
+    out = pit_features(
+        labels,
+        {"click_value": clicks, "view_value": views},
+        by=["user_id"],
+        tolerance_ms=tol,
+    )
+    got = {r.event_id: r for r in out.collect()}
+    assert len(got) == 4
+
+    ref = labels
+    for name, feat in (("click_value", clicks), ("view_value", views)):
+        ref = asof_join(
+            ref, feat.withColumnRenamed("value", name),
+            by=["user_id"], right_cols=[name], tolerance_ms=tol,
+            prefix=f"m_{name}_",
+        ).drop(f"m_{name}_ts_ms").withColumnRenamed(
+            f"m_{name}_{name}", name
+        ).withColumnRenamed("staleness_ms", f"{name}_staleness_ms")
+    want = {r.event_id: r for r in ref.collect()}
+    for eid, r in got.items():
+        wr = want[eid]
+        for c in ("click_value", "click_value_staleness_ms",
+                  "view_value", "view_value_staleness_ms"):
+            assert getattr(r, c) == getattr(wr, c), (eid, c, r, wr)
+    # spot-check semantics: equal-ts click (user 1 @10000) IS seen;
+    # user 2's view at 6999 is 1ms before the 7000 label; user 3 has
+    # nothing at-or-before
+    assert got[101].click_value == 2.5
+    assert got[101].click_value_staleness_ms == 0
+    assert got[102].view_value == 8.0 and got[102].view_value_staleness_ms == 1
+    assert got[103].click_value is None and got[103].view_value is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # AdaptiveSparkPlan prints final THEN initial plan: count only the
+    # final section (the initial copy would double-count every node)
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, plan
