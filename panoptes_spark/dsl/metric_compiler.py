@@ -1123,8 +1123,11 @@ class MetricDSLCompiler:
             else:
                 # v0.2: devices with no surviving indexed metrics get the
                 # top-level-only group (reference else-branch :657-678)
+                # the anti side is one distinct device_id column (dim-
+                # sized even at fleet scale): broadcast it so the top
+                # frame never shuffle-sorts for the fallback check
                 top_src = top.join(
-                    base.select("device_id").distinct(),
+                    F.broadcast(base.select("device_id").distinct()),
                     "device_id",
                     "left_anti",
                 )

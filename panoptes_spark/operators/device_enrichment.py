@@ -407,8 +407,10 @@ def juniper_device_enrichment(
             F.array_sort(F.collect_list(F.struct("frag_name", "frag")))
         ).alias("m")
     )
+    # the fragment map is device-dim-sized: broadcast it so the device
+    # dim never shuffle-sorts (same small-side policy as the J1 joins)
     per_device = devices.select("device_id", "model").join(
-        per_device, "device_id", "left"
+        F.broadcast(per_device), "device_id", "left"
     )
 
     def g(name: str) -> F.Column:  # fragment with empty-map default
