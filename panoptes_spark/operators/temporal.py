@@ -214,6 +214,12 @@ def pit_features(
     if not features:
         raise ValueError("pit_features requires at least one feature")
     names = sorted(features)
+    taken = set(labels.columns)
+    for name in names:
+        if name in taken or f"{name}_staleness_ms" in taken:
+            raise ValueError(
+                f"feature name {name!r} collides with a label column"
+            )
     payload = [c for c in labels.columns if c not in by and c != ts_col]
     ltypes = dict(labels.dtypes)
 

@@ -93,8 +93,11 @@ def _make_store_fn():
                 return
         expires_at = ts_ms + ttl_sec * 1000
         state.update((value, expires_at, ts_ms))
-        # active expiry: wall-clock countdown from now, Redis EX semantics
-        state.setTimeoutDuration(ttl_sec * 1000)
+        # active expiry: wall-clock countdown from now, Redis EX
+        # semantics; clamp to 1ms — Redis rejects SET EX 0, the stream
+        # twin degrades it to expire-immediately instead of crashing
+        # the query mid-batch
+        state.setTimeoutDuration(max(int(ttl_sec) * 1000, 1))
         yield pd.DataFrame(
             [{"key": k, "value": value,
               "expires_at_ms": expires_at, "expired": False}]
