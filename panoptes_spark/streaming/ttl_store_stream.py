@@ -38,13 +38,15 @@ STATE_SCHEMA = "value string, expires_at_ms long, last_ts_ms long"
 
 
 def _latest_update(pdfs: Iterator[pd.DataFrame]):
-    """Max-(ts, value) row across the batch — a total order, so the
-    winner is independent of micro-batch partitioning and ties."""
+    """Max-(ts, value, ttl) row across the batch — a total order over
+    the WHOLE row, so the winner is independent of micro-batch
+    partitioning even when two updates tie on (ts, value) but carry
+    different TTLs."""
     best = None
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             cand = (int(row.ts_ms), str(row.value), int(row.ttl_sec))
-            if best is None or cand[:2] > best[:2]:
+            if best is None or cand > best:
                 best = cand
     return best
 

@@ -13,6 +13,12 @@ Additional guards the r4 post-mortem demanded (VERDICT r4 #6):
   counts as a failed gate.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+Set ``CHECK_SHUFFLE_PARTITIONS`` to run the sweep under a different
+shuffle-partition count (e.g. 7): every gate must produce the identical
+canon regardless of partition layout — a partition-dependence soak that
+catches collect_list/first-style ordering bugs the default-layout run
+can mask.
 """
 
 from __future__ import annotations
@@ -87,7 +93,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark(app_name="check")
+    nshuf = int(os.environ.get("CHECK_SHUFFLE_PARTITIONS", "0"))
+    spark = get_spark(app_name="check", shuffle_partitions=nshuf or None)
+    if nshuf:
+        print(f"(shuffle partitions overridden to {nshuf})")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
