@@ -3557,8 +3557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Interleave the two gate families (panoptes-twin vs LLM-pipeline) so a
     # driver that samples only a PREFIX of this dict still exercises both —
     # round 3's driver sampled the first 50 entries and missed the pipeline
-    # family entirely because it was appended last.
-    out = _interleave(_PIPE_QUERIES, out)
+    # family entirely because it was appended last. Within each family the
+    # order is NEWEST FIRST (r5 verdict: gates append last in source, so the
+    # driver's prefix sample never reached exactly the code most likely to
+    # be wrong — the current round's additions).
+    out = _interleave(_newest_first(_PIPE_QUERIES), _newest_first(out))
 
     from panoptes_spark.session import tune_runtime
 
@@ -3569,6 +3572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     return {name: _tuned(fn) for name, fn in out.items()}
+
+
+def _newest_first(d: dict) -> dict:
+    """Reverse a gate-family dict: source order appends new gates last, so
+    reversing puts the most recently added gates at the head — the prefix a
+    sampling driver actually reads."""
+    return dict(reversed(list(d.items())))
 
 
 def _interleave(first: dict, second: dict) -> dict:
@@ -3652,6 +3662,6 @@ def oracle_sql() -> dict[str, str]:
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES
 
-    # Same interleaved order as queries() so name <-> oracle pairing is
-    # positionally stable for any prefix-sampling driver.
-    return _interleave(_PIPE_ORACLES, out)
+    # Same interleaved newest-first order as queries() so name <-> oracle
+    # pairing is positionally stable for any prefix-sampling driver.
+    return _interleave(_newest_first(_PIPE_ORACLES), _newest_first(out))

@@ -2587,8 +2587,6 @@ QUERIES = {
     "token_frequencies": q_token_frequencies,
     "chunk_documents": q_chunk_documents,
     "bm25_search": q_bm25_search,
-    "hybrid_search": q_hybrid_search,
-    "leakage_safe_splits": q_leakage_safe_splits,
     "incremental_dedup": q_incremental_dedup,
     "global_quantiles": q_global_quantiles,
     "split_leakage": q_split_leakage,
@@ -2621,6 +2619,10 @@ QUERIES = {
     "sample_per_group": q_sample_per_group,
     "text_readability": q_text_readability,
     "text_tfidf": q_text_tfidf,
+    # --- r5 additions (keep chronological: the entry harness reverses each
+    # family so the sampling driver's prefix reads newest gates first) ---
+    "hybrid_search": q_hybrid_search,
+    "leakage_safe_splits": q_leakage_safe_splits,
 }
 
 ORACLES = {
@@ -2650,8 +2652,6 @@ ORACLES = {
     "token_frequencies": O_TOKEN_FREQUENCIES,
     "chunk_documents": O_CHUNK_DOCUMENTS,
     "bm25_search": _o_bm25_search(),
-    "hybrid_search": _o_hybrid_search(),
-    "leakage_safe_splits": _o_leakage_safe_splits(),
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "global_quantiles": O_GLOBAL_QUANTILES,
     "split_leakage": _o_split_leakage(),
@@ -2684,4 +2684,7 @@ ORACLES = {
     "sample_per_group": _o_sample_per_group(),
     "text_readability": O_TEXT_READABILITY,
     "text_tfidf": O_TEXT_TFIDF,
+    # --- r5 additions (chronological; see QUERIES note) ---
+    "hybrid_search": _o_hybrid_search(),
+    "leakage_safe_splits": _o_leakage_safe_splits(),
 }
