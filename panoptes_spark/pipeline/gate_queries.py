@@ -1440,14 +1440,80 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_hybrid_search() -> str:
+def _hybrid_dense_brute_cte() -> str:
+    """Dense-leg CTE chain (exact corpus×probe) ending in
+    dense(query_id, doc_id, dense_rank)."""
+    probes = ", ".join(str(q) for q in sorted(_HYBRID_QUERIES))
+    return f"""
+dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       WHERE vec_id IN ({probes})),
+dc AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+ds AS (
+  SELECT query_id, nbr_id AS doc_id,
+    round({_DOT_DD} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
+  FROM dq CROSS JOIN dc WHERE query_id <> nbr_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT)
+    AS dense_rank
+  FROM ds QUALIFY dense_rank <= {_HYBRID_LEG_K}
+)"""
+
+
+def _hybrid_dense_ivf_cte() -> str:
+    """IVF dense-leg CTE chain — same seed-centroid assignment as
+    O_IVF_TOPK (gate-proven), probes restricted to the hybrid query ids."""
+    probes = ", ".join(str(q) for q in sorted(_HYBRID_QUERIES))
+    return f"""
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+c_assign AS (
+  SELECT nbr_id, cv, cell_id FROM (
+    SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk <= 1
+),
+q_assign AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id IN ({probes})
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+ds AS (
+  SELECT DISTINCT q.query_id, c.nbr_id AS doc_id,
+    round(list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+      / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+         * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6)
+      AS cosine
+  FROM q_assign q JOIN c_assign c USING (cell_id)
+  WHERE q.query_id <> c.nbr_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT)
+    AS dense_rank
+  FROM ds QUALIFY dense_rank <= {_HYBRID_LEG_K}
+)"""
+
+
+def _o_hybrid_fused(dense_cte: str) -> str:
+    """Full fused-RRF oracle with a pluggable dense-leg CTE chain (must
+    end in dense(query_id, doc_id, dense_rank))."""
     k1, b = 1.2, 0.75
     all_terms = sorted({t for ts in _HYBRID_QUERIES.values() for t in ts})
     in_list = ", ".join(f"'{t}'" for t in all_terms)
     qt_vals = ", ".join(
         f"({q}, '{t}')" for q, ts in sorted(_HYBRID_QUERIES.items()) for t in ts
     )
-    probes = ", ".join(str(q) for q in sorted(_HYBRID_QUERIES))
     leg_k, k, c = _HYBRID_LEG_K, _HYBRID_K, _HYBRID_C
     return f"""
 WITH toks AS (
@@ -1484,20 +1550,7 @@ lex AS (
     AS lex_rank
   FROM lex_scored QUALIFY lex_rank <= {leg_k}
 ),
-dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-       WHERE vec_id IN ({probes})),
-dc AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-ds AS (
-  SELECT query_id, nbr_id AS doc_id,
-    round({_DOT_DD} / ({_NORM_Q} * {_NORM_C}), 6) AS cosine
-  FROM dq CROSS JOIN dc WHERE query_id <> nbr_id
-),
-dense AS (
-  SELECT query_id, doc_id, CAST(row_number() OVER (
-      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT)
-    AS dense_rank
-  FROM ds QUALIFY dense_rank <= {leg_k}
-),
+{dense_cte.strip()},
 fused AS (
   SELECT COALESCE(l.query_id, d.query_id) AS query_id,
          COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -1520,6 +1573,55 @@ SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
       PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT)
     AS fused_rank
 FROM sc QUALIFY fused_rank <= {k}
+"""
+
+
+def _o_hybrid_search() -> str:
+    return _o_hybrid_fused(_hybrid_dense_brute_cte())
+
+
+def q_hybrid_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused-output recall of the IVF dense leg vs the brute-leg twin —
+    the ``ann_recall`` pattern applied to the whole hybrid pipeline (r5
+    verdict #1): per query, |fused_ivf ∩ fused_brute| / k. This is the
+    quality gate that makes ``dense_leg="ivf"`` a safe 100 TB default."""
+    from panoptes_spark.pipeline.search import hybrid_search_rrf
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    embs = fx.read_table(spark, sf_dir, "embeddings")
+    kw = dict(k=_HYBRID_K, leg_k=_HYBRID_LEG_K, c=_HYBRID_C)
+    brute = hybrid_search_rrf(docs, embs, _HYBRID_QUERIES, **kw).select(
+        "query_id", "doc_id"
+    )
+    ivf = hybrid_search_rrf(
+        docs, embs, _HYBRID_QUERIES,
+        dense_leg="ivf", n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, **kw,
+    ).select("query_id", "doc_id")
+    both = brute.join(ivf, ["query_id", "doc_id"], "left_semi")
+    return (
+        both.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .select(
+            "query_id",
+            "n_match",
+            F.round(
+                F.col("n_match") / F.lit(float(_HYBRID_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _o_hybrid_search_ivf() -> str:
+    return f"""
+WITH bf AS ({_o_hybrid_fused(_hybrid_dense_brute_cte())}),
+iv AS ({_o_hybrid_fused(_hybrid_dense_ivf_cte())}),
+m AS (
+  SELECT bf.query_id, bf.doc_id FROM bf
+  SEMI JOIN iv ON bf.query_id = iv.query_id AND bf.doc_id = iv.doc_id
+)
+SELECT query_id, count(*) AS n_match,
+       round(count(*) / CAST({_HYBRID_K} AS DOUBLE), 6) AS recall
+FROM m GROUP BY query_id
 """
 
 
@@ -2623,6 +2725,8 @@ QUERIES = {
     # family so the sampling driver's prefix reads newest gates first) ---
     "hybrid_search": q_hybrid_search,
     "leakage_safe_splits": q_leakage_safe_splits,
+    # --- r6 additions ---
+    "hybrid_search_ivf": q_hybrid_search_ivf,
 }
 
 ORACLES = {
@@ -2687,4 +2791,6 @@ ORACLES = {
     # --- r5 additions (chronological; see QUERIES note) ---
     "hybrid_search": _o_hybrid_search(),
     "leakage_safe_splits": _o_leakage_safe_splits(),
+    # --- r6 additions ---
+    "hybrid_search_ivf": _o_hybrid_search_ivf(),
 }

@@ -201,6 +201,9 @@ def hybrid_search_rrf(
     c: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dense_leg: str = "brute",
+    n_cells: int = 16,
+    nprobe: int = 4,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 keyword leg + query-by-example dense leg,
     fused by reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09:
@@ -222,9 +225,28 @@ def hybrid_search_rrf(
     two-addend double expression on both engines, rounded at 9dp —
     distinct rank-pairs differ by ≥ 1/(c+leg_k)⁴ ≫ 1e-9, so rounding
     never merges them; ties (identical rank pairs) break on doc_id.
-    """
-    from panoptes_spark.pipeline.similarity import cosine_topk_bruteforce
 
+    ``dense_leg`` picks the dense retrieval plan (r5 verdict: the leg must
+    be pluggable — the exact plan is not what you'd run at 100 TB):
+
+    - ``"brute"`` (default): exact corpus×probe matmul
+      (:func:`~panoptes_spark.pipeline.similarity.cosine_topk_bruteforce`)
+      — the exactness baseline; a full corpus scan per probe batch.
+    - ``"ivf"``: inverted-file ANN
+      (:func:`~panoptes_spark.pipeline.similarity.ivf_topk` over
+      :func:`~panoptes_spark.pipeline.similarity.seed_centroids`) — each
+      probe touches ~``nprobe/n_cells`` of the corpus instead of all of
+      it; the 100 TB path. Fused-output recall vs the brute twin is
+      gate-measured (``hybrid_search_ivf``).
+    """
+    from panoptes_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    if dense_leg not in ("brute", "ivf"):
+        raise ValueError(f"dense_leg must be 'brute' or 'ivf', got {dense_leg!r}")
     probe_ids = sorted(int(q) for q in query_terms)
     lex = bm25_multi_query(
         docs, query_terms, leg_k=leg_k, text_col=text_col, id_col=id_col
@@ -232,7 +254,12 @@ def hybrid_search_rrf(
     probes = embeddings.where(
         F.col("vec_id").isin(probe_ids)
     )
-    dense = cosine_topk_bruteforce(embeddings, probes, k=leg_k).select(
+    if dense_leg == "ivf":
+        cents = seed_centroids(embeddings, n_cells=n_cells)
+        dense_topk = ivf_topk(embeddings, probes, cents, k=leg_k, nprobe=nprobe)
+    else:
+        dense_topk = cosine_topk_bruteforce(embeddings, probes, k=leg_k)
+    dense = dense_topk.select(
         "query_id",
         F.col("nbr_id").alias("doc_id"),
         F.col("rank").alias("dense_rank"),

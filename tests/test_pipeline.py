@@ -1251,6 +1251,46 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert rows[2].fused_rank == 1
 
 
+def test_hybrid_dense_leg_pluggable(spark):
+    """dense_leg='ivf' with exhaustive probing (nprobe = n_cells >= every
+    occupied cell) reduces to the brute leg exactly — same fused rows,
+    ranks and scores; an unknown leg name fails loudly."""
+    import pytest
+
+    from panoptes_spark.pipeline.search import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "filler " * 10),
+            (1, "unrelated " + "filler " * 10),
+            (2, "needle needle " + "filler " * 10),
+            (3, "other " + "filler " * 10),
+            (4, "needle " + "filler " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),
+            (2, [0.9, 0.43]),
+            (3, [0.7, 0.71]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(k=5, leg_k=3, c=60)
+    brute = hybrid_search_rrf(docs, embs, {0: ["needle"]}, **kw)
+    ivf = hybrid_search_rrf(
+        docs, embs, {0: ["needle"]}, dense_leg="ivf",
+        n_cells=5, nprobe=5, **kw,
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(ivf) == canon(brute)
+    with pytest.raises(ValueError, match="dense_leg"):
+        hybrid_search_rrf(docs, embs, {0: ["x"]}, dense_leg="hnsw")
+
+
 def test_leakage_safe_splits_invariant(spark):
     """No near-dup pair straddles a split; whole components move
     together; singleton docs get exactly their assign_split label
