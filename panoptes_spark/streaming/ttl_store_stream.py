@@ -118,3 +118,149 @@ def ttl_store_stream(updates: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time expiry variant (r5 verdict #4): replay-deterministic tombstones
+# ---------------------------------------------------------------------------
+
+
+def _make_event_store_fn():
+    """Event-time twin of ``_make_store_fn``: expiry is an event-time
+    timeout at ``expires_at_ms`` (fires when the WATERMARK — a pure
+    function of input event times — passes it), so the tombstone sequence
+    is a function of the data, not of wall clock or arrival batching.
+
+    The three expiry delivery paths all emit the SAME tombstone row
+    (key, value, expires_at_ms, expired=true), so the changelog as a set
+    is identical whichever path a given replay takes:
+
+    - timeout path: watermark passed expires_at with no newer update;
+    - covering-update path: a fresh update with ts >= the stored row's
+      expires_at proves the row died first in event time — tombstone
+      emitted inline BEFORE the insert (without this, whether the old
+      row's tombstone exists would depend on which batch the covering
+      update landed in);
+    - already-expired insert: an update whose own expires_at <= the
+      current watermark emits its full lifecycle (live row + tombstone)
+      inline and never creates state.
+
+    Equality convention matches the batch fold (`stores.expire` keeps
+    ``expires_at > now``): a row is dead at ts == expires_at, so the
+    covering-update test is ``ts >= expires_at``.
+
+    Determinism caveats (both inherent, both shared with the rest of the
+    repo's streaming ops): (1) rows later than the watermark delay are
+    dropped by Spark before reaching the store, so replay determinism
+    holds for any replay in which no row is watermark-late; (2) an update
+    covered by a newer one INSIDE the same micro-batch is LWW-collapsed
+    before it ever enters the store (same as the processing-time twin's
+    "stale write never surfaces"), so its live/tombstone pair exists only
+    in replays where the two land in different batches — the live-store
+    view (rows minus tombstones) is batch-layout-independent either way.
+    """
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.hasTimedOut:
+            value, expires_at, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"key": k, "value": value,
+                  "expires_at_ms": expires_at, "expired": True}]
+            )
+            return
+
+        best = _latest_update(pdfs)
+        wm = state.getCurrentWatermarkMs()
+        if best is None:
+            if state.exists:
+                s_value, s_exp, _ = state.get
+                if s_exp <= wm:
+                    state.remove()
+                    yield pd.DataFrame(
+                        [{"key": k, "value": s_value,
+                          "expires_at_ms": s_exp, "expired": True}]
+                    )
+                else:
+                    state.setTimeoutTimestamp(s_exp)
+            return
+        ts_ms, value, ttl_sec = best
+
+        out: list[dict] = []
+        if state.exists:
+            s_value, s_exp, s_last = state.get
+            if ts_ms <= s_last:
+                # stale replay: stored row is newer. Unlike the
+                # processing-time twin there is NO postponement drift —
+                # the event-time timeout is re-armed at the same
+                # deterministic instant (or folded inline if the
+                # watermark already passed it).
+                if s_exp <= wm:
+                    state.remove()
+                    yield pd.DataFrame(
+                        [{"key": k, "value": s_value,
+                          "expires_at_ms": s_exp, "expired": True}]
+                    )
+                else:
+                    state.setTimeoutTimestamp(s_exp)
+                return
+            if ts_ms >= s_exp:
+                # covering update: the stored row expired (in event time)
+                # before this update — its tombstone precedes the insert
+                out.append(
+                    {"key": k, "value": s_value,
+                     "expires_at_ms": s_exp, "expired": True}
+                )
+
+        expires_at = ts_ms + ttl_sec * 1000
+        out.append(
+            {"key": k, "value": value,
+             "expires_at_ms": expires_at, "expired": False}
+        )
+        if expires_at <= wm:
+            # already dead relative to event time: full lifecycle inline
+            out.append(
+                {"key": k, "value": value,
+                 "expires_at_ms": expires_at, "expired": True}
+            )
+            if state.exists:
+                state.remove()
+        else:
+            state.update((value, expires_at, ts_ms))
+            state.setTimeoutTimestamp(expires_at)
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def ttl_store_stream_event_time(
+    updates: DataFrame, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Event-time-expiry twin of :func:`ttl_store_stream`.
+
+    updates: streaming DataFrame with (key, value, ts_ms, ttl_sec).
+    Returns the same append changelog, but tombstones fire when the
+    WATERMARK passes ``expires_at_ms`` — replay-deterministic for the
+    whole changelog including the tombstone sequence, unlike the
+    processing-time twin whose ``expired=true`` timing is wall-clock
+    bound. Row-parity with the batch ``upsert_with_ttl`` + ``expire``
+    fold is asserted in ``tests/test_ttl_store_stream.py``.
+
+    Scale: identical to the processing-time twin — one state row per
+    live key, bounded by the key population's TTL horizon.
+    """
+    from pyspark.sql import functions as F
+
+    with_ts = updates.withColumn(
+        "__ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("__ts", watermark_delay)
+    return with_ts.groupBy("key").applyInPandasWithState(
+        _make_event_store_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -13,6 +13,7 @@ import pandas as pd
 from panoptes_spark.streaming.ttl_store_stream import (
     _latest_update,
     ttl_store_stream,
+    ttl_store_stream_event_time,
 )
 
 UPDATES_SCHEMA = "key string, value string, ts_ms long, ttl_sec long"
@@ -145,3 +146,193 @@ def test_stale_replay_does_not_cancel_expiry(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ttl_out_3").collect()
     assert not any(r.value == "old" for r in rows)
     assert any(r.expired and r.value == "new" for r in rows), rows
+
+# ---------------------------------------------------------------------------
+# event-time expiry variant (replay-deterministic tombstones)
+# ---------------------------------------------------------------------------
+
+_WM_DELAY = "10 seconds"
+
+
+def _run_event(spark, src, name, ckpt=None, out_path=None):
+    """availableNow run of the event-time twin; event-time timeouts fire
+    only as the watermark advances, so the query terminates on its own
+    (no wall-clock polling needed, unlike the processing-time twin)."""
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src + "/*")
+    w = ttl_store_stream_event_time(stream, _WM_DELAY).writeStream
+    if out_path:
+        w = w.format("parquet").option("path", out_path).option(
+            "checkpointLocation", ckpt
+        )
+    else:
+        w = w.format("memory")
+    q = (
+        w.queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if out_path:
+        return spark.read.parquet(out_path).collect()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_event_time_ttl_parity_with_batch_fold(spark, tmp_path):
+    """Row parity against the batch upsert_with_ttl + expire fold over
+    the same updates, evaluated at the final watermark: identical live
+    store, and every key the batch fold expires has a stream tombstone
+    with the same (value, expires_at)."""
+    from panoptes_spark.sources.stores import expire, upsert_with_ttl
+
+    rows = [
+        ("a", "a1", 1000, 3),    # exp 4000; covered by a2 (5000 >= 4000)
+        ("a", "a2", 5000, 3),    # exp 8000; dead by final wm
+        ("b", "b1", 2000, 2),    # exp 4000; dead by final wm
+        ("c", "c1", 3000, 100),  # exp 103000; live
+        ("w", "adv", 50000, 1),  # exp 51000; live (51000 > wm 40000)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    out = _run_event(spark, src, "ttl_ev_parity")
+    wm_final = 50000 - 10000  # max event ts - watermark delay
+
+    # batch fold: apply updates in event-time order (ms units throughout)
+    store = spark.createDataFrame(
+        [], "key string, value string, expires_at double"
+    )
+    for key, value, ts, ttl in sorted(rows, key=lambda r: r[2]):
+        upd = spark.createDataFrame(
+            [(key, value, ttl * 1000)], "key string, value string, ttl long"
+        )
+        store = upsert_with_ttl(store, upd, ["key"], now=float(ts), ttl_col="ttl")
+    batch_live = {
+        (r.key, r.value, int(r.expires_at))
+        for r in expire(store, now=float(wm_final)).collect()
+    }
+    batch_dead = {
+        (r.key, r.value, int(r.expires_at))
+        for r in store.collect()
+    } - batch_live
+
+    stream_live_rows = [r for r in out if not r.expired]
+    tombstoned = {(r.key, r.value, r.expires_at_ms) for r in out if r.expired}
+    stream_live = {
+        (r.key, r.value, r.expires_at_ms)
+        for r in stream_live_rows
+        if (r.key, r.value, r.expires_at_ms) not in tombstoned
+    }
+    assert stream_live == batch_live == {
+        ("c", "c1", 103000), ("w", "adv", 51000)
+    }
+    # every batch-expired row has its stream tombstone
+    assert batch_dead <= tombstoned
+    # the only permissible extra tombstone is a1's covering-update one:
+    # it appears iff a1 entered the store before a2's batch (i.e. iff the
+    # two landed in different micro-batches) — a within-batch-covered
+    # update is LWW-collapsed and never surfaces, exactly like the
+    # processing-time twin. The STORE view above is batch-independent.
+    assert tombstoned - batch_dead <= {("a", "a1", 4000)}
+
+
+def test_event_time_tombstones_independent_of_batching(spark, tmp_path):
+    """The live-STORE view (rows minus tombstones) is identical whether
+    all updates land in one micro-batch or one file per batch; the
+    covered intermediate (a1) shows its full live+tombstone lifecycle
+    when it entered the store (per-file run) and is LWW-collapsed to
+    nothing when covered within its own batch — never a live row without
+    its tombstone."""
+    rows_b1 = [("a", "a1", 1000, 3)]                      # exp 4000
+    rows_b2 = [("a", "a2", 50000, 3), ("w", "x", 90000, 1)]  # covers a1
+
+    def run(split: bool, name: str):
+        src = str(tmp_path / f"src_{name}")
+        spark.createDataFrame(rows_b1, UPDATES_SCHEMA).coalesce(1).write.parquet(
+            src + "/b1"
+        )
+        spark.createDataFrame(rows_b2, UPDATES_SCHEMA).coalesce(1).write.parquet(
+            src + "/b2"
+        )
+        stream = spark.readStream.schema(UPDATES_SCHEMA)
+        if split:
+            stream = stream.option("maxFilesPerTrigger", 1)
+        q = (
+            ttl_store_stream_event_time(stream.parquet(src + "/*"), _WM_DELAY)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.key, r.value, r.expires_at_ms, r.expired)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    one = run(False, "ttl_ev_onebatch")
+    per_file = run(True, "ttl_ev_perfile")
+
+    def store_view(changelog):
+        dead = {t[:3] for t in changelog if t[3]}
+        return {
+            t[:3] for t in changelog if not t[3] and t[:3] not in dead
+        }
+
+    assert store_view(one) == store_view(per_file)
+    # a2's full lifecycle exists in every layout
+    for got in (one, per_file):
+        assert ("a", "a2", 53000, False) in got   # live a2
+        assert ("a", "a2", 53000, True) in got    # dead by wm 80000
+    # per-file: a1 entered the store -> covering tombstone precedes a2
+    assert ("a", "a1", 4000, False) in per_file
+    assert ("a", "a1", 4000, True) in per_file
+    # no layout ever leaks a live row without its tombstone
+    for got in (one, per_file):
+        a1_rows = {t for t in got if t[1] == "a1"}
+        assert a1_rows in (set(), {("a", "a1", 4000, False),
+                                   ("a", "a1", 4000, True)})
+
+
+def test_event_time_ttl_checkpoint_restart(spark, tmp_path):
+    """Kill the query, append new data, restart from the SAME checkpoint:
+    no batch-1 re-emission, and the combined changelog equals a fresh
+    single-run over all the data (replay determinism end to end)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    b1 = [("a", "v1", 1000, 5), ("adv", "x", 20000, 100)]
+    spark.createDataFrame(b1, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    first = _run_event(spark, src, "ttl_ev_r1", ckpt=ckpt, out_path=out)
+    got1 = {(r.key, r.value, r.expires_at_ms, r.expired) for r in first}
+    # wm after b1 = 10000 -> a (exp 6000) tombstoned; adv (exp 120000) live
+    assert got1 == {
+        ("a", "v1", 6000, False),
+        ("a", "v1", 6000, True),
+        ("adv", "x", 120000, False),
+    }
+
+    b2 = [("b", "v2", 30000, 5), ("adv2", "y", 60000, 100)]
+    spark.createDataFrame(b2, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    second = _run_event(spark, src, "ttl_ev_r2", ckpt=ckpt, out_path=out)
+    got2 = {(r.key, r.value, r.expires_at_ms, r.expired) for r in second}
+    # b1 rows not re-emitted (exactly-once), b's full lifecycle added
+    assert got2 == got1 | {
+        ("b", "v2", 35000, False),
+        ("b", "v2", 35000, True),   # wm reached 50000 > 35000
+        ("adv2", "y", 160000, False),
+    }
+
+    # fresh single-run over the same files reproduces the same changelog
+    fresh = _run_event(
+        spark, src, "ttl_ev_fresh",
+        ckpt=str(tmp_path / "ckpt2"), out_path=str(tmp_path / "out2"),
+    )
+    assert {(r.key, r.value, r.expires_at_ms, r.expired) for r in fresh} == got2
