@@ -687,18 +687,26 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE the DECIMAL(18,2/4) rescale before every decimal->double cast (here
+# and in the other money oracles): DuckDB converts the decimal's int128
+# unscaled value to double BEFORE dividing by 10^scale, so a high-scale
+# sum whose unscaled value exceeds 2^53 can come back 1 ulp off the
+# correctly-rounded cast Spark produces (observed: a11 at sf1). The
+# rescale is value-exact (the quantities carry <= 2dp / products <= 4dp)
+# and keeps the unscaled value < 2^53 for any SF this repo benches.
 _PRICING_SUMMARY_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
-    AS sum_base_price,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
+    AS DOUBLE) AS sum_qty,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+    AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
     * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(8,6)))), 2)
-    AS DOUBLE) AS sum_disc_price,
-  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+    AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
     * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(8,6)))
     * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2)
-    AS DOUBLE) AS sum_charge,
+    AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -1324,8 +1332,9 @@ def _olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OLAP_Q3_ORACLE = """
 SELECT l_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
-           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(18,4))
+    AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1372,8 +1381,9 @@ def _olap_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OLAP_Q5_ORACLE = """
 SELECT n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
-           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE) AS revenue
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(18,4))
+    AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1415,7 +1425,8 @@ def _olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OLAP_Q18_ORACLE = """
 WITH big AS (
   SELECT l_orderkey,
-    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(18,2))
+      AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 250
 )
@@ -1459,9 +1470,9 @@ def _olap_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OLAP_Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
-           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DOUBLE)
-    AS lost_revenue,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+           * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(18,4))
+    AS DOUBLE) AS lost_revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1544,7 +1555,8 @@ _OLAP_ROLLUP_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
        count(*) AS n,
-       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(18,2))
+         AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -1704,7 +1716,8 @@ WITH pos AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DECIMAL(18,2))
+    AS DOUBLE) AS totacctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(28,6)) * n > s
   AND NOT EXISTS (

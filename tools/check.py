@@ -15,10 +15,11 @@ Additional guards the r4 post-mortem demanded (VERDICT r4 #6):
 Usage: python tools/check.py [sf_dir] [query_name ...]
 
 Set ``CHECK_SHUFFLE_PARTITIONS`` to run the sweep under a different
-shuffle-partition count (e.g. 7): every gate must produce the identical
-canon regardless of partition layout — a partition-dependence soak that
-catches collect_list/first-style ordering bugs the default-layout run
-can mask.
+shuffle-partition count (e.g. 7), and/or ``CHECK_MASTER`` to run under a
+different core count (e.g. ``local[5]``): every gate must produce the
+identical canon regardless of partition layout — a partition-dependence
+soak that catches collect_list/first-style ordering bugs the
+default-layout run can mask.
 """
 
 from __future__ import annotations
@@ -94,9 +95,12 @@ def main():
         )
 
     nshuf = int(os.environ.get("CHECK_SHUFFLE_PARTITIONS", "0"))
-    spark = get_spark(app_name="check", shuffle_partitions=nshuf or None)
-    if nshuf:
-        print(f"(shuffle partitions overridden to {nshuf})")
+    master = os.environ.get("CHECK_MASTER") or None
+    spark = get_spark(
+        app_name="check", master=master, shuffle_partitions=nshuf or None
+    )
+    if nshuf or master:
+        print(f"(layout override: master={master} shuffle_partitions={nshuf})")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
