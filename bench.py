@@ -62,8 +62,15 @@ def main():
         # per-query progress on stderr only; stdout must end with the JSON
         print(f"# {name}: {n} rows in {best:.2f}s", file=sys.stderr)
 
+    # the plain BENCH_DETAIL.json name is reserved for the driver's
+    # default SF so off-SF runs (e.g. the sf1 soak) never clobber the
+    # committed artifact
+    default_dir = sf_dir == "/root/testdata/sf0.1"
+    detail_name = (
+        "BENCH_DETAIL.json" if default_dir else f"BENCH_DETAIL_sf{sf}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     with open(detail_path, "w") as f:
