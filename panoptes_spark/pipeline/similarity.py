@@ -438,6 +438,8 @@ def lsh_topk(
     occupancy, not |C|. Recall tunes with bands (more, shorter bands =
     higher recall, more candidates); the IVF variant is the partition-
     pruned alternative when a coarse quantizer fits the data better."""
+    import numpy as np
+
     planes = lsh_hyperplanes(dim, n_planes)
     c = lsh_band_codes(corpus, planes, bands, id_col, vec_col).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "band", "code"
@@ -445,13 +447,39 @@ def lsh_topk(
     q = lsh_band_codes(queries, planes, bands, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "band", "code"
     )
+    pairs = q.join(c, ["band", "code"]).where(
+        F.col("query_id") != F.col("nbr_id")
+    )
+
+    # vectorized per-batch einsum (Arrow) like ivf_topk — the SQL array
+    # fold was interpreted per element and dominated at sf1, where a
+    # clustered corpus makes bucket occupancy (hence the candidate pair
+    # count) grow superlinearly
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(list(pdf["qv"]), dtype=np.float64)
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", qm, cm)
+            qn = np.sqrt((qm * qm).sum(axis=1))
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "nbr_id": pdf["nbr_id"],
+                    "cosine": np.round(dots / (qn * cn), 6),
+                }
+            )
+
     scored = (
-        q.join(c, ["band", "code"])
-        .where(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+        pairs.mapInPandas(
+            score, schema="query_id long, nbr_id long, cosine double"
+        )
         # a pair agreeing on several bands appears once per band; collapse
         # BEFORE ranking or duplicates occupy top-k slots
-        .select("query_id", "nbr_id", "cosine")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
