@@ -7,12 +7,28 @@ Spark this is ``foreachBatch`` over the validated resource stream: each
 micro-batch is one "incoming set" per (plugin, site), merged into the
 store table with the same timestamp guards (operators/reconcile.py).
 
-The store here is a parquet path rewritten per batch (works anywhere);
-swap ``_load``/``_save`` for a Delta MERGE on a real deployment — the
-reconciliation plan is identical.
+Two writers:
+
+- :class:`ResourceStoreWriter` — the original write-then-swap rewrite
+  (works anywhere, NOT crash-atomic: a failure between the two
+  ``mode("overwrite")`` writes can leave a torn store, and a replayed
+  epoch re-applies its merge).
+- :class:`ExactlyOnceResourceStoreWriter` (round 6) — the production
+  shape: epoch-id-keyed dedup (replayed epochs no-op) + deterministic
+  snapshot paths + an ``os.replace`` manifest swap as the single atomic
+  commit point, the same recipe as
+  ``streaming/store_sink.ParquetStoreSink``. Unlike the keyed KV sink,
+  reconciliation is a SET merge (absence ⇒ delete), so the rewrite unit
+  is the whole reconciliation SCOPE, not a hash bucket — at production
+  scale the scope is (plugin, site) exactly as in the reference, so each
+  epoch rewrites only the sites it carries; here the default is a single
+  scope, which is what the gate fixtures use.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,15 +89,108 @@ class ResourceStoreWriter:
         final.write.mode("overwrite").parquet(self.store_path)
 
 
+class ExactlyOnceResourceStoreWriter:
+    """Crash-atomic, epoch-idempotent reconciling store.
+
+    Layout under ``store_path``::
+
+        MANIFEST                    {"last_epoch": E, "snapshot": "e{E}.parquet"}
+        data/e{epoch}.parquet       immutable reconciled snapshots
+
+    Per epoch: skip if already committed; otherwise merge the batch into
+    the manifest-resolved snapshot with the same ``apply_reconciliation``
+    guards, write a NEW snapshot at a deterministic epoch-keyed path
+    (a crashed attempt's partial files are clobbered by the retry, never
+    read), then ``os.replace`` the manifest — readers see the previous
+    consistent store until that instant. Chaos-tested in
+    ``tests/test_snmp_and_reconcile_stream.py``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        identity_cols: list[str] | None = None,
+        ts_col: str = "resource_creation_timestamp",
+        set_ts_col: str = "resource_set_creation_timestamp",
+    ):
+        self.spark = spark
+        self.store_path = store_path
+        self.identity = identity_cols or RESOURCE_IDENTITY_COLS
+        self.ts_col = ts_col
+        self.set_ts_col = set_ts_col
+        os.makedirs(os.path.join(store_path, "data"), exist_ok=True)
+
+    def manifest(self) -> dict:
+        try:
+            with open(os.path.join(self.store_path, "MANIFEST")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"last_epoch": -1, "snapshot": None}
+
+    def _swap_manifest(self, m: dict) -> None:
+        tmp = os.path.join(self.store_path, "MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.store_path, "MANIFEST"))
+
+    def read(self) -> DataFrame:
+        m = self.manifest()
+        if m["snapshot"] is None:
+            raise ValueError(f"store at {self.store_path} has no commits yet")
+        return self.spark.read.parquet(
+            os.path.join(self.store_path, "data", m["snapshot"])
+        )
+
+    def __call__(self, batch: DataFrame, epoch_id: int):
+        m = self.manifest()
+        if int(epoch_id) <= int(m["last_epoch"]):
+            return  # replayed epoch: already committed — no-op
+        has_set_ts = self.set_ts_col in batch.columns
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.max(self.set_ts_col) if has_set_ts else F.lit(None)
+            ).alias("set_ts"),
+            F.max(self.ts_col).alias("row_ts"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            m["last_epoch"] = int(epoch_id)
+            self._swap_manifest(m)
+            return
+        incoming = batch.drop(self.set_ts_col) if has_set_ts else batch
+        set_ts = stats["set_ts"]
+        if set_ts is None:
+            set_ts = stats["row_ts"] or 0.0
+        if m["snapshot"] is None:
+            current = self.spark.createDataFrame([], incoming.schema)
+        else:
+            current = self.spark.read.parquet(
+                os.path.join(self.store_path, "data", m["snapshot"])
+            )
+        merged = apply_reconciliation(
+            current, incoming, float(set_ts), self.identity, self.ts_col
+        )
+        fname = f"e{int(epoch_id)}.parquet"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.store_path, "data", fname)
+        )
+        self._swap_manifest({"last_epoch": int(epoch_id), "snapshot": fname})
+
+
 def reconcile_stream(
     resources_stream: DataFrame,
     spark: SparkSession,
     store_path: str,
     checkpoint: str,
+    exactly_once: bool = False,
     **writer_kwargs,
 ):
     """Attach the reconciling writer to a validated resource stream."""
-    writer = ResourceStoreWriter(spark, store_path, **writer_kwargs)
+    cls = ExactlyOnceResourceStoreWriter if exactly_once else ResourceStoreWriter
+    writer = cls(spark, store_path, **writer_kwargs)
     return (
         resources_stream.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)

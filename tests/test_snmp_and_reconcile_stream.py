@@ -69,3 +69,76 @@ def test_reconcile_stream(spark, tmp_path):
 
     rows = {r.rid: r.val for r in spark.read.parquet(store).collect()}
     assert rows == {"a": "inc-a", "b": "cur-b", "d": "inc-d"}
+
+
+def test_exactly_once_reconcile_store_chaos(spark, tmp_path):
+    """Crash between the snapshot write and the manifest swap: the
+    committed store still reads as the previous set; the restarted query
+    replays the epoch and the final store equals the batch
+    apply_reconciliation fold of both sets."""
+    import pytest
+
+    from panoptes_spark.operators.reconcile import apply_reconciliation
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+        reconcile_stream,
+    )
+
+    schema = "rid string, resource_creation_timestamp double, val string"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "incoming")
+    set1 = [("a", 10.0, "a1"), ("b", 10.0, "b1")]
+    set2 = [("a", 20.0, "a2"), ("c", 20.0, "c1")]  # b absent -> delete
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = reconcile_stream(
+            stream, spark, store, ckpt, exactly_once=True,
+            identity_cols=["rid"],
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(set1, schema).coalesce(1).write.parquet(src + "/b1")
+    run()
+    writer = ExactlyOnceResourceStoreWriter(spark, store, identity_cols=["rid"])
+    assert {(r.rid, r.val) for r in writer.read().collect()} == {
+        ("a", "a1"), ("b", "b1")
+    }
+    epoch1 = writer.manifest()["last_epoch"]
+
+    # chaos: epoch 2's snapshot lands but the commit never happens
+    spark.createDataFrame(set2, schema).coalesce(1).write.parquet(src + "/b2")
+    real_swap = ExactlyOnceResourceStoreWriter._swap_manifest
+    ExactlyOnceResourceStoreWriter._swap_manifest = (
+        lambda self, m: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    try:
+        with pytest.raises(Exception):
+            run()
+    finally:
+        ExactlyOnceResourceStoreWriter._swap_manifest = real_swap
+    # committed view untouched by the torn epoch
+    assert {(r.rid, r.val) for r in writer.read().collect()} == {
+        ("a", "a1"), ("b", "b1")
+    }
+    assert writer.manifest()["last_epoch"] == epoch1
+
+    # restart: same checkpoint replays the failed epoch; a replay of an
+    # ALREADY-committed epoch is a no-op (idempotence)
+    run()
+    got = {(r.rid, r.val) for r in writer.read().collect()}
+    empty = spark.createDataFrame([], schema)
+    m1 = apply_reconciliation(
+        empty, spark.createDataFrame(set1, schema), 10.0, ["rid"],
+        "resource_creation_timestamp",
+    )
+    m2 = apply_reconciliation(
+        m1, spark.createDataFrame(set2, schema), 20.0, ["rid"],
+        "resource_creation_timestamp",
+    )
+    assert got == {(r.rid, r.val) for r in m2.collect()} == {
+        ("a", "a2"), ("c", "c1")
+    }
+    writer(spark.createDataFrame([("z", 99.0, "evil")], schema), epoch_id=0)
+    assert {(r.rid, r.val) for r in writer.read().collect()} == got

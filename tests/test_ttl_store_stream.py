@@ -336,3 +336,57 @@ def test_event_time_ttl_checkpoint_restart(spark, tmp_path):
         ckpt=str(tmp_path / "ckpt2"), out_path=str(tmp_path / "out2"),
     )
     assert {(r.key, r.value, r.expires_at_ms, r.expired) for r in fresh} == got2
+
+
+def test_event_time_changelog_materializes_through_exactly_once_sink(
+    spark, tmp_path
+):
+    """Chain the two round-6 pieces: the event-time TTL changelog MERGEd
+    by the exactly-once store sink (tombstones delete) materializes
+    exactly the live store — equal to the batch upsert+expire fold at
+    the final watermark."""
+    from panoptes_spark.sources.stores import expire, upsert_with_ttl
+    from panoptes_spark.streaming.store_sink import ParquetStoreSink
+
+    rows = [
+        ("a", "a1", 1000, 3),     # exp 4000: dead by wm
+        ("b", "b1", 2000, 100),   # exp 102000: live
+        ("w", "adv", 50000, 100), # watermark advancer; live
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    sink = ParquetStoreSink(
+        spark, str(tmp_path / "store"), ["key"],
+        ts_col="expires_at_ms", tombstone_col="expired",
+    )
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src + "/*")
+    q = (
+        ttl_store_stream_event_time(stream, _WM_DELAY)
+        .writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # NOTE the sink's LWW key is expires_at_ms and the tombstone carries
+    # the same expires_at as its live row, so "latest" ties on ts and
+    # resolves by the expired flag (True > False) — the delete wins,
+    # which is exactly the changelog's intent.
+    got = {(r.key, r.value) for r in sink.read().collect()}
+
+    store = spark.createDataFrame(
+        [], "key string, value string, expires_at double"
+    )
+    for key, value, ts, ttl in sorted(rows, key=lambda r: r[2]):
+        upd = spark.createDataFrame(
+            [(key, value, ttl * 1000)], "key string, value string, ttl long"
+        )
+        store = upsert_with_ttl(store, upd, ["key"], now=float(ts), ttl_col="ttl")
+    want = {
+        (r.key, r.value)
+        for r in expire(store, now=float(50000 - 10000)).collect()
+    }
+    assert got == want == {("b", "b1"), ("w", "adv")}
