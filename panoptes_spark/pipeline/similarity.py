@@ -306,9 +306,21 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k: corpus assigned to 1 cell, queries probe
-    ``nprobe`` cells, join on cell — per-query work drops from |C| to
-    |C| * nprobe / n_cells. Pair scoring is a vectorized per-batch
-    einsum (Arrow), not a per-row SQL fold.
+    ``nprobe`` cells, scored CELL-LOCALLY — per-query work drops from
+    |C| to |C| * nprobe / n_cells.
+
+    Scale shape (round 6): the two assignment passes are narrow
+    broadcast matmuls; the only shuffle keys BOTH sides by cell_id for a
+    cogrouped per-cell BLAS matmul that emits each query's LOCAL top-k
+    within the cell. Candidate rows leaving Python are therefore
+    ≤ |queries|·nprobe·k — NOT the |queries|·|cell| pair relation the
+    previous plan materialized through Arrow (the sf1 soak measured that
+    pair stream at 10× the data as the gate's whole cost). The global
+    window then prunes nprobe·k to k per query. Exactness of the prune:
+    a query's global top-k ⊆ union of its per-cell top-k (each cell can
+    contribute at most k rows), and both levels order by the SAME
+    (cosine desc, nbr_id asc) total order, so results are identical to
+    all-pair scoring — the DuckDB oracle still scores all pairs.
     """
     import numpy as np
 
@@ -318,31 +330,46 @@ def ivf_topk(
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
     )
-    pairs = q_assigned.join(c_assigned, "cell_id").where(
-        F.col("query_id") != F.col("nbr_id")
-    )
 
-    def score(batches):
+    def cell_topk(left, right):
         import pandas as pd
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.array(list(pdf["qv"]), dtype=np.float64)
-            c = np.array(list(pdf["cv"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", q, c)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cn = np.sqrt((c * c).sum(axis=1))
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "nbr_id": pdf["nbr_id"],
-                    "cosine": np.round(dots / (qn * cn), 6),
-                }
-            )
+        empty = pd.DataFrame({"query_id": [], "nbr_id": [], "cosine": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q_ids = left["query_id"].to_numpy(dtype=np.int64)
+        q_mat = np.array(list(left["qv"]), dtype=np.float64)
+        c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
+        c_mat = np.array(list(right["cv"]), dtype=np.float64)
+        q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+        c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+        cos = np.round((q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 6)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            scores = cos[qi]
+            # local top-k by the GLOBAL tie order (cosine desc, nbr_id
+            # asc); +1 headroom for the self-match dropped below
+            top = min(k + 1, len(scores))
+            idx = np.argpartition(-scores, top - 1)[:top]
+            order = np.lexsort((c_ids[idx], -scores[idx]))
+            kept = 0
+            for ci in idx[order]:
+                if c_ids[ci] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(c_ids[ci])
+                out_c.append(scores[ci])
+                kept += 1
+                if kept >= k:
+                    break
+        return pd.DataFrame(
+            {"query_id": out_q, "nbr_id": out_n, "cosine": out_c}
+        )
 
-    scored = pairs.mapInPandas(
-        score, schema="query_id long, nbr_id long, cosine double"
+    scored = (
+        q_assigned.groupBy("cell_id")
+        .cogroup(c_assigned.groupBy("cell_id"))
+        .applyInPandas(cell_topk, schema="query_id long, nbr_id long, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
@@ -351,7 +378,6 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
-        .distinct()
     )
 
 
