@@ -1585,16 +1585,24 @@ def q_hybrid_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``ann_recall`` pattern applied to the whole hybrid pipeline (r5
     verdict #1): per query, |fused_ivf ∩ fused_brute| / k. This is the
     quality gate that makes ``dense_leg="ivf"`` a safe 100 TB default."""
-    from panoptes_spark.pipeline.search import hybrid_search_rrf
+    from panoptes_spark.pipeline.search import (
+        bm25_multi_query,
+        hybrid_search_rrf,
+    )
 
     docs = fx.read_table(spark, sf_dir, "documents")
     embs = fx.read_table(spark, sf_dir, "embeddings")
     kw = dict(k=_HYBRID_K, leg_k=_HYBRID_LEG_K, c=_HYBRID_C)
-    brute = hybrid_search_rrf(docs, embs, _HYBRID_QUERIES, **kw).select(
-        "query_id", "doc_id"
-    )
+    # the lexical leg is identical in both fused variants: compute its
+    # corpus scans once, persist the leg-k-sized result
+    lex = bm25_multi_query(
+        docs, _HYBRID_QUERIES, leg_k=_HYBRID_LEG_K
+    ).persist()
+    brute = hybrid_search_rrf(
+        docs, embs, _HYBRID_QUERIES, lex_leg=lex, **kw
+    ).select("query_id", "doc_id")
     ivf = hybrid_search_rrf(
-        docs, embs, _HYBRID_QUERIES,
+        docs, embs, _HYBRID_QUERIES, lex_leg=lex,
         dense_leg="ivf", n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, **kw,
     ).select("query_id", "doc_id")
     both = brute.join(ivf, ["query_id", "doc_id"], "left_semi")

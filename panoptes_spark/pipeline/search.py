@@ -204,6 +204,7 @@ def hybrid_search_rrf(
     dense_leg: str = "brute",
     n_cells: int = 16,
     nprobe: int = 4,
+    lex_leg: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 keyword leg + query-by-example dense leg,
     fused by reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09:
@@ -248,9 +249,15 @@ def hybrid_search_rrf(
     if dense_leg not in ("brute", "ivf"):
         raise ValueError(f"dense_leg must be 'brute' or 'ivf', got {dense_leg!r}")
     probe_ids = sorted(int(q) for q in query_terms)
-    lex = bm25_multi_query(
-        docs, query_terms, leg_k=leg_k, text_col=text_col, id_col=id_col
-    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    if lex_leg is None:
+        # callers fusing the SAME query set against several dense legs
+        # (e.g. the hybrid_search_ivf recall gate) pass a precomputed —
+        # ideally persisted — bm25_multi_query result as ``lex_leg`` so
+        # the corpus-scan BM25 passes run once, not once per leg
+        lex_leg = bm25_multi_query(
+            docs, query_terms, leg_k=leg_k, text_col=text_col, id_col=id_col
+        )
+    lex = lex_leg.select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     probes = embeddings.where(
         F.col("vec_id").isin(probe_ids)
     )
