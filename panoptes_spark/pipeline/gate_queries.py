@@ -8,7 +8,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pq, similarity, text
 from ..sources import tpch_fixtures as fx
 
 # ---------------------------------------------------------------------------
@@ -1580,6 +1580,141 @@ def _o_hybrid_search() -> str:
     return _o_hybrid_fused(_hybrid_dense_brute_cte())
 
 
+# ---------------------------------------------------------------------------
+# product quantization (round 6): train -> encode -> ADC top-k -> recall
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_CODES = 8, 16  # 64-dim embeddings -> 8 subspaces of 8 dims
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes, one row per (vector, subspace) — train+encode verified
+    cell-exactly against the DuckDB replay (seed codebooks, integer
+    scaled squared-L2 argmin with (dist, code) tie order)."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    enc = pq.pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
+def _pq_cb_cte() -> str:
+    """Shared CTE chain: seed codebooks + corpus encoding, ending in
+    enc(vec_id, subspace, code)."""
+    m, nc = _PQ_M, _PQ_CODES
+    ds = 64 // m
+    sq = (
+        "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
+        "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    dist = sq.format(
+        n=ds + 1, a="e.embedding::DOUBLE[]", off=f"c.subspace*{ds}", b="c.cv"
+    )
+    return f"""
+seeds AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  ORDER BY vec_id LIMIT {nc}
+),
+subs AS (SELECT CAST(unnest(range({m})) AS INT) AS subspace),
+cb AS (
+  SELECT subspace,
+         CAST(row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1
+              AS INT) AS code_id,
+         v[subspace*{ds}+1 : subspace*{ds}+{ds}] AS cv
+  FROM seeds CROSS JOIN subs
+),
+dv AS (
+  SELECT e.vec_id, c.subspace, c.code_id, {dist} AS dint
+  FROM embeddings e CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code_id AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace
+                         ORDER BY dint ASC, code_id ASC) AS rk
+    FROM dv
+  ) WHERE rk = 1
+)"""
+
+
+O_PQ_ENCODE = f"""
+WITH {_pq_cb_cte().strip()}
+SELECT vec_id, subspace, code FROM enc
+"""
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance top-k vs the exact cosine
+    baseline (unit-norm embeddings: L2 and cosine rank identically, so
+    this measures pure quantization loss) — the quality report that
+    accompanies any PQ deployment."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    enc = pq.pq_encode(emb, cbs)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    pqk = pq.pq_adc_topk(enc, queries, cbs, k=_TOPK).select(
+        "query_id", "nbr_id"
+    )
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK).select(
+        "query_id", "nbr_id"
+    )
+    both = bf.join(pqk, ["query_id", "nbr_id"], "left_semi")
+    return (
+        both.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .select(
+            "query_id",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(_TOPK)), 6).alias("recall"),
+        )
+    )
+
+
+def _o_pq_recall() -> str:
+    ds = 64 // _PQ_M
+    qsq = (
+        "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
+        "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    qdist = qsq.format(
+        n=ds + 1, a="q.embedding::DOUBLE[]", off=f"c.subspace*{ds}", b="c.cv"
+    )
+    return f"""
+WITH {_pq_cb_cte().strip()},
+qt AS (
+  SELECT q.vec_id AS query_id, c.subspace, c.code_id, {qdist} AS dint
+  FROM embeddings q CROSS JOIN cb c
+  WHERE q.vec_id % 25 = 0
+),
+ad AS (
+  SELECT qt.query_id, en.vec_id AS nbr_id, CAST(sum(qt.dint) AS BIGINT)
+    AS adist
+  FROM enc en JOIN qt ON en.subspace = qt.subspace AND en.code = qt.code_id
+  WHERE en.vec_id <> qt.query_id
+  GROUP BY qt.query_id, en.vec_id
+),
+pqk AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist ASC, nbr_id ASC) AS rk
+    FROM ad
+  ) WHERE rk <= {_TOPK}
+),
+bf AS ({O_ANN_TOPK}),
+m AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN pqk ON bf.query_id = pqk.query_id AND bf.nbr_id = pqk.nbr_id
+)
+SELECT query_id, count(*) AS n_match,
+       round(count(*) / CAST({_TOPK} AS DOUBLE), 6) AS recall
+FROM m GROUP BY query_id
+"""
+
+
 def q_hybrid_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused-output recall of the IVF dense leg vs the brute-leg twin —
     the ``ann_recall`` pattern applied to the whole hybrid pipeline (r5
@@ -2735,6 +2870,8 @@ QUERIES = {
     "leakage_safe_splits": q_leakage_safe_splits,
     # --- r6 additions ---
     "hybrid_search_ivf": q_hybrid_search_ivf,
+    "pq_encode": q_pq_encode,
+    "pq_recall": q_pq_recall,
 }
 
 ORACLES = {
@@ -2801,4 +2938,6 @@ ORACLES = {
     "leakage_safe_splits": _o_leakage_safe_splits(),
     # --- r6 additions ---
     "hybrid_search_ivf": _o_hybrid_search_ivf(),
+    "pq_encode": O_PQ_ENCODE,
+    "pq_recall": _o_pq_recall(),
 }

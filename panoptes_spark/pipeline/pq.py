@@ -1,0 +1,226 @@
+"""Product quantization (PQ) for ANN at 100 TB — the FAISS IVF-PQ code
+path's compression half.
+
+Scalar SQ8 (``pipeline/quantize.py``) cuts storage 4×; PQ cuts it
+~dim·4/m bytes per vector (a 64-dim float32 vector becomes m=8 one-byte
+codes: 32×) while keeping distance computation CHEAPER than on raw
+vectors: a query precomputes an (m × n_codes) distance table once, and
+every corpus vector's approximate distance is m table lookups + adds
+(asymmetric distance computation, ADC — Jégou/Douze/Schmid, PAMI'11).
+
+Scale shape:
+
+- ``pq_train``: codebooks are the first ``n_codes`` vectors' subvectors
+  (the same deterministic seed rule as ``similarity.seed_centroids``;
+  ``orderBy().limit()`` plans as TakeOrderedAndProject so only
+  ``n_codes`` rows reach the driver — refine with
+  ``similarity.kmeans_refine`` per subspace if the data demands it).
+  The codebook is (m · n_codes) rows — a dim table by construction.
+- ``pq_encode``: one NARROW Arrow pass — each batch reshapes to
+  (rows, m, ds) and scores against the broadcast codebook tensor with a
+  single vectorized distance computation; no shuffle, no per-row SQL.
+- ``pq_adc_topk``: the query set (bounded by the same guard as
+  brute-force) becomes broadcast integer distance TABLES; each corpus
+  partition streams its codes through table lookups and emits a
+  partition-local top-k, pruned to the global top-k by a keyed window —
+  the corpus itself never shuffles, and what does move is
+  (query, nbr, int distance) rows, ≤ queries·k per partition.
+
+Engine parity: all distances are integers — the per-subspace squared-L2
+is scaled by 1e6 and floored once (``floor(x·1e6 + 0.5)``), so the ADC
+sum is exact integer arithmetic with no float-order sensitivity at any
+parallelism; ranking ties break (adist asc, nbr_id asc). The DuckDB
+oracle replays train/encode/ADC with the same literals
+(``gate_queries._o_pq_recall``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk"]
+
+#: integer distance scale: 6 decimal places survive exactly in int64 for
+#: any realistic squared-L2 magnitude (unit vectors: <= 4 per subspace)
+_DIST_SCALE = 1_000_000
+
+
+def _dims(df: DataFrame, vec_col: str, m: int) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("empty corpus")
+    dim = int(row[0].d)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: (subspace, code_id, codevec) from the
+    first ``n_codes`` vectors by id, split into ``m`` subspaces."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    dim = _dims(corpus, vec_col, m)
+    ds = dim // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    out = []
+    for code_id, r in enumerate(rows):
+        vec = [float(x) for x in r[1]]
+        for sub in range(m):
+            out.append((sub, code_id, vec[sub * ds:(sub + 1) * ds]))
+    schema = StructType(
+        [
+            StructField("subspace", IntegerType(), False),
+            StructField("code_id", IntegerType(), False),
+            StructField("codevec", ArrayType(DoubleType()), False),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame(out, schema)
+
+
+def _codebook_tensor(codebooks: DataFrame):
+    import numpy as np
+
+    rows = codebooks.select("subspace", "code_id", "codevec").collect()
+    m = max(r.subspace for r in rows) + 1
+    n_codes = max(r.code_id for r in rows) + 1
+    ds = len(rows[0].codevec)
+    cb = np.zeros((m, n_codes, ds), dtype=np.float64)
+    for r in rows:
+        cb[r.subspace, r.code_id] = r.codevec
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-codeword ids.
+
+    Ties break on the LOWER code_id (np.argmin first-min over integer
+    distances — the same (dist asc, code asc) order the oracle's
+    row_number uses)."""
+    import numpy as np
+
+    cb = _codebook_tensor(codebooks)
+    m, _, ds = cb.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import pandas as pd
+
+        cbl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64).reshape(
+                len(pdf), m, ds
+            )
+            # (rows, m, n_codes): integer-scaled squared L2 per subspace
+            d = ((x[:, :, None, :] - cbl[None]) ** 2).sum(-1)
+            dint = np.floor(d * _DIST_SCALE + 0.5).astype(np.int64)
+            codes = dint.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (query_id, nbr_id,
+    adist, rank). ``adist`` is the exact INTEGER sum of the per-subspace
+    scaled distances (smaller = closer); self-matches excluded."""
+    import numpy as np
+
+    cb = _codebook_tensor(codebooks)
+    m, n_codes, ds = cb.shape
+    spark = corpus_codes.sparkSession
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_query_rows}; "
+            "shard the probe set"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), m, ds
+    )
+    # (nq, m, n_codes) integer distance tables — the whole query-side
+    # work, done once and broadcast
+    tabs = np.floor(
+        ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1) * _DIST_SCALE + 0.5
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, tabs))
+    sub_idx = np.arange(m)
+
+    def adc(batches):
+        import pandas as pd
+
+        b_qids, b_tabs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(b_qids)):
+                d = b_tabs[qi][sub_idx[None, :], codes].sum(axis=1)
+                top = min(k + 1, len(d))
+                idx = np.argpartition(d, top - 1)[:top]
+                order = np.lexsort((c_ids[idx], d[idx]))
+                kept = 0
+                for ci in idx[order]:
+                    if c_ids[ci] == b_qids[qi]:
+                        continue
+                    out_q.append(b_qids[qi])
+                    out_n.append(c_ids[ci])
+                    out_d.append(d[ci])
+                    kept += 1
+                    if kept >= k:
+                        break
+            yield pd.DataFrame(
+                {"query_id": out_q, "nbr_id": out_n, "adist": out_d}
+            )
+
+    scored = corpus_codes.select(id_col, "codes").mapInPandas(
+        adc, schema="query_id long, nbr_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adist", "rank")
+    )

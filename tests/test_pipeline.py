@@ -1319,3 +1319,40 @@ def test_leakage_safe_splits_invariant(spark):
     }
     for i in range(20, 40):
         assert by_id[i].split == plain[i] and by_id[i].component == i
+
+
+def test_pq_roundtrip_semantics(spark):
+    """PQ invariants: a seed vector encodes to its own codeword in every
+    subspace (self-distance 0); ADC ranks an exact codeword match above
+    a perturbed one; ties and layout never change codes (map-only)."""
+    import pytest as _pytest
+
+    from panoptes_spark.pipeline.pq import pq_adc_topk, pq_encode, pq_train
+
+    # 4-dim vectors, m=2 subspaces of 2 dims, 2 codewords (= first 2 rows)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 1.0, 0.0]),   # sub0 -> code 0, sub1 -> code 1
+        (3, [0.9, 0.1, 1.0, 0.0]),   # near row 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(emb, m=2, n_codes=2)
+    assert cbs.count() == 4  # 2 subspaces x 2 codes
+    enc = pq_encode(emb, cbs)
+    codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert codes[0] == [0, 0] and codes[1] == [1, 1]
+    assert codes[2] == [0, 1] and codes[3] == [0, 1]
+
+    # ADC from probe 2: vec 3 quantizes onto the same codewords -> adist
+    # 0 to the probe's own cell, ranked first
+    top = pq_adc_topk(enc, emb.where("vec_id = 2"), cbs, k=3).collect()
+    assert [r.nbr_id for r in sorted(top, key=lambda r: r.rank)][0] == 3
+
+    # dim not divisible by m fails loudly
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=3)
+
+    # layout independence: same codes under a different partitioning
+    enc7 = pq_encode(emb.repartition(7), cbs)
+    assert {r.vec_id: list(r.codes) for r in enc7.collect()} == codes
