@@ -1768,6 +1768,80 @@ FROM m GROUP BY query_id
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-k (cell pruning × integer ADC) — the full
+    output hash-checked against the DuckDB replay, not just a recall
+    summary: integer distances make the whole ranking engine-exact."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    cents = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
+    cbs = pq.pq_train(emb, m=_PQ_M, n_codes=_PQ_CODES)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return pq.ivfpq_topk(
+        emb, queries, cents, cbs, k=_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
+def _o_ivfpq_topk() -> str:
+    ds = 64 // _PQ_M
+    qsq = (
+        "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
+        "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    qdist = qsq.format(
+        n=ds + 1, a="q.embedding::DOUBLE[]", off=f"c.subspace*{ds}", b="c.cv"
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+c_assign AS (
+  SELECT nbr_id, cell_id FROM (
+    SELECT e.vec_id AS nbr_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk <= 1
+),
+q_assign AS (
+  SELECT query_id, cell_id FROM (
+    SELECT e.vec_id AS query_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id % 25 = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+{_pq_cb_cte().strip()},
+qt AS (
+  SELECT q.vec_id AS query_id, c.subspace, c.code_id, {qdist} AS dint
+  FROM embeddings q CROSS JOIN cb c
+  WHERE q.vec_id % 25 = 0
+),
+pairs AS (
+  SELECT q.query_id, ca.nbr_id
+  FROM q_assign q JOIN c_assign ca USING (cell_id)
+  WHERE q.query_id <> ca.nbr_id
+),
+ad AS (
+  SELECT p.query_id, p.nbr_id, CAST(sum(qt.dint) AS BIGINT) AS adist
+  FROM pairs p
+  JOIN enc en ON en.vec_id = p.nbr_id
+  JOIN qt ON qt.query_id = p.query_id AND qt.subspace = en.subspace
+         AND qt.code_id = en.code
+  GROUP BY p.query_id, p.nbr_id
+)
+SELECT query_id, nbr_id, adist, rank FROM (
+  SELECT query_id, nbr_id, adist,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, nbr_id ASC) AS INT) AS rank
+  FROM ad
+) WHERE rank <= {_TOPK}
+"""
+
+
 _CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
 
 
@@ -2872,6 +2946,7 @@ QUERIES = {
     "hybrid_search_ivf": q_hybrid_search_ivf,
     "pq_encode": q_pq_encode,
     "pq_recall": q_pq_recall,
+    "ann_ivfpq_topk": q_ivfpq_topk,
 }
 
 ORACLES = {
@@ -2940,4 +3015,5 @@ ORACLES = {
     "hybrid_search_ivf": _o_hybrid_search_ivf(),
     "pq_encode": O_PQ_ENCODE,
     "pq_recall": _o_pq_recall(),
+    "ann_ivfpq_topk": _o_ivfpq_topk(),
 }

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivfpq_topk"]
 
 #: integer distance scale: 6 decimal places survive exactly in int64 for
 #: any realistic squared-L2 magnitude (unit vectors: <= 4 per subspace)
@@ -215,6 +215,112 @@ def pq_adc_topk(
 
     scored = corpus_codes.select(id_col, "codes").mapInPandas(
         adc, schema="query_id long, nbr_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adist", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN plan — coarse cells prune the
+    corpus (each query touches ~nprobe/n_cells of it), PQ codes stand in
+    for the vectors inside each cell, and scoring is pure integer table
+    lookups (ADC). Returns (query_id, nbr_id, adist, rank).
+
+    Scale shape: the corpus is touched by exactly two narrow Arrow
+    passes (cell assignment, PQ encode) and ONE keyed join uniting them
+    into the (cell, nbr, codes) index — the production artifact a real
+    deployment materializes once and reuses per query batch. Per probe
+    batch, the only work is a cogrouped per-cell lookup-sum over the
+    broadcast integer distance tables; candidate rows leaving Python are
+    ≤ |queries|·nprobe·k. Exactness of the local-top-k prune: a corpus
+    vector lives in exactly one cell, and both ranking levels share the
+    (adist asc, nbr_id asc) total order.
+    """
+    import numpy as np
+
+    from .similarity import ivf_assign
+
+    cb = _codebook_tensor(codebooks)
+    m, n_codes, ds = cb.shape
+    spark = corpus.sparkSession
+
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    c_idx = (
+        ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+        .select(id_col, "cell_id")
+        .join(enc, id_col)
+        .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+    )
+    q_assigned = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cell_id")
+
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"query set exceeds max_query_rows={max_query_rows}; "
+            "shard the probe set"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), m, ds
+    )
+    tabs = np.floor(
+        ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1) * _DIST_SCALE + 0.5
+    ).astype(np.int64)
+    tab_of = {int(q): i for i, q in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((tab_of, tabs))
+    sub_idx = np.arange(m)
+
+    def cell_adc(left, right):
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "nbr_id": [], "adist": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        b_tab_of, b_tabs = bc.value
+        c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
+        codes = np.array(list(right["codes"]), dtype=np.int64)
+        out_q, out_n, out_d = [], [], []
+        for q in left["query_id"].to_numpy(dtype=np.int64):
+            d = b_tabs[b_tab_of[int(q)]][sub_idx[None, :], codes].sum(axis=1)
+            top = min(k + 1, len(d))
+            idx = np.argpartition(d, top - 1)[:top]
+            order = np.lexsort((c_ids[idx], d[idx]))
+            kept = 0
+            for ci in idx[order]:
+                if c_ids[ci] == q:
+                    continue
+                out_q.append(q)
+                out_n.append(int(c_ids[ci]))
+                out_d.append(int(d[ci]))
+                kept += 1
+                if kept >= k:
+                    break
+        return pd.DataFrame(
+            {"query_id": out_q, "nbr_id": out_n, "adist": out_d}
+        )
+
+    scored = (
+        q_assigned.groupBy("cell_id")
+        .cogroup(c_idx.groupBy("cell_id"))
+        .applyInPandas(cell_adc, schema="query_id long, nbr_id long, adist long")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("nbr_id").asc()

@@ -1356,3 +1356,28 @@ def test_pq_roundtrip_semantics(spark):
     # layout independence: same codes under a different partitioning
     enc7 = pq_encode(emb.repartition(7), cbs)
     assert {r.vec_id: list(r.codes) for r in enc7.collect()} == codes
+
+
+def test_ivfpq_matches_flat_adc_with_full_probing(spark):
+    """With nprobe = n_cells (no pruning), IVF-PQ reduces exactly to
+    flat ADC over the same codes — same rows, distances, ranks."""
+    from panoptes_spark.pipeline.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from panoptes_spark.pipeline.similarity import seed_centroids
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 5.0 for j in range(4)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = seed_centroids(emb, n_cells=4)
+    cbs = pq_train(emb, m=2, n_codes=4)
+    probes = emb.where(F.col("vec_id") % 5 == 0)
+    flat = pq_adc_topk(pq_encode(emb, cbs), probes, cbs, k=5)
+    composed = ivfpq_topk(emb, probes, cents, cbs, k=5, nprobe=4)
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(composed) == canon(flat)
