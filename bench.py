@@ -100,7 +100,7 @@ def main():
                 "n_queries": len(timings),
                 "queries": slowest,
                 "sf": sf_val,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         ),
         flush=True,
