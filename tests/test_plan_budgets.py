@@ -41,6 +41,14 @@ BUDGETS = {
     "a13_above_nation_avg": 1,
     # top-k via TakeOrderedAndProject, not a sort: key + 0 extra
     "weighted_sample": 0,
+    # PQ encode is one narrow Arrow pass — ANY shuffle is a regression
+    "pq_encode": 0,
+    # cogrouped ANN kernels (r6): both sides keyed by cell (2) + the
+    # global top-k window (1); the pair relation never materializes
+    "ann_ivf_topk": 3,
+    "ann_ivfpq_topk": 3,
+    # LSH: (band, code) equi-join + top-k window
+    "ann_lsh_topk": 2,
 }
 
 
