@@ -48,6 +48,9 @@ GATES = [
     "dsl_metric_program",     # DSL compiler pivot
     "hybrid_search",          # two-leg retrieval + RRF fusion
     "leakage_safe_splits",    # components + murmur split
+    "hybrid_search_ivf",      # dual fused pipelines + recall join (r6)
+    "pq_encode",              # narrow Arrow PQ coding (r6)
+    "ann_ivfpq_topk",         # cogrouped cell-pruned integer ADC (r6)
 ]
 
 
