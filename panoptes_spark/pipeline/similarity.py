@@ -77,6 +77,7 @@ def cosine_topk_bruteforce(
         import pandas as pd
 
         b_qids, b_qmat, b_qnorms = bc.value
+        nq = len(b_qids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -86,20 +87,22 @@ def cosine_topk_bruteforce(
             cos = np.round(
                 (b_qmat @ c_mat.T) / np.outer(b_qnorms, c_norms), 6
             )
-            out_q, out_n, out_c = [], [], []
-            for qi in range(len(b_qids)):
-                scores = cos[qi]
-                # partition-local top-k (global window prunes the rest);
-                # +1 headroom for the self-match we drop later
-                top = min(k + 1, len(scores))
-                idx = np.argpartition(-scores, top - 1)[:top]
-                for ci in idx:
-                    if c_ids[ci] != b_qids[qi]:
-                        out_q.append(b_qids[qi])
-                        out_n.append(c_ids[ci])
-                        out_c.append(scores[ci])
+            # partition-local top-k for ALL queries in one vectorized
+            # argpartition along axis 1 (the per-query python loop was
+            # the sf1 bottleneck at 800 probes x many Arrow batches);
+            # +1 headroom for the self-match dropped below — the global
+            # window prunes to the true top-k with the same tie order
+            top = min(k + 1, cos.shape[1])
+            idx = np.argpartition(-cos, top - 1, axis=1)[:, :top]
+            rows = np.repeat(np.arange(nq), top)
+            cols = idx.ravel()
+            keep = c_ids[cols] != b_qids[rows]
             yield pd.DataFrame(
-                {"query_id": out_q, "nbr_id": out_n, "cosine": out_c}
+                {
+                    "query_id": b_qids[rows][keep],
+                    "nbr_id": c_ids[cols][keep],
+                    "cosine": cos[rows, cols][keep],
+                }
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
