@@ -3176,6 +3176,131 @@ FROM g, LATERAL (
 """
 
 
+def _telemetry_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed telemetry end-state (r7 directive 6): the four-subsystem
+    pipeline ``tests/test_e2e_composed.py`` proves with restarts —
+    discovery → set-reconciliation → counter→gauge rate → enrichment
+    attach → Kafka fan-out routing — expressed as ONE batch plan whose
+    deterministic end state a DuckDB oracle replays (the ``curation_e2e``
+    pattern applied to the telemetry side). The polling/DSL stage is the
+    separately-gated ``dsl_metric_program``; this chain consumes its
+    output SHAPE (metric points, here from events) so every stage's
+    semantics are the gated operators':
+
+    - discovery cycles: two resource snapshots from customer; cycle 2
+      drops every 5th device (absent ⇒ delete at set_ts) and carries
+      stale timestamps for every 7th (skip_update guard) —
+      ``operators/reconcile.py`` semantics (reference
+      ``resources/manager.py:46-142``);
+    - rates: ``rate_transform`` with the J6 guards over event points;
+    - enrichment attach: rates join the RECONCILED store (broadcast dim)
+      — a deleted device's samples still rate but no longer enrich/emit,
+      exactly the composed test's cycle-2 assertion;
+    - fan-out: per-site topic + global topic
+      (``polling_plugin_agent.py:307-364``), summarized per
+      (topic, group) with decimal-exact rate sums.
+
+    Scale shape: ONE keyed window (rate), one broadcast join, one
+    partial-agg rollup; the store build is dim-sized."""
+    from panoptes_spark.operators.reconcile import apply_reconciliation
+
+    c = fx.read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def snapshot(df, ts_col):
+        return df.select(
+            F.concat(F.lit("user-"), k.cast("string")).alias("resource_id"),
+            ts_col.alias("ts"),
+            F.concat(F.lit("site-"), (k % 3).cast("string")).alias("site"),
+        )
+
+    cur = snapshot(c, (k % 100).cast("double"))
+    inc = snapshot(
+        c.where(k % 5 > 0),
+        ((k % 100) + F.when(k % 7 == 0, -10).otherwise(10)).cast("double"),
+    )
+    store = apply_reconciliation(
+        cur, inc, 1000.0, identity_cols=["resource_id"], ts_col="ts"
+    )
+    points = fx.metric_points_from_events(spark, sf_dir)
+    rates = rate_transform(
+        points,
+        series_cols=["resource_id", "metrics_group_type"],
+        ts_col="ts_ms",
+        value_col="metric_value",
+        interval_sec=_RATE_INTERVAL,
+    )
+    live = rates.join(
+        F.broadcast(store.select("resource_id", "site")), "resource_id"
+    )
+    fan = live.select(
+        "*",
+        F.explode(
+            F.array(
+                F.concat(F.col("site"), F.lit("-processed")),
+                F.lit("panoptes-metrics"),
+            )
+        ).alias("topic"),
+    )
+    return fan.groupBy("topic", "metrics_group_type").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("resource_id").alias("n_series"),
+        F.round(F.sum(F.col("rate").cast("decimal(20,2)")), 2)
+        .cast("double")
+        .alias("sum_rate"),
+    )
+
+
+_TELEMETRY_E2E_ORACLE = f"""
+WITH cur AS (
+  SELECT 'user-' || CAST(c_custkey AS VARCHAR) AS resource_id,
+         CAST(c_custkey % 100 AS DOUBLE) AS ts,
+         'site-' || (c_custkey % 3) AS site
+  FROM customer
+),
+inc AS (
+  SELECT 'user-' || CAST(c_custkey AS VARCHAR) AS resource_id,
+         CAST((c_custkey % 100)
+              + CASE WHEN c_custkey % 7 = 0 THEN -10 ELSE 10 END AS DOUBLE)
+           AS ts,
+         'site-' || (c_custkey % 3) AS site
+  FROM customer WHERE c_custkey % 5 > 0
+),
+plan AS (
+  SELECT COALESCE(cur.resource_id, inc.resource_id) AS resource_id,
+         cur.site AS cur_site, inc.site AS inc_site,
+         CASE
+           WHEN cur.ts IS NOT NULL AND inc.ts IS NULL AND cur.ts > 1000.0
+             THEN 'keep_newer'
+           WHEN cur.ts IS NOT NULL AND inc.ts IS NULL THEN 'delete'
+           WHEN cur.ts IS NULL AND inc.ts IS NOT NULL THEN 'add'
+           WHEN cur.ts > inc.ts THEN 'skip_update'
+           ELSE 'update'
+         END AS action
+  FROM cur FULL OUTER JOIN inc USING (resource_id)
+),
+store AS (
+  SELECT resource_id,
+         CASE WHEN action IN ('add','update') THEN inc_site
+              ELSE cur_site END AS site
+  FROM plan WHERE action <> 'delete'
+),
+rates AS ({{rate_sql}}),
+live AS (
+  SELECT r.*, s.site FROM rates r JOIN store s USING (resource_id)
+),
+fan AS (
+  SELECT t.topic, l.* FROM live l,
+    LATERAL (VALUES (l.site || '-processed'), ('panoptes-metrics')) t(topic)
+)
+SELECT topic, metrics_group_type,
+  count(*) AS n_points,
+  count(DISTINCT resource_id) AS n_series,
+  CAST(round(sum(CAST(rate AS DECIMAL(20,2))), 2) AS DOUBLE) AS sum_rate
+FROM fan GROUP BY topic, metrics_group_type
+""".replace("{rate_sql}", _RATE_ORACLE)
+
+
 def _o2_dsl_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: the resource DSL's canonical result order
     (``resources.py:770,786`` ORDER BY rowid == stable per-resource
@@ -3563,6 +3688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "p5_wire_validation": _p5_wire_validation,
             "s9_kafka_fanout": _s9_kafka_fanout,
             "s2_scalar_get_program": _s2_scalar_get_program,
+            # r7: composed telemetry end-state (newest — leads the
+            # family after the newest-first reversal)
+            "telemetry_e2e": _telemetry_e2e,
         }
     )
     from panoptes_spark.pipeline.gate_queries import QUERIES as _PIPE_QUERIES
@@ -3671,6 +3799,8 @@ def oracle_sql() -> dict[str, str]:
             "p5_wire_validation": _P5_WIRE_ORACLE,
             "s9_kafka_fanout": _S9_ORACLE,
             "s2_scalar_get_program": _s2_oracle(),
+            # r7: composed telemetry end-state
+            "telemetry_e2e": _TELEMETRY_E2E_ORACLE,
         }
     )
     from panoptes_spark.pipeline.gate_queries import ORACLES as _PIPE_ORACLES

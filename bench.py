@@ -64,8 +64,11 @@ def main():
 
     # the plain BENCH_DETAIL.json name is reserved for the driver's
     # default SF so off-SF runs (e.g. the sf1 soak) never clobber the
-    # committed artifact
-    default_dir = sf_dir == "/root/testdata/sf0.1"
+    # committed artifact; realpath so trailing slashes / relative
+    # spellings / symlinks of the same directory don't flip the name
+    default_dir = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
     detail_name = (
         "BENCH_DETAIL.json" if default_dir else f"BENCH_DETAIL_sf{sf}.json"
     )

@@ -390,9 +390,20 @@ def hamming_band_pairs(
     when bit 63 is set (negative BIGINT), so the full 64-bit range is
     usable.
 
-    The fingerprint frame feeds both sides of the self-join and Spark
-    does not reuse the exchange across them — persist (id, hash) so any
-    upstream per-row hashing runs once (halves wall-clock)."""
+    Scale shape (round 7): exact-duplicate fingerprints are collapsed to
+    ONE representative row BEFORE the banded self-join — planted clones
+    and boilerplate (which hash identically) cost one row each in the
+    candidate join instead of O(group²) band collisions; the r6 sf1 soak
+    measured exactly that blow-up (16.6× at 10× data, tracking the true
+    duplicate-pair count). The join therefore runs over DISTINCT
+    fingerprints; doc pairs are re-expanded afterwards through two
+    hash-keyed membership joins (cross-fingerprint pairs) plus one
+    equality self-join (within-fingerprint pairs, hamming 0) — both
+    sized by the true output, which is the irreducible cost.
+
+    The fingerprint frame feeds the distinct set and both expansion
+    joins and Spark does not reuse the exchange across them — persist
+    (id, hash) so any upstream per-row hashing runs once."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole requires max_hamming < bands, got "
@@ -403,8 +414,8 @@ def hamming_band_pairs(
     hashed = df.select(id_col, hash_col).where(
         F.col(hash_col).isNotNull()
     ).persist()
-    banded = hashed.select(
-        id_col,
+    fps = hashed.select(hash_col).distinct()
+    banded = fps.select(
         hash_col,
         F.explode(
             F.expr(
@@ -413,25 +424,61 @@ def hamming_band_pairs(
                 f" as chunk))"
             )
         ).alias("bb"),
-    ).select(id_col, hash_col, "bb.band", "bb.chunk")
+    ).select(hash_col, "bb.band", "bb.chunk")
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    # candidate FINGERPRINT pairs (ha < hb as values): found via >=1
+    # shared band chunk, verified exactly; distinct collapses multi-band
+    # agreement at fingerprint (not doc-pair) granularity
+    fp_pairs = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{hash_col}") < F.col(f"r.{hash_col}")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.expr(f"bit_count(l.{hash_col} ^ r.{hash_col})").alias(
-                "hamming"
-            ),
+            F.col(f"l.{hash_col}").alias("__ha"),
+            F.col(f"r.{hash_col}").alias("__hb"),
         )
         .distinct()
+        .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
         .where(F.col("hamming") <= max_hamming)
     )
+    # re-expand to doc pairs: each doc carries exactly one fingerprint,
+    # so the two routes are disjoint and already duplicate-free
+    cross = (
+        fp_pairs.join(
+            hashed.select(
+                F.col(hash_col).alias("__ha"), F.col(id_col).alias("__ida")
+            ),
+            "__ha",
+        )
+        .join(
+            hashed.select(
+                F.col(hash_col).alias("__hb"), F.col(id_col).alias("__idb")
+            ),
+            "__hb",
+        )
+        .select(
+            F.least("__ida", "__idb").alias("a"),
+            F.greatest("__ida", "__idb").alias("b"),
+            "hamming",
+        )
+    )
+    hl, hr = hashed.alias("hl"), hashed.alias("hr")
+    within = (
+        hl.join(
+            hr,
+            (F.col(f"hl.{hash_col}") == F.col(f"hr.{hash_col}"))
+            & (F.col(f"hl.{id_col}") < F.col(f"hr.{id_col}")),
+        )
+        .select(
+            F.col(f"hl.{id_col}").alias("a"),
+            F.col(f"hr.{id_col}").alias("b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_hamming_pairs(

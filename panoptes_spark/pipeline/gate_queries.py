@@ -384,41 +384,51 @@ FROM cents2, range({_KM_DIM}) t(i)
 """
 
 
-_LSH_NPLANES, _LSH_BANDS, _LSH_DIM = 24, 4, 64
+_LSH_BANDS, _LSH_DIM = 4, 64
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k with AUTO-SIZED planes (r7 directive 1b): bits-per-band
+    grows with floor(log2 |C|) so bucket occupancy — and the candidate
+    pair count the r6 sf1 soak measured as the superlinear tail — stays
+    ~constant as the corpus scales. The oracle computes the identical
+    md5-parity planes and the identical integer sizing rule in SQL, so
+    the gate holds at ANY scale factor."""
     emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return similarity.lsh_topk(
-        emb, queries, dim=_LSH_DIM, k=_TOPK,
-        n_planes=_LSH_NPLANES, bands=_LSH_BANDS,
+        emb, queries, dim=_LSH_DIM, k=_TOPK, bands=_LSH_BANDS,
     )
 
 
-def _lsh_codes_sql() -> str:
-    """The band-code CTE body: same md5-parity ±1 planes as the operator,
-    embedded as list literals so DuckDB computes identical sign bits."""
-    planes = similarity.lsh_hyperplanes(_LSH_DIM, _LSH_NPLANES)
-    chunk = _LSH_NPLANES // _LSH_BANDS
-    selects = []
-    for b in range(_LSH_BANDS):
-        terms = []
-        for i in range(chunk):
-            lit = "[" + ",".join(str(x) for x in planes[b * chunk + i]) + "]"
-            terms.append(
-                f"CASE WHEN list_dot_product(embedding::DOUBLE[],"
-                f" {lit}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END"
-            )
-        selects.append(
-            f"SELECT vec_id, embedding, {b} AS band,"
-            f" ({' + '.join(terms)}) AS code FROM embeddings"
-        )
-    return " UNION ALL ".join(selects)
-
-
 O_LSH_TOPK = f"""
-WITH codes AS ({_lsh_codes_sql()}),
+WITH params AS (
+  SELECT GREATEST(6, LEAST(CAST(floor(log2(count(*))) AS INT) - 4, 30)) AS r
+  FROM embeddings
+),
+planes AS (
+  SELECT p,
+    list(CASE WHEN ('0x' || substr(md5('rhp:' || p || ':' || j), 1, 1))::BIGINT
+              % 2 = 0
+         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY j) AS pl
+  FROM (SELECT g1.range AS p, g2.range AS j
+        FROM range({_LSH_BANDS} * 30) g1
+        CROSS JOIN range({_LSH_DIM}) g2
+        WHERE g1.range < (SELECT {_LSH_BANDS} * r FROM params)) t
+  GROUP BY p
+),
+codes AS (
+  SELECT vec_id, embedding, band, CAST(sum(bit) AS BIGINT) AS code
+  FROM (
+    SELECT e.vec_id, e.embedding,
+      CAST(pl.p // (SELECT r FROM params) AS INT) AS band,
+      CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pl) >= 0
+           THEN (1::BIGINT << CAST(pl.p % (SELECT r FROM params) AS INT))
+           ELSE 0::BIGINT END AS bit
+    FROM embeddings e CROSS JOIN planes pl
+  )
+  GROUP BY vec_id, embedding, band
+),
 q AS (SELECT vec_id AS query_id, embedding AS qv, band, code FROM codes
       WHERE vec_id % 25 = 0),
 c AS (SELECT vec_id AS nbr_id, embedding AS cv, band, code FROM codes),
@@ -1715,6 +1725,160 @@ FROM m GROUP BY query_id
 """
 
 
+_PQ_ITERS = 1
+
+
+def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-vs-TRAINED PQ recall side by side (r7 directive 3): one
+    Lloyd round of per-subspace k-means (``pq_train_kmeans``) over the
+    seed codebooks, both recalls as columns of the same gate so the
+    improvement is part of the verified canon — the DuckDB oracle
+    replays the whole training round (decimal-exact codeword means),
+    re-encodes, and re-ranks."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    bf = (
+        similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+        .select("query_id", "nbr_id")
+        .persist()
+    )
+    counts = []
+    for label, cbs in (
+        ("seed", pq.pq_train(emb, m=_PQ_M, n_codes=_PQ_CODES)),
+        (
+            "trained",
+            pq.pq_train_kmeans(
+                emb, m=_PQ_M, n_codes=_PQ_CODES, iters=_PQ_ITERS
+            ),
+        ),
+    ):
+        enc = pq.pq_encode(emb, cbs)
+        topk = pq.pq_adc_topk(enc, queries, cbs, k=_TOPK).select(
+            "query_id", "nbr_id"
+        )
+        counts.append(
+            bf.join(topk, ["query_id", "nbr_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(f"__n_{label}"))
+        )
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(counts[0], "query_id", "left")
+        .join(counts[1], "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__n_seed", F.lit(0)).alias("n_match_seed"),
+            F.round(
+                F.coalesce("__n_seed", F.lit(0)) / F.lit(float(_TOPK)), 6
+            ).alias("recall_seed"),
+            F.coalesce("__n_trained", F.lit(0)).alias("n_match_trained"),
+            F.round(
+                F.coalesce("__n_trained", F.lit(0)) / F.lit(float(_TOPK)), 6
+            ).alias("recall_trained"),
+        )
+    )
+
+
+def _o_pq_recall_trained() -> str:
+    ds = 64 // _PQ_M
+    sq = (
+        "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
+        "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    dist2 = sq.format(
+        n=ds + 1, a="e.embedding::DOUBLE[]", off=f"c.subspace*{ds}", b="c.cv"
+    )
+    qdist = sq.format(
+        n=ds + 1, a="q.embedding::DOUBLE[]", off=f"c.subspace*{ds}", b="c.cv"
+    )
+    return f"""
+WITH {_pq_cb_cte().strip()},
+cm AS (
+  SELECT en.subspace, en.code AS code_id, CAST(i AS INT) AS pos,
+    round(CAST(sum(CAST(e.embedding[en.subspace*{ds} + i + 1]::DOUBLE
+                        AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mval
+  FROM enc en JOIN embeddings e ON e.vec_id = en.vec_id, range({ds}) t(i)
+  GROUP BY 1, 2, 3
+),
+cb2 AS (
+  SELECT c.subspace, c.code_id, COALESCE(nn.cv, c.cv) AS cv
+  FROM cb c LEFT JOIN (
+    SELECT subspace, code_id, list(mval ORDER BY pos) AS cv
+    FROM cm GROUP BY 1, 2
+  ) nn USING (subspace, code_id)
+),
+dv2 AS (
+  SELECT e.vec_id, c.subspace, c.code_id, {dist2} AS dint
+  FROM embeddings e CROSS JOIN cb2 c
+),
+enc2 AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code_id AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace
+                         ORDER BY dint ASC, code_id ASC) AS rk
+    FROM dv2
+  ) WHERE rk = 1
+),
+qt1 AS (
+  SELECT q.vec_id AS query_id, c.subspace, c.code_id, {qdist} AS dint
+  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id % 25 = 0
+),
+qt2 AS (
+  SELECT q.vec_id AS query_id, c.subspace, c.code_id, {qdist} AS dint
+  FROM embeddings q CROSS JOIN cb2 c WHERE q.vec_id % 25 = 0
+),
+ad1 AS (
+  SELECT qt1.query_id, en.vec_id AS nbr_id, CAST(sum(qt1.dint) AS BIGINT)
+    AS adist
+  FROM enc en JOIN qt1 ON en.subspace = qt1.subspace AND en.code = qt1.code_id
+  WHERE en.vec_id <> qt1.query_id
+  GROUP BY qt1.query_id, en.vec_id
+),
+ad2 AS (
+  SELECT qt2.query_id, en.vec_id AS nbr_id, CAST(sum(qt2.dint) AS BIGINT)
+    AS adist
+  FROM enc2 en JOIN qt2 ON en.subspace = qt2.subspace AND en.code = qt2.code_id
+  WHERE en.vec_id <> qt2.query_id
+  GROUP BY qt2.query_id, en.vec_id
+),
+pqk1 AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist ASC, nbr_id ASC) AS rk
+    FROM ad1
+  ) WHERE rk <= {_TOPK}
+),
+pqk2 AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist ASC, nbr_id ASC) AS rk
+    FROM ad2
+  ) WHERE rk <= {_TOPK}
+),
+bf AS ({O_ANN_TOPK}),
+m1 AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN pqk1 ON bf.query_id = pqk1.query_id AND bf.nbr_id = pqk1.nbr_id
+),
+m2 AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN pqk2 ON bf.query_id = pqk2.query_id AND bf.nbr_id = pqk2.nbr_id
+),
+c1 AS (SELECT query_id, count(*) AS n FROM m1 GROUP BY query_id),
+c2 AS (SELECT query_id, count(*) AS n FROM m2 GROUP BY query_id)
+SELECT q.query_id,
+  CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_match_seed,
+  round(COALESCE(c1.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_seed,
+  CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_match_trained,
+  round(COALESCE(c2.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_trained
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0) q
+LEFT JOIN c1 USING (query_id) LEFT JOIN c2 USING (query_id)
+"""
+
+
 def q_hybrid_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused-output recall of the IVF dense leg vs the brute-leg twin —
     the ``ann_recall`` pattern applied to the whole hybrid pipeline (r5
@@ -2947,6 +3111,8 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_recall": q_pq_recall,
     "ann_ivfpq_topk": q_ivfpq_topk,
+    # --- r7 additions ---
+    "pq_recall_trained": q_pq_recall_trained,
 }
 
 ORACLES = {
@@ -3016,4 +3182,6 @@ ORACLES = {
     "pq_encode": O_PQ_ENCODE,
     "pq_recall": _o_pq_recall(),
     "ann_ivfpq_topk": _o_ivfpq_topk(),
+    # --- r7 additions ---
+    "pq_recall_trained": _o_pq_recall_trained(),
 }

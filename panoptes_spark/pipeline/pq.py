@@ -39,11 +39,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivfpq_topk"]
+__all__ = [
+    "pq_train",
+    "pq_train_kmeans",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
+]
 
 #: integer distance scale: 6 decimal places survive exactly in int64 for
 #: any realistic squared-L2 magnitude (unit vectors: <= 4 per subspace)
 _DIST_SCALE = 1_000_000
+
+#: default cap on the broadcast ADC table (nq × m × n_codes int64). The
+#: guard is BYTE-based, not row-based: at m=8 / n_codes=256 a row-only
+#: guard of 1M queries would admit a ~16 GiB broadcast.
+MAX_ADC_TABLE_BYTES = 1 << 30
+
+
+def _guard_adc_broadcast(
+    n_queries: int, m: int, n_codes: int, max_table_bytes: int
+) -> None:
+    est = n_queries * m * n_codes * 8
+    if est > max_table_bytes:
+        max_rows = max(1, max_table_bytes // (m * n_codes * 8))
+        raise ValueError(
+            f"estimated ADC table is {est} bytes "
+            f"({n_queries} queries x {m} subspaces x {n_codes} codes x 8) "
+            f"> max_table_bytes={max_table_bytes}; shard the probe set "
+            f"into batches of <= {max_rows} queries, run the top-k per "
+            "batch, and union the results (per-query ranks are "
+            "independent, so sharding is exact)"
+        )
+
+
+def _adc_scores_chunked(tabs, codes, k: int):
+    """Yield tie-safe local top-k candidates for a block of queries
+    against a block of PQ codes, vectorized across ALL probes.
+
+    tabs: (nq, m, n_codes) int64 query distance tables;
+    codes: (nc, m) int64 corpus codes. Yields (q_idx, c_idx, dist)
+    index arrays per probe-chunk, where the keep-set per probe is every
+    candidate at or below its (k+1)-th smallest distance — boundary ties
+    included, so a downstream exact ranking (the global window) sees
+    every row the (adist asc, nbr_id asc) total order could place in the
+    top-k regardless of partition layout. Probes are chunked so the
+    (chunk, nc, m) gather stays ~32 MB.
+    """
+    import numpy as np
+
+    nq = tabs.shape[0]
+    nc, m = codes.shape
+    if nq == 0 or nc == 0:
+        return
+    sub = np.arange(m)
+    top = min(k + 1, nc)
+    step = max(1, (4 << 20) // max(nc * m, 1))
+    for s in range(0, nq, step):
+        tq = tabs[s : s + step]
+        d = tq[:, sub[None, :], codes].sum(axis=2)  # (chunk, nc)
+        bound = np.partition(d, top - 1, axis=1)[:, top - 1]
+        mask = d <= bound[:, None]
+        rows, cols = np.nonzero(mask)
+        yield s + rows, cols, d[rows, cols]
 
 
 def _dims(df: DataFrame, vec_col: str, m: int) -> int:
@@ -94,6 +152,113 @@ def pq_train(
         ]
     )
     return corpus.sparkSession.createDataFrame(out, schema)
+
+
+def pq_train_kmeans(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks — the recommended production trainer
+    (r7; ``pq_train`` seeds alone are deterministic but weak: real PQ
+    recall comes from k-means-trained subspace codebooks, Jégou §III).
+
+    Per iteration, ALL ``m`` subspaces train in one pass: a narrow Arrow
+    encode assigns every subvector to its nearest codeword, then ONE
+    (subspace, code_id, pos)-keyed partial-agg shuffle computes the new
+    codeword means — the same MapReduce-Lloyd shape (and the same
+    DECIMAL(30,12) order-independent mean arithmetic, 6dp-rounded) as
+    ``similarity.kmeans_refine``, so a SQL oracle replays it exactly and
+    results are partition-layout-independent. Codewords left empty keep
+    their previous value (Lloyd convention). Shuffle volume per round is
+    ~corpus·dim rows with map-side combine; iterations fixed and small.
+    """
+    dim = _dims(corpus, vec_col, m)
+    ds = dim // m
+    cbs = pq_train(corpus, m, n_codes, id_col, vec_col)
+    for _ in range(int(iters)):
+        enc = _pq_encode_with_vec(corpus, cbs, id_col, vec_col)
+        comps = (
+            enc.select(
+                "codes", F.posexplode(F.col(vec_col)).alias("gpos", "comp")
+            )
+            .withColumn("subspace", F.expr(f"CAST(gpos DIV {ds} AS INT)"))
+            .select(
+                "subspace",
+                F.expr("codes[CAST(subspace AS INT)]").alias("code_id"),
+                (F.col("gpos") % ds).cast("int").alias("pos"),
+                "comp",
+            )
+        )
+        means = comps.groupBy("subspace", "code_id", "pos").agg(
+            F.round(
+                F.sum(
+                    F.col("comp").cast("double").cast("decimal(30,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mval")
+        )
+        new_cv = means.groupBy("subspace", "code_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s.mval,
+            ).alias("new_cv")
+        )
+        cbs = (
+            cbs.join(F.broadcast(new_cv), ["subspace", "code_id"], "left")
+            .select(
+                "subspace",
+                "code_id",
+                F.coalesce("new_cv", "codevec").alias("codevec"),
+            )
+        )
+    return cbs
+
+
+def _pq_encode_with_vec(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``pq_encode`` that carries the vector through — the training pass
+    needs (codes, components) side by side without re-joining the corpus."""
+    import numpy as np
+
+    cb = _codebook_tensor(codebooks)
+    m, _, ds = cb.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import pandas as pd
+
+        cbl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64).reshape(
+                len(pdf), m, ds
+            )
+            d = ((x[:, :, None, :] - cbl[None]) ** 2).sum(-1)
+            dint = np.floor(d * _DIST_SCALE + 0.5).astype(np.int64)
+            codes = dint.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "codes": list(codes),
+                }
+            )
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode,
+        schema=f"{id_col} long, {vec_col} {vec_type}, codes array<int>",
+    )
 
 
 def _codebook_tensor(codebooks: DataFrame):
@@ -157,10 +322,17 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 1_000_000,
+    max_table_bytes: int = MAX_ADC_TABLE_BYTES,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: (query_id, nbr_id,
     adist, rank). ``adist`` is the exact INTEGER sum of the per-subspace
-    scaled distances (smaller = closer); self-matches excluded."""
+    scaled distances (smaller = closer); self-matches excluded.
+
+    The query-set broadcast is guarded by BYTES of the ADC table
+    (nq·m·n_codes·8), not just rows — the error message says how to
+    shard oversized probe sets. Per-partition scoring is vectorized
+    across all probes with a tie-safe boundary cut
+    (:func:`_adc_scores_chunked`)."""
     import numpy as np
 
     cb = _codebook_tensor(codebooks)
@@ -172,6 +344,7 @@ def pq_adc_topk(
             f"query set exceeds max_query_rows={max_query_rows}; "
             "shard the probe set"
         )
+    _guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64).reshape(
         len(qrows), m, ds
@@ -182,7 +355,6 @@ def pq_adc_topk(
         ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1) * _DIST_SCALE + 0.5
     ).astype(np.int64)
     bc = spark.sparkContext.broadcast((q_ids, tabs))
-    sub_idx = np.arange(m)
 
     def adc(batches):
         import pandas as pd
@@ -193,25 +365,15 @@ def pq_adc_topk(
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(b_qids)):
-                d = b_tabs[qi][sub_idx[None, :], codes].sum(axis=1)
-                top = min(k + 1, len(d))
-                idx = np.argpartition(d, top - 1)[:top]
-                order = np.lexsort((c_ids[idx], d[idx]))
-                kept = 0
-                for ci in idx[order]:
-                    if c_ids[ci] == b_qids[qi]:
-                        continue
-                    out_q.append(b_qids[qi])
-                    out_n.append(c_ids[ci])
-                    out_d.append(d[ci])
-                    kept += 1
-                    if kept >= k:
-                        break
-            yield pd.DataFrame(
-                {"query_id": out_q, "nbr_id": out_n, "adist": out_d}
-            )
+            for qi, ci, d in _adc_scores_chunked(b_tabs, codes, k):
+                keep = c_ids[ci] != b_qids[qi]
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qi][keep],
+                        "nbr_id": c_ids[ci][keep],
+                        "adist": d[keep],
+                    }
+                )
 
     scored = corpus_codes.select(id_col, "codes").mapInPandas(
         adc, schema="query_id long, nbr_id long, adist long"
@@ -236,6 +398,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 1_000_000,
+    max_table_bytes: int = MAX_ADC_TABLE_BYTES,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN plan — coarse cells prune the
     corpus (each query touches ~nprobe/n_cells of it), PQ codes stand in
@@ -247,10 +410,16 @@ def ivfpq_topk(
     into the (cell, nbr, codes) index — the production artifact a real
     deployment materializes once and reuses per query batch. Per probe
     batch, the only work is a cogrouped per-cell lookup-sum over the
-    broadcast integer distance tables; candidate rows leaving Python are
-    ≤ |queries|·nprobe·k. Exactness of the local-top-k prune: a corpus
-    vector lives in exactly one cell, and both ranking levels share the
-    (adist asc, nbr_id asc) total order.
+    broadcast integer distance tables, vectorized across ALL probes of
+    the cell; candidate rows leaving Python are
+    ≤ |queries|·nprobe·(k+1+ties). Exactness of the local prune: a
+    corpus vector lives in exactly one cell, the local keep-set is
+    boundary-tie-widened (every candidate at or below the k-th best
+    distance survives), and both ranking levels share the
+    (adist asc, nbr_id asc) total order — so the result equals all-pair
+    ADC at any partition layout. The ADC broadcast is guarded by BYTES
+    (nq·m·n_codes·8, ``max_table_bytes``); shard oversized probe sets
+    per the error message.
     """
     import numpy as np
 
@@ -277,6 +446,7 @@ def ivfpq_topk(
             f"query set exceeds max_query_rows={max_query_rows}; "
             "shard the probe set"
         )
+    _guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64).reshape(
         len(qrows), m, ds
@@ -286,7 +456,6 @@ def ivfpq_topk(
     ).astype(np.int64)
     tab_of = {int(q): i for i, q in enumerate(q_ids)}
     bc = spark.sparkContext.broadcast((tab_of, tabs))
-    sub_idx = np.arange(m)
 
     def cell_adc(left, right):
         import pandas as pd
@@ -297,25 +466,26 @@ def ivfpq_topk(
         b_tab_of, b_tabs = bc.value
         c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
         codes = np.array(list(right["codes"]), dtype=np.int64)
-        out_q, out_n, out_d = [], [], []
-        for q in left["query_id"].to_numpy(dtype=np.int64):
-            d = b_tabs[b_tab_of[int(q)]][sub_idx[None, :], codes].sum(axis=1)
-            top = min(k + 1, len(d))
-            idx = np.argpartition(d, top - 1)[:top]
-            order = np.lexsort((c_ids[idx], d[idx]))
-            kept = 0
-            for ci in idx[order]:
-                if c_ids[ci] == q:
-                    continue
-                out_q.append(q)
-                out_n.append(int(c_ids[ci]))
-                out_d.append(int(d[ci]))
-                kept += 1
-                if kept >= k:
-                    break
-        return pd.DataFrame(
-            {"query_id": out_q, "nbr_id": out_n, "adist": out_d}
-        )
+        probes = left["query_id"].to_numpy(dtype=np.int64)
+        # gather this cell's probe tables once; scoring is then one
+        # vectorized lookup-sum across ALL probes (chunked), not a
+        # python loop per probe
+        cell_tabs = b_tabs[[b_tab_of[int(q)] for q in probes]]
+        outs = []
+        for qi, ci, d in _adc_scores_chunked(cell_tabs, codes, k):
+            keep = c_ids[ci] != probes[qi]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": probes[qi][keep],
+                        "nbr_id": c_ids[ci][keep],
+                        "adist": d[keep],
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     scored = (
         q_assigned.groupBy("cell_id")

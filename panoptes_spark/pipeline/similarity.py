@@ -88,20 +88,25 @@ def cosine_topk_bruteforce(
                 (b_qmat @ c_mat.T) / np.outer(b_qnorms, c_norms), 6
             )
             # partition-local top-k for ALL queries in one vectorized
-            # argpartition along axis 1 (the per-query python loop was
+            # partition along axis 1 (the per-query python loop was
             # the sf1 bottleneck at 800 probes x many Arrow batches);
-            # +1 headroom for the self-match dropped below — the global
-            # window prunes to the true top-k with the same tie order
+            # +1 headroom for the self-match dropped below. TIE-SAFE:
+            # every candidate at or above the boundary score is kept
+            # (argpartition alone picks arbitrarily among equals, which
+            # could drop the tie-order-preferred lower nbr_id and make
+            # the result partition-layout-dependent); the global window
+            # prunes to the true top-k with the (cosine desc, nbr_id
+            # asc) total order.
             top = min(k + 1, cos.shape[1])
-            idx = np.argpartition(-cos, top - 1, axis=1)[:, :top]
-            rows = np.repeat(np.arange(nq), top)
-            cols = idx.ravel()
-            keep = c_ids[cols] != b_qids[rows]
+            bound = -np.partition(-cos, top - 1, axis=1)[:, top - 1]
+            mask = cos >= bound[:, None]
+            mask &= c_ids[None, :] != b_qids[:, None]
+            rows, cols = np.nonzero(mask)
             yield pd.DataFrame(
                 {
-                    "query_id": b_qids[rows][keep],
-                    "nbr_id": c_ids[cols][keep],
-                    "cosine": cos[rows, cols][keep],
+                    "query_id": b_qids[rows],
+                    "nbr_id": c_ids[cols],
+                    "cosine": cos[rows, cols],
                 }
             )
 
@@ -315,15 +320,24 @@ def ivf_topk(
     Scale shape (round 6): the two assignment passes are narrow
     broadcast matmuls; the only shuffle keys BOTH sides by cell_id for a
     cogrouped per-cell BLAS matmul that emits each query's LOCAL top-k
-    within the cell. Candidate rows leaving Python are therefore
-    ≤ |queries|·nprobe·k — NOT the |queries|·|cell| pair relation the
-    previous plan materialized through Arrow (the sf1 soak measured that
-    pair stream at 10× the data as the gate's whole cost). The global
-    window then prunes nprobe·k to k per query. Exactness of the prune:
-    a query's global top-k ⊆ union of its per-cell top-k (each cell can
-    contribute at most k rows), and both levels order by the SAME
-    (cosine desc, nbr_id asc) total order, so results are identical to
-    all-pair scoring — the DuckDB oracle still scores all pairs.
+    within the cell (plus boundary ties). Candidate rows leaving Python
+    are therefore ≤ |queries|·nprobe·(k+1+ties) — NOT the
+    |queries|·|cell| pair relation the previous plan materialized
+    through Arrow (the sf1 soak measured that pair stream at 10× the
+    data as the gate's whole cost). The global window then prunes to k
+    per query. Exactness of the prune: a query's global top-k ⊆ union
+    of its per-cell boundary-widened top-k (the local keep-set contains
+    every candidate tied-or-above its k-th best score, so no row the
+    global (cosine desc, nbr_id asc) order would rank ≤ k can be
+    dropped locally) — results are identical to all-pair scoring at any
+    partition layout; the DuckDB oracle still scores all pairs.
+
+    Per-cell memory bound: the cogroup loads ONE cell — all corpus rows
+    assigned to it plus the queries probing it — as a single in-memory
+    pandas group (~|C|/n_cells rows with full embeddings). Size
+    ``n_cells`` so a cell fits an executor (e.g. grow it ~√|C| or
+    |C|·dim·8 / target_bytes); the cell matmul is then a bounded-block
+    BLAS call, never a corpus-sized allocation.
     """
     import numpy as np
 
@@ -347,26 +361,23 @@ def ivf_topk(
         q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
         c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
         cos = np.round((q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 6)
-        out_q, out_n, out_c = [], [], []
-        for qi in range(len(q_ids)):
-            scores = cos[qi]
-            # local top-k by the GLOBAL tie order (cosine desc, nbr_id
-            # asc); +1 headroom for the self-match dropped below
-            top = min(k + 1, len(scores))
-            idx = np.argpartition(-scores, top - 1)[:top]
-            order = np.lexsort((c_ids[idx], -scores[idx]))
-            kept = 0
-            for ci in idx[order]:
-                if c_ids[ci] == q_ids[qi]:
-                    continue
-                out_q.append(q_ids[qi])
-                out_n.append(c_ids[ci])
-                out_c.append(scores[ci])
-                kept += 1
-                if kept >= k:
-                    break
+        # local top-k for ALL probing queries at once, TIE-SAFE: keep
+        # every candidate at or above the k-th best score (+1 headroom
+        # for the self-match) — an argpartition-only cut picks
+        # arbitrarily among boundary ties, dropping rows the global
+        # (cosine desc, nbr_id asc) order prefers. The global window
+        # does the exact ranking over the widened keep-set.
+        top = min(k + 1, cos.shape[1])
+        bound = -np.partition(-cos, top - 1, axis=1)[:, top - 1]
+        mask = cos >= bound[:, None]
+        mask &= c_ids[None, :] != q_ids[:, None]
+        rows, cols = np.nonzero(mask)
         return pd.DataFrame(
-            {"query_id": out_q, "nbr_id": out_n, "cosine": out_c}
+            {
+                "query_id": q_ids[rows],
+                "nbr_id": c_ids[cols],
+                "cosine": cos[rows, cols],
+            }
         )
 
     scored = (
@@ -389,6 +400,21 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 LSH_PLANES_TAG = "rhp"
+
+
+def lsh_auto_planes(n_rows: int, bands: int = 4) -> int:
+    """Standard LSH sizing: bits-per-band ``r`` grows with log2|C| so
+    per-band bucket occupancy (|C| / 2^r) stays roughly CONSTANT
+    (~16-32 docs) instead of growing linearly with the corpus — with a
+    fixed r the candidate count per query is bands·|C|/2^r, which the
+    r6 sf1 soak measured as the gate's superlinear tail (10.6× at 10×
+    data). ``r = max(6, floor(log2 |C|) - 4)``; ``n_planes = bands·r``.
+
+    Integer-exact (bit_length, no float log) so the DuckDB oracle's
+    ``floor(log2(count(*)))`` twin computes the identical ``r`` at any
+    corpus size."""
+    r = max(6, min(max(int(n_rows), 1).bit_length() - 1 - 4, 30))
+    return bands * r
 
 
 def lsh_hyperplanes(
@@ -455,12 +481,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 24,
+    n_planes: int | None = None,
     bands: int = 4,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH banding: a candidate is
     any corpus vector agreeing with the query on ALL bits of ≥1 band
     (``n_planes/bands``-bit chunks). Exact cosine re-ranks candidates.
+
+    ``n_planes=None`` (default) AUTO-SIZES the bit budget from the
+    corpus size (:func:`lsh_auto_planes`): bits-per-band ≈ log2|C| - 4,
+    keeping per-band bucket occupancy — and therefore per-query
+    candidate cost — roughly constant as the corpus grows. Pass an
+    explicit ``n_planes`` to pin recall/cost manually.
 
     The 100 TB shape: both sides get band codes in a narrow pass, the only
     shuffle is the (band, code) equi-join — per-query work is the bucket
@@ -469,6 +501,8 @@ def lsh_topk(
     pruned alternative when a coarse quantizer fits the data better."""
     import numpy as np
 
+    if n_planes is None:
+        n_planes = lsh_auto_planes(corpus.count(), bands)
     planes = lsh_hyperplanes(dim, n_planes)
     c = lsh_band_codes(corpus, planes, bands, id_col, vec_col).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "band", "code"

@@ -4,12 +4,15 @@ The reference's consumer discipline is defined against live Kafka
 (``framework/utilities/consumer.py:340-438``): manual commits
 (``enable_auto_commit=False``), per-partition processing where key-filter
 and validation failures SKIP a record without failing the batch, a
-callback failure/exception stops the partition WITHOUT committing it
-(the whole partition batch is redelivered), and a fully-successful
-partition commits at ``consumer.position`` — i.e. PAST the skipped
-records. Its producer side places records by Kafka's default
-partitioner: murmur2 over the key bytes, masked positive, mod partition
-count.
+callback RETURNING False stops the partition WITHOUT committing it (the
+whole partition batch is redelivered), a callback EXCEPTION stops the
+partition but still commits past the batch (the reference's except
+branch never clears ``callback_succeeded`` — see
+:func:`process_polled_batch` for the record-level analysis), and a
+fully-successful partition commits at ``consumer.position`` — i.e. PAST
+the skipped records. Its producer side places records by Kafka's
+default partitioner: murmur2 over the key bytes, masked positive, mod
+partition count.
 
 The sandbox has no broker, so this module replays the PROTOCOL instead:
 
@@ -109,24 +112,46 @@ def process_polled_batch(
     callback: Callable[[str, dict], bool],
     keys: list[str] | None = None,
     validator: Callable[[dict], bool] | None = None,
+    safe_exceptions: bool = False,
 ) -> tuple[dict[tuple[str, int], int], dict[tuple[str, int], dict]]:
     """One poll-loop iteration of the reference consumer
     (``consumer.py:367-438``), as a pure function.
 
-    Returns ``(commits, stats)``: ``commits`` maps each fully-successful
-    topic-partition to the offset to commit (the position AFTER the last
-    polled record — skipped records are committed past, exactly like the
-    reference, which commits ``consumer.position``); ``stats`` carries
-    per-partition processed / skipped / validation_failed / succeeded.
+    Returns ``(commits, stats)``: ``commits`` maps each committing
+    topic-partition to the offset to commit (``consumer.position`` =
+    one past the partition's LAST polled record — ``poll`` already
+    advanced the fetch position past the whole batch, so skipped records
+    are committed past); ``stats`` carries per-partition processed /
+    skipped / validation_failed / excepted / succeeded.
+
+    Commit discipline, replicated record-for-record from the reference:
+
+    - a callback RETURNING False stops the partition and withholds the
+      commit — the whole partition batch is redelivered ("if the
+      callback fails even for one consumer record ... do not update the
+      committed offset for the entire batch");
+    - a callback RAISING stops the partition but STILL COMMITS past the
+      batch: in the reference's loop the ``except`` branch only logs and
+      breaks, so ``callback_succeeded`` keeps its prior ``True`` (a
+      ``False`` return breaks immediately, so no earlier record can have
+      set it) and the commit block runs with ``consumer.position``
+      already past the poll — every record after the exception is LOST
+      (at-most-once on the exception path). This is a faithful twin of
+      the reference's behavior, not an endorsement; pass
+      ``safe_exceptions=True`` to withhold the commit on exceptions too
+      (the at-least-once discipline Structured Streaming's epoch retry
+      gives the Spark engine itself).
     """
     commits: dict[tuple[str, int], int] = {}
     stats: dict[tuple[str, int], dict] = {}
     for tp, records in polled.items():
         ok = True
+        excepted = False
         n_proc = n_skip = n_invalid = 0
-        position = None
+        # consumer.position after poll: one past the batch's last record
+        # regardless of where processing stops
+        position = records[-1].offset + 1 if records else None
         for rec in records:
-            position = rec.offset + 1
             key = rec.key.decode("utf-8")
             if keys and key not in keys:
                 n_skip += 1
@@ -144,19 +169,19 @@ def process_polled_batch(
                     ok = False
                     break
             except Exception:
-                ok = False
+                excepted = True
+                if safe_exceptions:
+                    ok = False
                 break
             n_proc += 1
-        # reference: "if the callback fails even for one consumer record
-        # ... (do not update the committed) offset for the entire batch";
-        # on success, commit position = one past the batch's last record
         if ok and position is not None:
             commits[tp] = position
         stats[tp] = {
             "processed": n_proc,
             "skipped": n_skip,
             "validation_failed": n_invalid,
-            "succeeded": ok,
+            "excepted": excepted,
+            "succeeded": ok and not excepted,
         }
     return commits, stats
 

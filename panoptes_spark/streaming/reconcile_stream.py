@@ -4,31 +4,39 @@ The reference's resource manager is a Kafka consumer whose callback runs
 the set-reconciliation merge per (plugin, site) batch
 (``resources/manager.py:165-187`` -> ``handle_resources`` :46-142). In
 Spark this is ``foreachBatch`` over the validated resource stream: each
-micro-batch is one "incoming set" per (plugin, site), merged into the
-store table with the same timestamp guards (operators/reconcile.py).
+micro-batch is one "incoming set" per reconciliation SCOPE, merged into
+the store table with the same timestamp guards (operators/reconcile.py).
 
 Two writers:
 
-- :class:`ResourceStoreWriter` — the original write-then-swap rewrite
-  (works anywhere, NOT crash-atomic: a failure between the two
-  ``mode("overwrite")`` writes can leave a torn store, and a replayed
-  epoch re-applies its merge).
-- :class:`ExactlyOnceResourceStoreWriter` (round 6) — the production
-  shape: epoch-id-keyed dedup (replayed epochs no-op) + deterministic
-  snapshot paths + an ``os.replace`` manifest swap as the single atomic
-  commit point, the same recipe as
-  ``streaming/store_sink.ParquetStoreSink``. Unlike the keyed KV sink,
-  reconciliation is a SET merge (absence ⇒ delete), so the rewrite unit
-  is the whole reconciliation SCOPE, not a hash bucket — at production
-  scale the scope is (plugin, site) exactly as in the reference, so each
-  epoch rewrites only the sites it carries; here the default is a single
-  scope, which is what the gate fixtures use.
+- :class:`ExactlyOnceResourceStoreWriter` — the DEFAULT (r7): epoch-id
+  keyed dedup (replayed epochs no-op) + deterministic snapshot paths +
+  an ``os.replace`` manifest swap as the single atomic commit point,
+  the same recipe as ``streaming/store_sink.ParquetStoreSink``. The
+  rewrite unit is the reconciliation SCOPE (``scope_cols``, e.g.
+  ``["resource_plugin", "resource_site"]`` exactly as in the
+  reference): an epoch rewrites ONLY the scopes it carries — a scope
+  absent from the batch keeps its previous snapshot file byte-for-byte
+  (absence of a whole scope is "no news", not a delete; absence of a
+  resource WITHIN a carried scope is a delete, the reference's
+  ``handle_resources`` rule). Superseded snapshot files are
+  garbage-collected with a one-generation grace (the previous epoch's
+  files survive until the NEXT commit, so in-flight readers that
+  resolved the old manifest can finish).
+- :class:`ResourceStoreWriter` — DEPRECATED: the original
+  write-then-swap rewrite (works anywhere, NOT crash-atomic: a failure
+  between the two ``mode("overwrite")`` writes can leave a torn store,
+  and a replayed epoch re-applies its merge). Kept only for plain
+  single-directory stores; emits a ``DeprecationWarning``.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,9 +44,17 @@ from pyspark.sql import functions as F
 from ..operators.reconcile import apply_reconciliation
 from ..schemas import RESOURCE_IDENTITY_COLS
 
+#: the reference's reconciliation scope: resources/manager.py:46-142
+#: reconciles each (plugin, site) result set independently
+DEFAULT_SCOPE_COLS = ["resource_plugin", "resource_site"]
+
 
 class ResourceStoreWriter:
-    """foreachBatch callback maintaining the reconciled resource store."""
+    """DEPRECATED foreachBatch callback maintaining a plain-parquet
+    reconciled resource store. NOT crash-atomic (torn between its two
+    overwrites) and NOT replay-idempotent — use
+    :class:`ExactlyOnceResourceStoreWriter` (the ``reconcile_stream``
+    default since r7)."""
 
     def __init__(
         self,
@@ -48,6 +64,13 @@ class ResourceStoreWriter:
         ts_col: str = "resource_creation_timestamp",
         set_ts_col: str = "resource_set_creation_timestamp",
     ):
+        warnings.warn(
+            "ResourceStoreWriter is deprecated: it is not crash-atomic "
+            "and re-applies replayed epochs; use "
+            "ExactlyOnceResourceStoreWriter (reconcile_stream's default)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         self.spark = spark
         self.store_path = store_path
         self.identity = identity_cols or RESOURCE_IDENTITY_COLS
@@ -90,20 +113,30 @@ class ResourceStoreWriter:
 
 
 class ExactlyOnceResourceStoreWriter:
-    """Crash-atomic, epoch-idempotent reconciling store.
+    """Crash-atomic, epoch-idempotent, SCOPE-partitioned reconciling
+    store — the production shape and the ``reconcile_stream`` default.
 
     Layout under ``store_path``::
 
-        MANIFEST                    {"last_epoch": E, "snapshot": "e{E}.parquet"}
-        data/e{epoch}.parquet       immutable reconciled snapshots
+        MANIFEST                 {"last_epoch": E,
+                                  "scopes": {scope_key: "s<key>-e<E>.parquet"},
+                                  "retired": [...]}
+        data/s{key}-e{epoch}.parquet   immutable per-scope snapshots
 
-    Per epoch: skip if already committed; otherwise merge the batch into
-    the manifest-resolved snapshot with the same ``apply_reconciliation``
-    guards, write a NEW snapshot at a deterministic epoch-keyed path
-    (a crashed attempt's partial files are clobbered by the retry, never
-    read), then ``os.replace`` the manifest — readers see the previous
-    consistent store until that instant. Chaos-tested in
-    ``tests/test_snmp_and_reconcile_stream.py``.
+    Per epoch: skip if already committed; otherwise, for EACH scope the
+    batch carries (``scope_cols``; default single global scope), merge
+    that scope's rows into the manifest-resolved scope snapshot with the
+    same ``apply_reconciliation`` guards (absence of a resource within a
+    carried scope ⇒ delete, per the reference's per-(plugin, site)
+    ``handle_resources``), write a NEW snapshot at a deterministic
+    (scope, epoch)-keyed path (a crashed attempt's partial files are
+    clobbered by the retry, never read), then ``os.replace`` the
+    manifest ONCE — readers see the previous consistent store until that
+    instant. Scopes absent from the batch keep their snapshot files
+    untouched (byte-identical): write volume is O(scopes carried), not
+    O(store). Files superseded by this commit are retired and deleted at
+    the NEXT commit (one-generation grace for in-flight readers).
+    Chaos-tested in ``tests/test_snmp_and_reconcile_stream.py``.
     """
 
     def __init__(
@@ -113,20 +146,28 @@ class ExactlyOnceResourceStoreWriter:
         identity_cols: list[str] | None = None,
         ts_col: str = "resource_creation_timestamp",
         set_ts_col: str = "resource_set_creation_timestamp",
+        scope_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.store_path = store_path
         self.identity = identity_cols or RESOURCE_IDENTITY_COLS
         self.ts_col = ts_col
         self.set_ts_col = set_ts_col
+        self.scope_cols = list(scope_cols) if scope_cols else []
         os.makedirs(os.path.join(store_path, "data"), exist_ok=True)
 
     def manifest(self) -> dict:
         try:
             with open(os.path.join(self.store_path, "MANIFEST")) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
-            return {"last_epoch": -1, "snapshot": None}
+            return {"last_epoch": -1, "scopes": {}, "retired": []}
+        if "scopes" not in m:  # pre-r7 single-snapshot manifest
+            snap = m.get("snapshot")
+            m["scopes"] = {"": snap} if snap else {}
+            m.pop("snapshot", None)
+        m.setdefault("retired", [])
+        return m
 
     def _swap_manifest(self, m: dict) -> None:
         tmp = os.path.join(self.store_path, "MANIFEST.tmp")
@@ -136,48 +177,112 @@ class ExactlyOnceResourceStoreWriter:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.store_path, "MANIFEST"))
 
+    def _scope_key(self, values) -> str:
+        raw = "\x1f".join("\x00" if v is None else str(v) for v in values)
+        slug = re.sub(r"[^A-Za-z0-9_.-]", "_", raw)[:48]
+        h = hashlib.md5(raw.encode()).hexdigest()[:8]
+        return f"{slug}-{h}" if slug else f"scope-{h}"
+
     def read(self) -> DataFrame:
         m = self.manifest()
-        if m["snapshot"] is None:
+        files = [
+            os.path.join(self.store_path, "data", v)
+            for v in m["scopes"].values()
+        ]
+        if not files:
             raise ValueError(f"store at {self.store_path} has no commits yet")
-        return self.spark.read.parquet(
-            os.path.join(self.store_path, "data", m["snapshot"])
-        )
+        return self.spark.read.parquet(*files)
+
+    def _gc(self, retired_now: list[str], previously_retired: list[str]) -> None:
+        """Delete files retired at the PREVIOUS commit (no reader that
+        started after that commit can reference them); files superseded
+        just now stay on disk one more generation."""
+        import shutil
+
+        for fname in previously_retired:
+            p = os.path.join(self.store_path, "data", fname)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def __call__(self, batch: DataFrame, epoch_id: int):
         m = self.manifest()
         if int(epoch_id) <= int(m["last_epoch"]):
             return  # replayed epoch: already committed — no-op
         has_set_ts = self.set_ts_col in batch.columns
-        stats = batch.agg(
-            F.count(F.lit(1)).alias("n"),
+        # pin the batch: it feeds one scope-stats action plus one merge
+        # per carried scope, and a foreachBatch source may not be
+        # cheaply re-computable
+        batch = batch.localCheckpoint(eager=True)
+        # one driver action: per-scope row count + candidate set
+        # timestamps (scope count is bounded by plugins x sites)
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
             (
                 F.max(self.set_ts_col) if has_set_ts else F.lit(None)
-            ).alias("set_ts"),
-            F.max(self.ts_col).alias("row_ts"),
-        ).collect()[0]
-        if stats["n"] == 0:
-            m["last_epoch"] = int(epoch_id)
-            self._swap_manifest(m)
-            return
-        incoming = batch.drop(self.set_ts_col) if has_set_ts else batch
-        set_ts = stats["set_ts"]
-        if set_ts is None:
-            set_ts = stats["row_ts"] or 0.0
-        if m["snapshot"] is None:
-            current = self.spark.createDataFrame([], incoming.schema)
+            ).alias("__set_ts"),
+            F.max(self.ts_col).alias("__row_ts"),
+        ]
+        if self.scope_cols:
+            stats = batch.groupBy(*self.scope_cols).agg(*aggs).collect()
         else:
-            current = self.spark.read.parquet(
-                os.path.join(self.store_path, "data", m["snapshot"])
+            stats = batch.agg(*aggs).collect()
+
+        prev_retired = list(m.get("retired", []))
+        retired_now: list[str] = []
+        scopes = dict(m["scopes"])
+        wrote_any = False
+        for srow in sorted(
+            stats, key=lambda r: [str(r[c]) for c in self.scope_cols]
+        ):
+            if srow["__n"] == 0:
+                continue
+            svals = [srow[c] for c in self.scope_cols]
+            skey = self._scope_key(svals)
+            scope_batch = batch
+            for c, v in zip(self.scope_cols, svals):
+                scope_batch = scope_batch.where(
+                    F.col(c).eqNullSafe(F.lit(v))
+                )
+            incoming = (
+                scope_batch.drop(self.set_ts_col)
+                if has_set_ts
+                else scope_batch
             )
-        merged = apply_reconciliation(
-            current, incoming, float(set_ts), self.identity, self.ts_col
-        )
-        fname = f"e{int(epoch_id)}.parquet"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.store_path, "data", fname)
-        )
-        self._swap_manifest({"last_epoch": int(epoch_id), "snapshot": fname})
+            set_ts = srow["__set_ts"]
+            if set_ts is None:
+                set_ts = srow["__row_ts"] or 0.0
+            old_file = scopes.get(skey)
+            if old_file is None:
+                current = self.spark.createDataFrame([], incoming.schema)
+            else:
+                current = self.spark.read.parquet(
+                    os.path.join(self.store_path, "data", old_file)
+                )
+            merged = apply_reconciliation(
+                current, incoming, float(set_ts), self.identity, self.ts_col
+            )
+            fname = f"s{skey}-e{int(epoch_id)}.parquet"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.store_path, "data", fname)
+            )
+            if old_file is not None and old_file != fname:
+                retired_now.append(old_file)
+            scopes[skey] = fname
+            wrote_any = True
+
+        m_new = {
+            "last_epoch": int(epoch_id),
+            "scopes": scopes,
+            "retired": retired_now,
+        }
+        self._swap_manifest(m_new)
+        if wrote_any or prev_retired:
+            self._gc(retired_now, prev_retired)
 
 
 def reconcile_stream(
@@ -185,10 +290,18 @@ def reconcile_stream(
     spark: SparkSession,
     store_path: str,
     checkpoint: str,
-    exactly_once: bool = False,
+    exactly_once: bool = True,
     **writer_kwargs,
 ):
-    """Attach the reconciling writer to a validated resource stream."""
+    """Attach the reconciling writer to a validated resource stream.
+
+    ``exactly_once=True`` (the default since r7) routes to the
+    crash-atomic, scope-partitioned
+    :class:`ExactlyOnceResourceStoreWriter`; pass ``scope_cols``
+    (e.g. ``DEFAULT_SCOPE_COLS``) so an epoch rewrites only the
+    (plugin, site) scopes it carries. ``exactly_once=False`` keeps the
+    deprecated plain-parquet writer for legacy single-directory stores.
+    """
     cls = ExactlyOnceResourceStoreWriter if exactly_once else ResourceStoreWriter
     writer = cls(spark, store_path, **writer_kwargs)
     return (

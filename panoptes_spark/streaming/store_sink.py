@@ -48,7 +48,10 @@ from the checkpoint, and compares byte-for-byte).
 Scale: bucket count sizes the rewrite unit (pick so a bucket fits an
 executor; 4096 buckets over a 10 TB store = ~2.4 GB rewrites); the
 manifest is O(n_buckets) JSON. Driver-side file ops touch only the
-manifest — data moves through distributed Spark jobs.
+manifest — data moves through distributed Spark jobs. Superseded bucket
+snapshots are garbage-collected with a one-generation grace (r7: the
+``retired`` manifest list) so long-running streams hold ~2x the live
+store, not unbounded history.
 """
 
 from __future__ import annotations
@@ -90,9 +93,11 @@ class ParquetStoreSink:
     def manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
-            return {"last_epoch": -1, "buckets": {}}
+            return {"last_epoch": -1, "buckets": {}, "retired": []}
+        m.setdefault("retired", [])
+        return m
 
     def _swap_manifest(self, m: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
@@ -153,6 +158,8 @@ class ParquetStoreSink:
             self._swap_manifest(m)
             return
 
+        prev_retired = list(m.get("retired", []))
+        retired_now: list[str] = []
         new_buckets = dict(m["buckets"])
         for b in sorted(dirty):
             b_new = reduced.where(F.col("__bucket") == b)
@@ -180,8 +187,28 @@ class ParquetStoreSink:
             merged.write.mode("overwrite").parquet(
                 os.path.join(self.path, "data", fname)
             )
+            if old_file is not None and old_file != fname:
+                retired_now.append(old_file)
             new_buckets[str(b)] = fname
 
         m["buckets"] = new_buckets
         m["last_epoch"] = int(epoch_id)
+        m["retired"] = retired_now
         self._swap_manifest(m)
+        # GC with a one-generation grace: files superseded at the
+        # PREVIOUS commit are unreachable to any reader that resolved
+        # the manifest after that commit — delete them now; the files
+        # retired just now survive until the next commit (in-flight
+        # readers may still hold the old manifest). A long-running
+        # stream's storage is therefore bounded by ~2x the live store.
+        import shutil
+
+        for fname in prev_retired:
+            p = os.path.join(self.path, "data", fname)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

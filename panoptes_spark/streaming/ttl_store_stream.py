@@ -264,3 +264,38 @@ def ttl_store_stream_event_time(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def materialize_ttl_store(
+    updates: DataFrame,
+    sink,
+    checkpoint: str,
+    watermark_delay: str = "10 seconds",
+):
+    """The DURABLE TTL store (r7 directive 8): event-time changelog
+    (:func:`ttl_store_stream_event_time`) MERGEd into an exactly-once
+    bucketed parquet store (``streaming.store_sink.ParquetStoreSink``).
+    Returns the started streaming query (availableNow trigger).
+
+    ``sink`` must be keyed on ``["key"]`` with ``ts_col="expires_at_ms"``
+    and ``tombstone_col="expired"``: the changelog's tombstone carries
+    the SAME expires_at as its live row, so the sink's
+    (ts, full-row)-total-order LWW resolves the tie by the expired flag
+    (True > False) — the delete wins, which is the changelog's intent; a
+    covering update's fresh row has a strictly larger expires_at and
+    outranks the old row's tombstone. The composed end state therefore
+    converges on the batch ``upsert_with_ttl`` + ``expire`` fold, and a
+    crash anywhere (including between a bucket write and the manifest
+    swap) replays exactly-once — chaos-tested with restarts in
+    ``tests/test_ttl_store_stream.py``.
+
+    Scale: state is one row per live key (TTL-bounded); the sink
+    rewrites only the hash buckets each epoch touches.
+    """
+    changelog = ttl_store_stream_event_time(updates, watermark_delay)
+    return (
+        changelog.writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -82,21 +82,47 @@ def test_commit_on_success_per_partition():
     assert seen == [1, 4, 10]
     assert stats[("t", 0)] == {
         "processed": 2, "skipped": 1, "validation_failed": 2,
-        "succeeded": True,
+        "excepted": False, "succeeded": True,
     }
     assert stats[("t", 1)]["succeeded"] is False
     assert stats[("t", 1)]["processed"] == 1
+    # a returned False withholds the commit — partition 1 redelivers
+    assert ("t", 1) not in commits
 
 
-def test_callback_exception_equals_failure():
-    polled = {("t", 0): [_rec(0, 0, "k", {"v": 1}), _rec(0, 1, "k", {"v": 2})]}
+def test_callback_exception_commits_past_batch_like_reference():
+    """Reference fidelity (r6 ADVICE #2): in consumer.py:415-425 an
+    exception only logs and breaks — ``callback_succeeded`` keeps its
+    prior True, so the partition COMMITS consumer.position (past the
+    whole polled batch) and the unprocessed tail is lost (at-most-once
+    on the exception path). The twin replicates that bug-for-bug;
+    ``safe_exceptions=True`` opts into the withheld-commit discipline."""
+    polled = {("t", 0): [
+        _rec(0, 0, "k", {"v": 1}),
+        _rec(0, 1, "k", {"v": 2}),
+        _rec(0, 2, "k", {"v": 3}),  # never reached, still committed past
+    ]}
+    seen = []
 
     def boom(key, obj):
-        raise RuntimeError("down")
+        if obj["v"] == 2:
+            raise RuntimeError("down")
+        seen.append(obj["v"])
+        return True
 
     commits, stats = process_polled_batch(polled, boom)
-    assert commits == {}
+    assert commits == {("t", 0): 3}  # past the WHOLE batch
+    assert seen == [1]
+    assert stats[("t", 0)]["excepted"] is True
     assert stats[("t", 0)]["succeeded"] is False
+    assert stats[("t", 0)]["processed"] == 1
+
+    # the safer (non-reference) discipline: exception withholds commit
+    commits2, stats2 = process_polled_batch(
+        polled, boom, safe_exceptions=True
+    )
+    assert commits2 == {}
+    assert stats2[("t", 0)]["excepted"] is True
 
 
 def test_redelivery_converges_with_idempotent_sink(spark, tmp_path):

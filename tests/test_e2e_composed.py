@@ -28,7 +28,18 @@ from panoptes_spark.operators.reconcile import apply_reconciliation
 from panoptes_spark.streaming.ingest import prepare_fanout
 from panoptes_spark.streaming.polling_stream import run_polling_stream
 from panoptes_spark.streaming.rate_stream import rate_stream
-from panoptes_spark.streaming.reconcile_stream import reconcile_stream
+from panoptes_spark.streaming.reconcile_stream import (
+    ExactlyOnceResourceStoreWriter,
+    reconcile_stream,
+)
+
+
+def _read_store(spark, store_path):
+    """The r7 default store is manifest-resolved (exactly-once writer)."""
+    return ExactlyOnceResourceStoreWriter(
+        spark, store_path, identity_cols=["rid"]
+    ).read()
+
 
 RES_SCHEMA = "rid string, resource_creation_timestamp double, site string"
 WALK_SCHEMA = (
@@ -150,7 +161,7 @@ def test_four_subsystem_composed_with_restart(spark, tmp_path):
 
     # ---- cycle 1: discover set1, poll walk1, rate (no output yet) ------
     run_discovery(RES_SET1, "b1")
-    store1 = {(r.rid, r.site) for r in spark.read.parquet(paths["store"]).collect()}
+    store1 = {(r.rid, r.site) for r in _read_store(spark, paths["store"]).collect()}
     assert store1 == {("dev-a", "dc1"), ("dev-b", "dc2")}
     run_polling(WALK1, "b1")
     run_rates()
@@ -176,7 +187,7 @@ def test_four_subsystem_composed_with_restart(spark, tmp_path):
     )
     batch_store = {(r.rid, r.site) for r in m2.collect()}
     stream_store = {
-        (r.rid, r.site) for r in spark.read.parquet(paths["store"]).collect()
+        (r.rid, r.site) for r in _read_store(spark, paths["store"]).collect()
     }
     assert stream_store == batch_store == {("dev-a", "dc1"), ("dev-c", "dc3")}
 
@@ -205,7 +216,7 @@ def test_four_subsystem_composed_with_restart(spark, tmp_path):
     groups2, _ = compile_batch(
         spark, spark.createDataFrame(WALK2, WALK_SCHEMA), PROGRAM
     )
-    store_df = spark.read.parquet(paths["store"])
+    store_df = _read_store(spark, paths["store"])
     wire = (
         groups2.join(
             F.broadcast(store_df),

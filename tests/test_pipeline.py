@@ -1381,3 +1381,74 @@ def test_ivfpq_matches_flat_adc_with_full_probing(spark):
     composed = ivfpq_topk(emb, probes, cents, cbs, k=5, nprobe=4)
     canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert canon(composed) == canon(flat)
+
+
+def test_adc_broadcast_guard_is_byte_based(spark):
+    """The ADC broadcast guard trips on estimated TABLE BYTES
+    (nq·m·n_codes·8), not just row count — and its message says how to
+    shard (r7 directive 4 / r6 verdict wrong-#3)."""
+    import pytest as _pytest
+
+    from panoptes_spark.pipeline.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from panoptes_spark.pipeline.similarity import seed_centroids
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 5.0 for j in range(4)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(emb, m=2, n_codes=4)
+    enc = pq_encode(emb, cbs)
+    # 8 queries x 2 subspaces x 4 codes x 8 bytes = 512 bytes > 256
+    with _pytest.raises(ValueError, match="shard the probe set"):
+        pq_adc_topk(enc, emb, cbs, k=3, max_table_bytes=256)
+    cents = seed_centroids(emb, n_cells=2)
+    with _pytest.raises(ValueError, match="shard the probe set"):
+        ivfpq_topk(emb, emb, cents, cbs, k=3, max_table_bytes=256)
+    # at/below the cap it runs (513 bytes allowed)
+    assert pq_adc_topk(enc, emb, cbs, k=3, max_table_bytes=513).count() > 0
+
+
+def test_pq_train_kmeans_improves_recall(spark, sf_dir):
+    """One Lloyd round of per-subspace k-means lifts PQ recall over the
+    first-n seed codebooks at equal m/n_codes (r7 directive 3) — and the
+    trained codebooks are partition-layout-independent."""
+    from panoptes_spark.pipeline.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        pq_train_kmeans,
+    )
+    from panoptes_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    bf = {
+        (r.query_id, r.nbr_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+
+    def recall(cbs):
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in pq_adc_topk(
+                pq_encode(emb, cbs), queries, cbs, k=10
+            ).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    seed = recall(pq_train(emb, m=8, n_codes=16))
+    trained_cbs = pq_train_kmeans(emb, m=8, n_codes=16, iters=1)
+    trained = recall(trained_cbs)
+    assert trained > seed, f"trained {trained} <= seed {seed}"
+    # layout independence of the training shuffle
+    again = pq_train_kmeans(emb.repartition(7), m=8, n_codes=16, iters=1)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.subspace, r.code_id, tuple(r.codevec)) for r in df.collect()
+    )
+    assert canon(again) == canon(trained_cbs)

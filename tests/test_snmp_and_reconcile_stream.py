@@ -42,33 +42,117 @@ def test_varbinds_to_oid_tables(spark):
 
 
 def test_reconcile_stream(spark, tmp_path):
+    """Default path (exactly-once since r7): two discovery cycles through
+    the same checkpoint; epoch 2 updates newer rows, skips older ones,
+    deletes absentees (set_ts guard)."""
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+
     schema = "rid string, resource_creation_timestamp double, val string"
     store = str(tmp_path / "store")
     ckpt = str(tmp_path / "ckpt")
     src = str(tmp_path / "incoming")
 
-    # seed the store
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = reconcile_stream(stream, spark, store, ckpt, identity_cols=["rid"])
+        q.awaitTermination(120)
+
+    # cycle 1 seeds the store
     spark.createDataFrame(
         [("a", 10.0, "cur-a"), ("b", 99.0, "cur-b"), ("c", 10.0, "cur-c")],
         schema,
-    ).write.parquet(store)
-    # incoming snapshot: updates a (newer), b (older -> skip); c absent ->
+    ).coalesce(1).write.parquet(src + "/b1")
+    run()
+    # cycle 2: updates a (newer), b (older -> skip); c absent ->
     # delete (set ts 50 > stored 10); d added
     spark.createDataFrame(
         [("a", 20.0, "inc-a"), ("b", 20.0, "inc-b"), ("d", 50.0, "inc-d")],
         schema,
-    ).write.parquet(src)
+    ).coalesce(1).write.parquet(src + "/b2")
+    run()
 
-    stream = spark.readStream.schema(
-        spark.read.parquet(src).schema
-    ).parquet(src)
-    q = reconcile_stream(
-        stream, spark, store, ckpt, identity_cols=["rid"]
-    )
-    q.awaitTermination(120)
-
-    rows = {r.rid: r.val for r in spark.read.parquet(store).collect()}
+    writer = ExactlyOnceResourceStoreWriter(spark, store, identity_cols=["rid"])
+    rows = {r.rid: r.val for r in writer.read().collect()}
     assert rows == {"a": "inc-a", "b": "cur-b", "d": "inc-d"}
+
+
+def test_legacy_writer_is_deprecated(spark, tmp_path):
+    import pytest
+
+    from panoptes_spark.streaming.reconcile_stream import ResourceStoreWriter
+
+    with pytest.warns(DeprecationWarning, match="not crash-atomic"):
+        ResourceStoreWriter(spark, str(tmp_path / "s"), identity_cols=["rid"])
+
+
+def test_scoped_reconcile_rewrites_only_touched_scopes(spark, tmp_path):
+    """r7 directive 2: with scope_cols=['site'], an epoch carrying only
+    site A leaves site B's snapshot file UNTOUCHED (same manifest path,
+    byte-identical on disk) — a scope absent from the batch is "no
+    news", not a delete; absence WITHIN a carried scope still deletes.
+    Superseded files are GC'd with a one-generation grace."""
+    import hashlib
+    import pathlib
+
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+
+    schema = (
+        "site string, rid string, resource_creation_timestamp double,"
+        " val string"
+    )
+    store = str(tmp_path / "store")
+    w = ExactlyOnceResourceStoreWriter(
+        spark, store, identity_cols=["site", "rid"], scope_cols=["site"]
+    )
+    e0 = [
+        ("A", "a", 10.0, "a0"),
+        ("A", "b", 10.0, "b0"),
+        ("B", "x", 10.0, "x0"),
+    ]
+    w(spark.createDataFrame(e0, schema), epoch_id=0)
+    m0 = w.manifest()
+    assert len(m0["scopes"]) == 2
+    bkey = next(k for k in m0["scopes"] if k.startswith("B"))
+    akey = next(k for k in m0["scopes"] if k.startswith("A"))
+    bfile = m0["scopes"][bkey]
+
+    def dirhash(fname):
+        base = pathlib.Path(store, "data", fname)
+        h = hashlib.md5()
+        for p in sorted(base.rglob("*")):
+            if p.is_file():
+                h.update(p.name.encode())
+                h.update(p.read_bytes())
+        return h.hexdigest()
+
+    b_bytes = dirhash(bfile)
+
+    # epoch 1 carries ONLY site A: a updated, b absent within A -> delete
+    w(
+        spark.createDataFrame([("A", "a", 20.0, "a1")], schema),
+        epoch_id=1,
+    )
+    m1 = w.manifest()
+    assert m1["scopes"][bkey] == bfile
+    assert dirhash(bfile) == b_bytes
+    got = {(r.site, r.rid, r.val) for r in w.read().collect()}
+    assert got == {("A", "a", "a1"), ("B", "x", "x0")}
+
+    # GC grace: A's epoch-0 file retired but still on disk this commit...
+    a_e0 = f"s{akey}-e0.parquet"
+    assert m1["retired"] == [a_e0]
+    assert pathlib.Path(store, "data", a_e0).exists()
+    # ...and deleted at the NEXT commit
+    w(
+        spark.createDataFrame([("A", "a", 30.0, "a2")], schema),
+        epoch_id=2,
+    )
+    assert not pathlib.Path(store, "data", a_e0).exists()
+    assert pathlib.Path(store, "data", f"s{akey}-e1.parquet").exists()
 
 
 def test_exactly_once_reconcile_store_chaos(spark, tmp_path):

@@ -390,3 +390,86 @@ def test_event_time_changelog_materializes_through_exactly_once_sink(
         for r in expire(store, now=float(50000 - 10000)).collect()
     }
     assert got == want == {("b", "b1"), ("w", "adv")}
+
+
+def test_ttl_materialization_restart_chaos(spark, tmp_path):
+    """r7 directive 8 'done' gate: the composed changelog->store stream
+    (``materialize_ttl_store``) is killed between a bucket write and the
+    manifest swap, restarted from its checkpoint, and converges on the
+    batch ``upsert_with_ttl`` + ``expire`` fold — while the committed
+    store view stays consistent throughout the torn epoch."""
+    import pytest
+
+    from panoptes_spark.sources.stores import expire, upsert_with_ttl
+    from panoptes_spark.streaming.store_sink import ParquetStoreSink
+    from panoptes_spark.streaming.ttl_store_stream import (
+        materialize_ttl_store,
+    )
+
+    rows1 = [
+        ("a", "a1", 1000, 3),      # exp 4000: covered by a2 later
+        ("b", "b1", 2000, 100),    # exp 102000: live
+        ("w", "adv", 30000, 100),  # watermark advancer; live
+    ]
+    rows2 = [
+        ("a", "a2", 40000, 100),    # exp 140000: covering update
+        ("w2", "adv2", 80000, 100), # exp 180000: live
+    ]
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_sink():
+        return ParquetStoreSink(
+            spark, store, ["key"],
+            ts_col="expires_at_ms", tombstone_col="expired",
+        )
+
+    def run():
+        stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src + "/*")
+        q = materialize_ttl_store(stream, make_sink(), ckpt, _WM_DELAY)
+        q.awaitTermination(180)
+
+    spark.createDataFrame(rows1, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    run()
+    live1 = {(r.key, r.value) for r in make_sink().read().collect()}
+    assert {("b", "b1"), ("w", "adv")} <= live1
+
+    # chaos: second batch's bucket snapshots land, the commit never does
+    spark.createDataFrame(rows2, UPDATES_SCHEMA).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+    real_swap = ParquetStoreSink._swap_manifest
+    ParquetStoreSink._swap_manifest = (
+        lambda self, m: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    try:
+        with pytest.raises(Exception):
+            run()
+    finally:
+        ParquetStoreSink._swap_manifest = real_swap
+    # committed view untouched by the torn epoch
+    assert {(r.key, r.value) for r in make_sink().read().collect()} == live1
+
+    # restart from the checkpoint: the torn epoch replays exactly-once
+    run()
+    got = {(r.key, r.value) for r in make_sink().read().collect()}
+
+    # batch fold over ALL updates at the final watermark
+    batch = spark.createDataFrame(
+        [], "key string, value string, expires_at double"
+    )
+    for key, value, ts, ttl in sorted(rows1 + rows2, key=lambda r: r[2]):
+        upd = spark.createDataFrame(
+            [(key, value, ttl * 1000)], "key string, value string, ttl long"
+        )
+        batch = upsert_with_ttl(batch, upd, ["key"], now=float(ts), ttl_col="ttl")
+    wm_final = 80000 - 10000
+    want = {
+        (r.key, r.value) for r in expire(batch, now=float(wm_final)).collect()
+    }
+    assert got == want == {
+        ("a", "a2"), ("b", "b1"), ("w", "adv"), ("w2", "adv2")
+    }
