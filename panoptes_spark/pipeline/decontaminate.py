@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 
 
 def _ngram_hashes(df: DataFrame, text_col: str, id_col: str | None, n: int) -> DataFrame:
+    from .dedup import spread_for_compute
+
+    # the md5-per-gram explosion is the expensive per-row compute —
+    # spread a single-row-group scan so it parallelizes (no-op on
+    # well-split input)
+    df = spread_for_compute(df)
     # let-bind the tokenization via a one-element transform so the regex
     # split runs ONCE per row (referencing it inline would re-evaluate it
     # in the guard, the sequence bound, and every slice — see the

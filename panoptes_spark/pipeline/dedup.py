@@ -24,10 +24,47 @@ skewed buckets (boilerplate docs), cap bucket size before the pair join.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Repartition a scan whose split count is below the session's
+    parallelism BEFORE an expensive per-row expression. Parquet's split
+    unit is the ROW GROUP: a file written as one giant row group scans
+    as ONE task no matter how many cores/executors exist — the r7 sf1
+    soak measured the 60-bit simhash fold serialized on a single core
+    for exactly this reason (the bench corpus ships one row group per
+    table). The round-robin exchange moves the raw rows once, cheap
+    relative to 10-100× compute parallelism; it's SKIPPED when the
+    input already has enough splits (the 100 TB case, where well-written
+    parquet carries thousands of row groups) and on streaming frames
+    (micro-batch sizing is the stream's concern)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * int(min_factor)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Persist AND eagerly fill the cache for a frame that feeds multiple
+    downstream branches. A lazy ``persist()`` is populated by the first
+    stage that scans it — but independent LEAF stages of one job start
+    concurrently, and each recomputes the un-cached upstream expression
+    (the r7 sf1 soak measured the banded-simhash gate at ~2.5× its
+    signature cost from exactly this: four branches racing to compute the
+    60-bit fold). One count() action fills the cache before the fan-out;
+    its cost is the single materialization the plan needs anyway.
+    Default storage level (memory+disk) keeps it spill-safe."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def spark_hash64(expr: str) -> str:
@@ -97,9 +134,11 @@ def minhash_signature(
     (array<bigint> of length ``num_hashes``).
 
     Permutation family: h_i(x) = ((2i+1)*x + (3i+7)) mod P over the
-    md5-derived base hash. All JVM-side; no shuffle.
+    md5-derived base hash. All JVM-side; no shuffle beyond the guarded
+    input spread (``spread_for_compute`` — skipped on well-split input).
     """
     h = spark_hash64("s")
+    df = spread_for_compute(df)
     df = df.withColumn("shingles", F.expr(shingles_col(text_col, k_shingle)))
     # Single-pass fold: md5 is computed ONCE per shingle. (A naive
     # per-permutation array_min would let projection collapse inline the
@@ -300,8 +339,11 @@ def minhash_dedup(
     :func:`oversized_bucket_clusters` / :func:`minhash_dedup_keep`.
 
     The signature frame feeds both the candidate join and the verify join —
-    persist it so shingling+hashing runs once (halves wall-clock)."""
-    sig = minhash_signature(df, text_col, k_shingle, num_hashes).persist()
+    persist it (eagerly: concurrent leaf stages would otherwise race to
+    recompute the un-cached shingling) so hashing runs once."""
+    sig = materialize_once(
+        minhash_signature(df, text_col, k_shingle, num_hashes)
+    )
     cand = lsh_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
     return jaccard_verify(cand, sig, id_col, threshold)
 
@@ -319,7 +361,9 @@ def minhash_dedup_keep(
     """Survivors after near-dup collapse, with BOTH routes composed:
     verified pairs (normal buckets) drop the larger id; oversized buckets
     drop every member but the min-id representative."""
-    sig = minhash_signature(df, text_col, k_shingle, num_hashes).persist()
+    sig = materialize_once(
+        minhash_signature(df, text_col, k_shingle, num_hashes)
+    )
     cand = lsh_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
     pairs = jaccard_verify(cand, sig, id_col, threshold)
     big = oversized_bucket_clusters(
@@ -356,11 +400,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     """Per-doc SimHash over whitespace tokens (weight 1 each).
 
     bit b set iff sum over tokens of ±1 (sign of token-hash bit b) > 0.
-    Pure array expressions — narrow, codegen'd. Token hashes are
-    materialized once per token (transform), not re-derived per bit:
-    md5 is the dominant cost and folding bits over cached hashes cuts
-    the work ~``bits``-fold.
+    Pure array expressions — codegen'd; the only exchange is the guarded
+    input spread (``spread_for_compute``, skipped on well-split input).
+    Token hashes are materialized once per token (transform), not
+    re-derived per bit: md5 is the dominant cost and folding bits over
+    cached hashes cuts the work ~``bits``-fold.
     """
+    df = spread_for_compute(df)
     h = spark_hash64("t")
     expr = (
         f"aggregate(transform(split({text_col}, ' '), t -> {h}), "
@@ -372,6 +418,81 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
         f"cast(0 as bigint), (a, x) -> a + x))"
     )
     return df.withColumn("simhash", F.expr(expr))
+
+
+#: banded-hamming hybrid routing threshold: buckets over this size take
+#: the vectorized popcount kernel (one numpy task ~|bucket|² SIMD ops);
+#: smaller buckets stay in the equi-join, whose per-bucket candidate
+#: bound is cutoff² and whose tiny groups would drown applyInPandas in
+#: per-group pandas overhead.
+_KERNEL_BUCKET_CUTOFF = 64
+
+
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) over a uint64 ndarray —
+    numpy-version-independent twin of ``bit_count``."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _make_bucket_hamming_kernel(hash_col: str, max_hamming: int):
+    """Per-(band, chunk)-bucket exact hamming pair kernel: XOR-popcount
+    every in-bucket fingerprint pair in fixed-size blocks (memory bound
+    = block², not bucket²) and emit only pairs within ``max_hamming``,
+    oriented (min, max) by VALUE — fingerprints are distinct inside the
+    bucket, so orientation is total and the cross-band ``distinct``
+    collapses repeats. Deterministic per bucket ⇒ layout-independent."""
+    import pandas as pd
+
+    block = 8192
+
+    def kernel(pdf):
+        h = pdf[hash_col].to_numpy(dtype=np.int64)
+        n = len(h)
+        empty = pd.DataFrame(
+            {
+                "__ha": pd.Series([], dtype="int64"),
+                "__hb": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int32"),
+            }
+        )
+        if n < 2:
+            return empty
+        hu = h.view(np.uint64)
+        out = []
+        for i0 in range(0, n, block):
+            xi = hu[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                xj = hu[j0 : j0 + block]
+                d = _popcount64(xi[:, None] ^ xj[None, :])
+                mask = d <= max_hamming
+                if i0 == j0:
+                    mask &= np.triu(
+                        np.ones(mask.shape, dtype=bool), k=1
+                    )
+                ai, bi = np.nonzero(mask)
+                if len(ai) == 0:
+                    continue
+                va = h[i0 + ai]
+                vb = h[j0 + bi]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__ha": np.minimum(va, vb),
+                            "__hb": np.maximum(va, vb),
+                            "hamming": d[ai, bi].astype(np.int32),
+                        }
+                    )
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return kernel
 
 
 def hamming_band_pairs(
@@ -411,9 +532,13 @@ def hamming_band_pairs(
             f"in >= bands bits can miss every band and be silently lost"
         )
     chunk = bits // bands
-    hashed = df.select(id_col, hash_col).where(
+    # filter AFTER materializing: isnotnull(hash) over the lazy
+    # projection makes Catalyst inline the (expensive) fingerprint
+    # expression into both the filter and the output — evaluated twice
+    # per row; over the cache it's a free scan predicate
+    hashed = materialize_once(df.select(id_col, hash_col)).where(
         F.col(hash_col).isNotNull()
-    ).persist()
+    )
     fps = hashed.select(hash_col).distinct()
     banded = fps.select(
         hash_col,
@@ -425,11 +550,27 @@ def hamming_band_pairs(
             )
         ).alias("bb"),
     ).select(hash_col, "bb.band", "bb.chunk")
-    l, r = banded.alias("l"), banded.alias("r")
-    # candidate FINGERPRINT pairs (ha < hb as values): found via >=1
-    # shared band chunk, verified exactly; distinct collapses multi-band
-    # agreement at fingerprint (not doc-pair) granularity
-    fp_pairs = (
+    # candidate FINGERPRINT pairs (ha < hb as values): fingerprints
+    # sharing a band chunk, verified exactly by popcount. Fingerprint
+    # bits are CORRELATED (simhash majority-signs track the corpus
+    # vocabulary), so hot buckets grow linearly with the corpus and a
+    # plain self-join's candidate rows QUADRATICALLY — and a hot key's
+    # cross product serializes into one SMJ task that AQE cannot split
+    # (the r7 sf1 soak measured 15.7M collisions from 58k distinct
+    # fingerprints, 6s in one task). Hybrid routing: buckets at or under
+    # ``_KERNEL_BUCKET_CUTOFF`` members take the equi-join (bounded ≤
+    # cutoff² candidates each, and applyInPandas per-group overhead
+    # would dominate their tiny groups); oversized buckets go through a
+    # vectorized XOR-popcount kernel that emits only VERIFIED pairs —
+    # sum-of-|bucket|² SIMD popcounts instead of shuffled rows. Both
+    # routes produce identical pair sets; distinct collapses multi-band
+    # agreement.
+    sizes = banded.groupBy("band", "chunk").agg(F.count("*").alias("__bn"))
+    sized = banded.join(sizes, ["band", "chunk"])
+    small = sized.where(F.col("__bn") <= _KERNEL_BUCKET_CUTOFF)
+    big = sized.where(F.col("__bn") > _KERNEL_BUCKET_CUTOFF).drop("__bn")
+    l, r = small.alias("l"), small.alias("r")
+    pairs_small = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -440,10 +581,16 @@ def hamming_band_pairs(
             F.col(f"l.{hash_col}").alias("__ha"),
             F.col(f"r.{hash_col}").alias("__hb"),
         )
-        .distinct()
-        .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
+        .withColumn(
+            "hamming", F.expr("bit_count(__ha ^ __hb)").cast("integer")
+        )
         .where(F.col("hamming") <= max_hamming)
     )
+    pairs_big = big.groupBy("band", "chunk").applyInPandas(
+        _make_bucket_hamming_kernel(hash_col, max_hamming),
+        schema="__ha long, __hb long, hamming integer",
+    )
+    fp_pairs = pairs_small.unionByName(pairs_big).distinct()
     # re-expand to doc pairs: each doc carries exactly one fingerprint,
     # so the two routes are disjoint and already duplicate-free
     cross = (

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from panoptes_spark.pipeline.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     banded_buckets,
+    materialize_once,
     minhash_signature,
 )
 
@@ -68,11 +69,18 @@ def fuzzy_join(
     if left_id == right_id:
         raise ValueError("left_id and right_id must have distinct names")
 
-    lsig = minhash_signature(
-        left.select(left_id, text_col), text_col, k_shingle, num_hashes
+    # each side's signature feeds its banding AND the verify join —
+    # materialize eagerly so the expensive shingle fold runs once per
+    # side, not once per concurrent consumer stage
+    lsig = materialize_once(
+        minhash_signature(
+            left.select(left_id, text_col), text_col, k_shingle, num_hashes
+        )
     )
-    rsig = minhash_signature(
-        right.select(right_id, text_col), text_col, k_shingle, num_hashes
+    rsig = materialize_once(
+        minhash_signature(
+            right.select(right_id, text_col), text_col, k_shingle, num_hashes
+        )
     )
     lb = banded_buckets(lsig, left_id, num_hashes, bands)
     rb = banded_buckets(rsig, right_id, num_hashes, bands)

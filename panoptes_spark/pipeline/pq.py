@@ -10,21 +10,25 @@ every corpus vector's approximate distance is m table lookups + adds
 
 Scale shape:
 
-- ``pq_train``: codebooks are the first ``n_codes`` vectors' subvectors
-  (the same deterministic seed rule as ``similarity.seed_centroids``;
-  ``orderBy().limit()`` plans as TakeOrderedAndProject so only
-  ``n_codes`` rows reach the driver — refine with
-  ``similarity.kmeans_refine`` per subspace if the data demands it).
-  The codebook is (m · n_codes) rows — a dim table by construction.
+- ``pq_train``: SEED codebooks — the first ``n_codes`` vectors'
+  subvectors (the same deterministic seed rule as
+  ``similarity.seed_centroids``; ``orderBy().limit()`` plans as
+  TakeOrderedAndProject so only ``n_codes`` rows reach the driver).
+  ``pq_train_kmeans`` is the recommended production trainer: it Lloyd-
+  refines the seeds per subspace (real PQ recall comes from trained
+  codebooks — Jégou §III; the ``pq_recall_trained`` gate records the
+  lift). The codebook is (m · n_codes) rows — a dim table either way.
 - ``pq_encode``: one NARROW Arrow pass — each batch reshapes to
   (rows, m, ds) and scores against the broadcast codebook tensor with a
   single vectorized distance computation; no shuffle, no per-row SQL.
-- ``pq_adc_topk``: the query set (bounded by the same guard as
-  brute-force) becomes broadcast integer distance TABLES; each corpus
-  partition streams its codes through table lookups and emits a
-  partition-local top-k, pruned to the global top-k by a keyed window —
-  the corpus itself never shuffles, and what does move is
-  (query, nbr, int distance) rows, ≤ queries·k per partition.
+- ``pq_adc_topk``: the query set (guarded by estimated TABLE BYTES,
+  nq·m·n_codes·8 — a row-only guard would admit multi-GiB broadcasts at
+  large m/n_codes) becomes broadcast integer distance TABLES; each
+  corpus partition streams its codes through vectorized cross-probe
+  lookup-sums and emits a tie-safe partition-local top-k, pruned to the
+  global top-k by a keyed window — the corpus itself never shuffles,
+  and what does move is (query, nbr, int distance) rows,
+  ≤ queries·(k+1+ties) per partition.
 
 Engine parity: all distances are integers — the per-subspace squared-L2
 is scaled by 1e6 and floored once (``floor(x·1e6 + 0.5)``), so the ADC

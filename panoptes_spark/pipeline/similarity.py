@@ -185,6 +185,20 @@ def ivf_assign(
     )
 
 
+def ivf_auto_cells(n_rows: int, target_cell_rows: int = 8192) -> int:
+    """Size the coarse quantizer so ONE CELL fits an executor's cogroup:
+    the ivf_topk/semdedup kernels load a whole cell (~|C|/n_cells rows
+    with full embeddings) as one in-memory pandas group, so n_cells must
+    GROW with the corpus. Power-of-two ≥ |C|/target_cell_rows, floor 16
+    — at target 8192 rows × 64-dim float64 a cell is ~4 MB; FAISS's
+    √|C| heuristic lands in the same decade for corpora ≤ ~1e9."""
+    n = max(int(n_rows), 1)
+    cells = 16
+    while cells * int(target_cell_rows) < n:
+        cells <<= 1
+    return cells
+
+
 def seed_limit_frame(
     corpus: DataFrame,
     n_cells: int,

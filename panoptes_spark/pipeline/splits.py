@@ -279,9 +279,10 @@ def sample_per_group(
     murmur3(salt:id) — a reproducible uniform draw — with the id as
     tie-break, and the first ``k`` survive.
 
-    One keyed window shuffle on ``group_cols`` (the same shape as
-    ``text.cap_per_group``, which ranks by *quality* where this ranks by
-    an unbiased hash). Membership is a pure function of row values:
+    Two-phase salted selection on ``group_cols`` (``pipeline/topk.py``;
+    the same shape as ``text.cap_per_group``, which ranks by *quality*
+    where this ranks by an unbiased hash — parallelism is never bounded
+    by the group cardinality). Membership is a pure function of row values:
     stable across re-runs, partitionings, and cluster sizes; appends
     only evict a previous pick when a lower-hash newcomer arrives in its
     group.
@@ -290,17 +291,21 @@ def sample_per_group(
         raise ValueError(f"k must be >= 1: {k}")
     if not group_cols:
         raise ValueError("sample_per_group requires non-empty group_cols")
-    from pyspark.sql import Window
+    from .topk import topk_per_group
 
+    # r7: two-phase exact selection (pipeline/topk.py) — a window keyed
+    # only by low-cardinality group_cols would bound parallelism by the
+    # group count at any cluster size
     key = f"concat('{salt}', ':', cast({id_col} as string))"
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col("__gs_hash").asc(), F.col(id_col).asc()
-    )
     return (
-        df.withColumn("__gs_hash", F.expr(mmh3_sql_expr(key, "spark")))
-        .withColumn("__gs_rn", F.row_number().over(w))
-        .where(F.col("__gs_rn") <= int(k))
-        .drop("__gs_hash", "__gs_rn")
+        topk_per_group(
+            df.withColumn("__gs_hash", F.expr(mmh3_sql_expr(key, "spark"))),
+            list(group_cols),
+            [F.col("__gs_hash").asc(), F.col(id_col).asc()],
+            int(k),
+            id_col,
+        )
+        .drop("__gs_hash")
     )
 
 

@@ -384,17 +384,21 @@ def cap_per_group(
 ) -> DataFrame:
     """Diversity cap: keep at most ``k`` documents per group (domain,
     source, ...), preferring higher ``quality_col``; ties break on id asc
-    for determinism. One keyed window shuffle — the standard guard against
-    a single domain dominating a crawl-scale corpus."""
-    from pyspark.sql import Window
+    for determinism — the standard guard against a single domain
+    dominating a crawl-scale corpus.
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
-    )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
+    r7: two-phase exact selection (``pipeline/topk.py``) instead of one
+    window keyed only by the group — a low-cardinality group column
+    (5 languages) would otherwise bound parallelism by group count at
+    any cluster size."""
+    from .topk import topk_per_group
+
+    return topk_per_group(
+        df,
+        [group_col],
+        [F.col(quality_col).desc(), F.col(id_col).asc()],
+        k,
+        id_col,
     )
 
 

@@ -1414,6 +1414,17 @@ def test_adc_broadcast_guard_is_byte_based(spark):
     assert pq_adc_topk(enc, emb, cbs, k=3, max_table_bytes=513).count() > 0
 
 
+def test_ivf_auto_cells_bounds_cell_size():
+    from panoptes_spark.pipeline.similarity import ivf_auto_cells
+
+    assert ivf_auto_cells(1) == 16
+    assert ivf_auto_cells(16 * 8192) == 16
+    for n in (10**5, 10**7, 10**9):
+        cells = ivf_auto_cells(n)
+        assert n / cells <= 8192          # a cell fits the target
+        assert cells & (cells - 1) == 0   # power of two
+
+
 def test_pq_train_kmeans_improves_recall(spark, sf_dir):
     """One Lloyd round of per-subspace k-means lifts PQ recall over the
     first-n seed codebooks at equal m/n_codes (r7 directive 3) — and the
