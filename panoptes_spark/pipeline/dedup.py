@@ -439,58 +439,122 @@ def _popcount64(x):
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
-def _make_bucket_hamming_kernel(hash_col: str, max_hamming: int):
-    """Per-(band, chunk)-bucket exact hamming pair kernel: XOR-popcount
-    every in-bucket fingerprint pair in fixed-size blocks (memory bound
-    = block², not bucket²) and emit only pairs within ``max_hamming``,
-    oriented (min, max) by VALUE — fingerprints are distinct inside the
-    bucket, so orientation is total and the cross-band ``distinct``
-    collapses repeats. Deterministic per bucket ⇒ layout-independent."""
+def _block_hamming_pairs(h, max_hamming: int, block: int = 8192):
+    """All pairs within ``h`` (distinct int64 fingerprints) at hamming ≤
+    ``max_hamming`` via blockwise XOR-popcount. Returns (va, vb, d)
+    value-oriented arrays (va < vb); memory bound = block², not n²."""
+    n = len(h)
+    hu = h.view(np.uint64)
+    out_a, out_b, out_d = [], [], []
+    for i0 in range(0, n, block):
+        xi = hu[i0 : i0 + block]
+        for j0 in range(i0, n, block):
+            xj = hu[j0 : j0 + block]
+            d = _popcount64(xi[:, None] ^ xj[None, :])
+            mask = d <= max_hamming
+            if i0 == j0:
+                mask &= np.triu(np.ones(mask.shape, dtype=bool), k=1)
+            ai, bi = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            va, vb = h[i0 + ai], h[j0 + bi]
+            out_a.append(np.minimum(va, vb))
+            out_b.append(np.maximum(va, vb))
+            out_d.append(d[ai, bi].astype(np.int64))
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_d),
+    )
+
+
+#: inside an oversized bucket, sub-band (pigeonhole on the bits OUTSIDE
+#: the agreeing band) once the member count passes this — bucket² SIMD
+#: popcounts otherwise keep the hot-bucket cost quadratic (the r7 sf3
+#: soak measured exponent ~1.3 without it)
+_SUBBAND_CUTOFF = 512
+
+
+def _make_bucket_hamming_kernel(
+    hash_col: str, max_hamming: int, bands: int, chunk: int
+):
+    """Per-(band, chunk)-bucket exact hamming pair kernel.
+
+    Small buckets: one blockwise XOR-popcount over all pairs. Oversized
+    buckets (> ``_SUBBAND_CUTOFF``): EXACT second-level pigeonhole — the
+    bucket's members already agree on this band's ``chunk`` bits, so a
+    qualifying pair has ≤ ``max_hamming`` differing bits OUTSIDE it;
+    split the other bands' bit ranges into ``max_hamming + 1`` disjoint
+    sub-chunks and any such pair must agree on ≥ 1 (even when some bits
+    are uncovered: stray diffs there just consume no sub-chunk). Group
+    members by each sub-chunk value (numpy sort, no extra Spark stage),
+    popcount within sub-buckets only, then np.unique-dedupe pairs found
+    via several sub-chunks. Pairs are oriented (min, max) by VALUE —
+    fingerprints are distinct inside a bucket — and the cross-band
+    ``distinct`` collapses repeats. Deterministic per bucket ⇒
+    layout-independent."""
     import pandas as pd
 
-    block = 8192
+    def frame(va, vb, d):
+        return pd.DataFrame(
+            {
+                "__ha": va,
+                "__hb": vb,
+                "hamming": d.astype(np.int32),
+            }
+        )
 
     def kernel(pdf):
         h = pdf[hash_col].to_numpy(dtype=np.int64)
         n = len(h)
-        empty = pd.DataFrame(
-            {
-                "__ha": pd.Series([], dtype="int64"),
-                "__hb": pd.Series([], dtype="int64"),
-                "hamming": pd.Series([], dtype="int32"),
-            }
-        )
         if n < 2:
-            return empty
+            z = np.array([], dtype=np.int64)
+            return frame(z, z, z)
+        if n <= _SUBBAND_CUTOFF:
+            return frame(*_block_hamming_pairs(h, max_hamming))
+
+        band = int(pdf["band"].iloc[0])
+        ranges = [(ob * chunk, chunk) for ob in range(bands) if ob != band]
+        while len(ranges) < max_hamming + 1:
+            off, w = max(ranges, key=lambda r: r[1])
+            if w < 2:
+                break
+            ranges.remove((off, w))
+            ranges += [(off, w // 2), (off + w // 2, w - w // 2)]
+        if len(ranges) < max_hamming + 1:
+            # pathological bit widths: pigeonhole needs max_hamming+1
+            # disjoint sub-chunks — fall back to the exact full scan
+            return frame(*_block_hamming_pairs(h, max_hamming))
         hu = h.view(np.uint64)
-        out = []
-        for i0 in range(0, n, block):
-            xi = hu[i0 : i0 + block]
-            for j0 in range(i0, n, block):
-                xj = hu[j0 : j0 + block]
-                d = _popcount64(xi[:, None] ^ xj[None, :])
-                mask = d <= max_hamming
-                if i0 == j0:
-                    mask &= np.triu(
-                        np.ones(mask.shape, dtype=bool), k=1
-                    )
-                ai, bi = np.nonzero(mask)
-                if len(ai) == 0:
+        acc_a, acc_b, acc_d = [], [], []
+        for off, w in ranges:
+            vals = (hu >> np.uint64(off)) & np.uint64((1 << w) - 1)
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+            ends = np.r_[starts[1:], len(sv)]
+            for s, e in zip(starts, ends):
+                if e - s < 2:
                     continue
-                va = h[i0 + ai]
-                vb = h[j0 + bi]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "__ha": np.minimum(va, vb),
-                            "__hb": np.maximum(va, vb),
-                            "hamming": d[ai, bi].astype(np.int32),
-                        }
-                    )
+                va, vb, d = _block_hamming_pairs(
+                    np.sort(h[order[s:e]]), max_hamming
                 )
-        if not out:
-            return empty
-        return pd.concat(out, ignore_index=True)
+                if len(va):
+                    acc_a.append(va)
+                    acc_b.append(vb)
+                    acc_d.append(d)
+        if not acc_a:
+            z = np.array([], dtype=np.int64)
+            return frame(z, z, z)
+        a = np.concatenate(acc_a)
+        b = np.concatenate(acc_b)
+        d = np.concatenate(acc_d)
+        pairs, idx = np.unique(np.stack([a, b], axis=1), axis=0,
+                               return_index=True)
+        return frame(pairs[:, 0], pairs[:, 1], d[idx])
 
     return kernel
 
@@ -587,7 +651,7 @@ def hamming_band_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     pairs_big = big.groupBy("band", "chunk").applyInPandas(
-        _make_bucket_hamming_kernel(hash_col, max_hamming),
+        _make_bucket_hamming_kernel(hash_col, max_hamming, bands, chunk),
         schema="__ha long, __hb long, hamming integer",
     )
     fp_pairs = pairs_small.unionByName(pairs_big).distinct()
