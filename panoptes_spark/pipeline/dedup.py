@@ -427,6 +427,11 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
 #: per-group pandas overhead.
 _KERNEL_BUCKET_CUTOFF = 64
 
+#: below this many fingerprints the hybrid's extra stages (bucket-size
+#: agg + routing join + kernel) cost more than the worst-case collision
+#: join they avoid — route everything through the plain equi-join
+_HYBRID_MIN_ROWS = 20_000
+
 
 def _popcount64(x):
     """Vectorized 64-bit popcount (SWAR) over a uint64 ndarray —
@@ -629,32 +634,45 @@ def hamming_band_pairs(
     # sum-of-|bucket|² SIMD popcounts instead of shuffled rows. Both
     # routes produce identical pair sets; distinct collapses multi-band
     # agreement.
-    sizes = banded.groupBy("band", "chunk").agg(F.count("*").alias("__bn"))
-    sized = banded.join(sizes, ["band", "chunk"])
-    small = sized.where(F.col("__bn") <= _KERNEL_BUCKET_CUTOFF)
-    big = sized.where(F.col("__bn") > _KERNEL_BUCKET_CUTOFF).drop("__bn")
-    l, r = small.alias("l"), small.alias("r")
-    pairs_small = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{hash_col}") < F.col(f"r.{hash_col}")),
+    def join_route(side):
+        l, r = side.alias("l"), side.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.chunk") == F.col("r.chunk"))
+                & (F.col(f"l.{hash_col}") < F.col(f"r.{hash_col}")),
+            )
+            .select(
+                F.col(f"l.{hash_col}").alias("__ha"),
+                F.col(f"r.{hash_col}").alias("__hb"),
+            )
+            .withColumn(
+                "hamming", F.expr("bit_count(__ha ^ __hb)").cast("integer")
+            )
+            .where(F.col("hamming") <= max_hamming)
         )
-        .select(
-            F.col(f"l.{hash_col}").alias("__ha"),
-            F.col(f"r.{hash_col}").alias("__hb"),
+
+    # size-adaptive routing (both routes are exact): under the
+    # threshold the worst possible collision count is too small for the
+    # hot-bucket machinery to pay for its extra stages — hashed.count()
+    # is free (materialize_once just cached it)
+    if hashed.count() <= _HYBRID_MIN_ROWS:
+        fp_pairs = join_route(banded).distinct()
+    else:
+        sizes = banded.groupBy("band", "chunk").agg(
+            F.count("*").alias("__bn")
         )
-        .withColumn(
-            "hamming", F.expr("bit_count(__ha ^ __hb)").cast("integer")
+        sized = banded.join(sizes, ["band", "chunk"])
+        small = sized.where(F.col("__bn") <= _KERNEL_BUCKET_CUTOFF)
+        big = sized.where(F.col("__bn") > _KERNEL_BUCKET_CUTOFF).drop("__bn")
+        pairs_big = big.groupBy("band", "chunk").applyInPandas(
+            _make_bucket_hamming_kernel(
+                hash_col, max_hamming, bands, chunk
+            ),
+            schema="__ha long, __hb long, hamming integer",
         )
-        .where(F.col("hamming") <= max_hamming)
-    )
-    pairs_big = big.groupBy("band", "chunk").applyInPandas(
-        _make_bucket_hamming_kernel(hash_col, max_hamming, bands, chunk),
-        schema="__ha long, __hb long, hamming integer",
-    )
-    fp_pairs = pairs_small.unionByName(pairs_big).distinct()
+        fp_pairs = join_route(small).unionByName(pairs_big).distinct()
     # re-expand to doc pairs: each doc carries exactly one fingerprint,
     # so the two routes are disjoint and already duplicate-free
     cross = (
