@@ -1,0 +1,224 @@
+"""Persisted IVF-PQ index: build once, query many times.
+
+``pq.ivfpq_topk`` recomputes cell assignment and PQ codes per call —
+fine for a gate, wasteful for the production pattern its docstring
+describes (an index a deployment materializes once and reuses per probe
+batch). This module is that artifact, parquet-native and engine-free:
+
+Layout under ``path``::
+
+    MANIFEST.json            {"k_default", "nprobe_default", "m",
+                              "n_codes", "n_cells", "dim", ...}
+    centroids.parquet        (cell_id int, centroid array<double>)
+    codebooks.parquet        (subspace int, code_id int, codevec array<double>)
+    index.parquet            (nbr_id long, cell_id int, codes array<int>)
+                             — written partitioned by cell_id, so a
+                             probe batch's nprobe cells prune at the
+                             SCAN (partition pruning), not in memory.
+
+Build cost: the two narrow Arrow passes + one keyed join ``ivfpq_topk``
+already pays, once. Query cost: partition-pruned scan of the probed
+cells + the cogrouped integer-ADC kernel — identical results to
+``ivfpq_topk`` over the same corpus (asserted in
+``tests/test_pipeline.py::test_ann_index_roundtrip``), because both
+share codebooks, centroids, tie-safe pruning, and the
+(adist asc, nbr_id asc) total order.
+
+At 100 TB: the index is ~(8 + 4 + m) bytes per vector (32× smaller
+than float32 embeddings at m=8/dim=64), cells are parquet partitions so
+probing IO ~ nprobe/n_cells of the index, and the builder accepts
+pre-trained codebooks (``pq_train_kmeans``) and auto-sized cell counts
+(``similarity.ivf_auto_cells``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pq as _pq
+from .similarity import ivf_assign, ivf_auto_cells, seed_centroids
+
+__all__ = ["build_ivfpq_index", "IvfPqIndex"]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int | None = None,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "IvfPqIndex":
+    """Materialize the IVF-PQ index for ``corpus`` at ``path``.
+
+    Codebooks are Lloyd-trained (``pq_train_kmeans``; ``train_iters=0``
+    keeps the deterministic seeds), centroids are the deterministic
+    seeds, and ``n_cells`` auto-sizes from the corpus when omitted."""
+    spark = corpus.sparkSession
+    n_rows = corpus.count()
+    if n_cells is None:
+        n_cells = ivf_auto_cells(n_rows)
+    cents = seed_centroids(corpus, n_cells, id_col, vec_col)
+    if train_iters > 0:
+        cbs = _pq.pq_train_kmeans(
+            corpus, m, n_codes, iters=train_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        cbs = _pq.pq_train(corpus, m, n_codes, id_col, vec_col)
+
+    os.makedirs(path, exist_ok=True)
+    cents_d = cents.select(
+        "cell_id",
+        F.expr("transform(centroid, x -> cast(x as double))").alias(
+            "centroid"
+        ),
+    )
+    cents_d.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
+    cbs.write.mode("overwrite").parquet(os.path.join(path, "codebooks.parquet"))
+
+    enc = _pq.pq_encode(corpus, cbs, id_col, vec_col)
+    idx = (
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        .select(id_col, "cell_id")
+        .join(enc, id_col)
+        .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+    )
+    (
+        idx.write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(path, "index.parquet"))
+    )
+    dim = int(corpus.select(F.size(vec_col)).limit(1).collect()[0][0])
+    manifest = {
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "n_cells": int(n_cells),
+        "dim": dim,
+        "n_rows": int(n_rows),
+        "train_iters": int(train_iters),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    tmp = os.path.join(path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+    return IvfPqIndex(spark, path)
+
+
+class IvfPqIndex:
+    """Handle over a built index directory; ``topk`` runs probe batches."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "MANIFEST.json")) as f:
+            self.meta = json.load(f)
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, "centroids.parquet")
+        )
+
+    def codebooks(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, "codebooks.parquet")
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        max_table_bytes: int = _pq.MAX_ADC_TABLE_BYTES,
+    ) -> DataFrame:
+        """(query_id, nbr_id, adist, rank) — same ranking as
+        ``pq.ivfpq_topk`` over the indexed corpus: the probed cells are
+        read back partition-pruned, scored with the cogrouped tie-safe
+        integer-ADC kernel, and window-ranked in the
+        (adist asc, nbr_id asc) total order."""
+        import numpy as np
+        from pyspark.sql import Window
+
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        m, n_codes = self.meta["m"], self.meta["n_codes"]
+        ds = self.meta["dim"] // m
+        cb = _pq._codebook_tensor(self.codebooks())
+
+        q_assigned = ivf_assign(
+            queries, self.centroids(), id_col, vec_col, nprobe=nprobe
+        ).select(F.col(id_col).alias("query_id"), "cell_id")
+        qrows = queries.select(id_col, vec_col).collect()
+        _pq._guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
+        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+        q_mat = np.array(
+            [r[1] for r in qrows], dtype=np.float64
+        ).reshape(len(qrows), m, ds)
+        tabs = np.floor(
+            ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1)
+            * _pq._DIST_SCALE
+            + 0.5
+        ).astype(np.int64)
+        tab_of = {int(q): i for i, q in enumerate(q_ids)}
+        bc = self.spark.sparkContext.broadcast((tab_of, tabs))
+
+        # partition pruning: only the probed cells' directories scan
+        probed = sorted(
+            {int(r.cell_id) for r in q_assigned.select("cell_id").distinct().collect()}
+        )
+        c_idx = self.spark.read.parquet(
+            os.path.join(self.path, "index.parquet")
+        ).where(F.col("cell_id").isin(probed))
+
+        def cell_adc(left, right):
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {"query_id": [], "nbr_id": [], "adist": []}
+            )
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            b_tab_of, b_tabs = bc.value
+            c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(right["codes"]), dtype=np.int64)
+            probes = left["query_id"].to_numpy(dtype=np.int64)
+            cell_tabs = b_tabs[[b_tab_of[int(q)] for q in probes]]
+            outs = []
+            for qi, ci, d in _pq._adc_scores_chunked(cell_tabs, codes, k):
+                keep = c_ids[ci] != probes[qi]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": probes[qi][keep],
+                            "nbr_id": c_ids[ci][keep],
+                            "adist": d[keep],
+                        }
+                    )
+                )
+            if not outs:
+                return empty
+            return pd.concat(outs, ignore_index=True)
+
+        scored = (
+            q_assigned.groupBy("cell_id")
+            .cogroup(c_idx.groupBy("cell_id"))
+            .applyInPandas(
+                cell_adc, schema="query_id long, nbr_id long, adist long"
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adist").asc(), F.col("nbr_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "adist", "rank")
+        )

@@ -48,6 +48,7 @@ __all__ = [
     "pq_train_kmeans",
     "pq_encode",
     "pq_adc_topk",
+    "pq_adc_topk_sharded",
     "ivfpq_topk",
 ]
 
@@ -390,6 +391,53 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "adist", "rank")
     )
+
+
+def pq_adc_topk_sharded(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_table_bytes: int = MAX_ADC_TABLE_BYTES,
+) -> DataFrame:
+    """``pq_adc_topk`` for probe sets too large to broadcast in one ADC
+    table: shards the query set into byte-budgeted batches, runs the
+    top-k per shard, and unions the results — EXACT, because per-query
+    ranks are independent of every other query. This closes the loop the
+    byte guard's error message describes; prefer it as the entry point
+    when the probe-set size is unknown.
+
+    Scale shape: ceil(nq / shard) corpus scans, each with a
+    ≤ ``max_table_bytes`` broadcast. For probe sets that large, the
+    IVF-PQ composition (cells prune the corpus per probe) is usually the
+    better plan — this is the flat-scan fallback."""
+    import numpy as np  # noqa: F401 (parity with pq_adc_topk imports)
+
+    cb = _codebook_tensor(codebooks)
+    m, n_codes, _ = cb.shape
+    shard = max(1, max_table_bytes // (m * n_codes * 8))
+    qrows = queries.select(id_col, vec_col).collect()
+    out = None
+    for s in range(0, len(qrows), shard):
+        batch = queries.sparkSession.createDataFrame(
+            qrows[s : s + shard], queries.select(id_col, vec_col).schema
+        )
+        part = pq_adc_topk(
+            corpus_codes,
+            batch,
+            codebooks,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_query_rows=shard,
+            max_table_bytes=max_table_bytes,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("empty query set")
+    return out
 
 
 def ivfpq_topk(

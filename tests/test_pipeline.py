@@ -1414,6 +1414,79 @@ def test_adc_broadcast_guard_is_byte_based(spark):
     assert pq_adc_topk(enc, emb, cbs, k=3, max_table_bytes=513).count() > 0
 
 
+def test_ann_index_roundtrip(spark, tmp_path, sf_dir):
+    """build_ivfpq_index + IvfPqIndex.topk == pq.ivfpq_topk over the
+    same corpus/params (same codebooks, centroids, tie order), with
+    partition-pruned cell scans; the manifest records the geometry."""
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+    from panoptes_spark.pipeline.pq import ivfpq_topk, pq_train_kmeans
+    from panoptes_spark.pipeline.similarity import seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivfpq")
+    idx = build_ivfpq_index(
+        emb, path, m=8, n_codes=16, n_cells=16, train_iters=1
+    )
+    assert idx.meta["n_cells"] == 16 and idx.meta["dim"] == 64
+    got = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
+
+    cents = seed_centroids(emb, n_cells=16)
+    cbs = pq_train_kmeans(emb, m=8, n_codes=16, iters=1)
+    want = sorted(
+        map(tuple, ivfpq_topk(emb, queries, cents, cbs, k=10, nprobe=4).collect())
+    )
+    assert got == want
+
+    # a fresh handle over the directory (no builder state) reads the same
+    again = IvfPqIndex(spark, path)
+    assert sorted(
+        map(tuple, again.topk(queries, k=10, nprobe=4).collect())
+    ) == want
+    # the on-disk index is cell-partitioned for probe-side pruning
+    import os
+
+    assert any(
+        e.startswith("cell_id=")
+        for e in os.listdir(os.path.join(path, "index.parquet"))
+    )
+
+
+def test_pq_adc_topk_sharded_matches_unsharded(spark):
+    """Byte-budgeted probe sharding is exact: per-query ranks are
+    independent, so the union of per-shard top-k equals the single-shot
+    result even with a budget that forces one query per shard."""
+    from panoptes_spark.pipeline.pq import (
+        pq_adc_topk,
+        pq_adc_topk_sharded,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 5.0 for j in range(4)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(emb, m=2, n_codes=4)
+    enc = pq_encode(emb, cbs)
+    probes = emb.where(F.col("vec_id") % 5 == 0)
+    want = sorted(map(tuple, pq_adc_topk(enc, probes, cbs, k=5).collect()))
+    # 2 subspaces x 4 codes x 8 B = 64 B/query -> budget of 64 = 1/query
+    got = sorted(
+        map(
+            tuple,
+            pq_adc_topk_sharded(
+                enc, probes, cbs, k=5, max_table_bytes=64
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_ivf_auto_cells_bounds_cell_size():
     from panoptes_spark.pipeline.similarity import ivf_auto_cells
 
