@@ -3704,6 +3704,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # be wrong — the current round's additions).
     out = _interleave(_newest_first(_PIPE_QUERIES), _newest_first(out))
 
+    # r8 (VERDICT r7 #5): the fixed newest-first interleave kept the same
+    # mid-list gates permanently outside the driver's 50-entry prefix —
+    # 14 gates never received a CORRECTNESS row in 7 rounds. Two fixes:
+    # (a) gates that have never been driver-sampled lead the dict this
+    # round; (b) the remainder ROTATES by a round-derived offset so every
+    # gate cycles through the prefix within ~3 rounds regardless of list
+    # position.
+    head = [n for n in _DRIVER_PRIORITY if n in out]
+    rest = [(k, v) for k, v in out.items() if k not in set(head)]
+    off = (17 * _round_index()) % max(1, len(rest))
+    out = {
+        **{n: out[n] for n in head},
+        **dict(rest[off:] + rest[:off]),
+    }
+
     from panoptes_spark.session import tune_runtime
 
     def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
@@ -3713,6 +3728,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     return {name: _tuned(fn) for name, fn in out.items()}
+
+
+#: r8 driver-sample priority: this round's new gates, then the 14 gates
+#: the r7 verdict found had NEVER received a driver CORRECTNESS row (the
+#: fixed interleave kept them outside every round's 50-gate prefix)
+_DRIVER_PRIORITY = [
+    "ann_index_topk",
+    "binned_quantiles",
+    "bm25_search",
+    "corpus_divergence",
+    "curation_e2e",
+    "global_quantiles",
+    "incremental_dedup",
+    "ks_drift",
+    "lm_perplexity",
+    "skew_report",
+    "source_overlap",
+    "split_leakage",
+    "text_pii_scrub",
+    "text_repetition",
+    "zorder_codes",
+]
+
+
+def _round_index() -> int:
+    """Rounds completed so far = committed CORRECTNESS artifacts next to
+    this file — a deterministic, driver-visible rotation seed (the same
+    value everywhere in one round, different across rounds)."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
 
 
 def _newest_first(d: dict) -> dict:

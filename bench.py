@@ -7,12 +7,21 @@ The driver keeps only the TAIL of the merged output stream, so the
 summary line must come last and stay small. The full per-query timing
 map is written to BENCH_DETAIL.json next to this file; the stdout
 summary carries the slowest 10 queries only.
+
+Noise discipline (r8): the box shows ±40% window swings on identical
+code, which erodes every round-over-round trend judgement. The battery
+(all queries, best-of-2 each) now repeats ``SPARK_GRAFT_BENCH_REPEATS``
+times (default 3); the committed "value" is the MEDIAN battery total,
+and every battery's total is recorded in the artifact (``run_totals``)
+so drift can be separated from noise without re-deriving it.
+Per-query times are the per-battery medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,18 +40,18 @@ HEADLINE = [
 ]
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="panoptes_bench")
+def _release_between_queries(spark):
+    """Drop per-query persists so memory stays flat across the battery:
+    clearCache drops the blocks, release_materialized clears the persist
+    markers materialize_once registered (otherwise re-running a gate
+    logs 'already cached' and re-fills against cold storage)."""
+    from panoptes_spark.pipeline import dedup
 
-    # JVM/codegen warmup so the first timed query isn't charged for it
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    dedup.release_materialized()
+    spark.catalog.clearCache()
 
-    qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE
-    ]
+
+def run_battery(spark, qs, names, sf_dir):
     timings = {}
     total = 0.0
     for name in names:
@@ -56,11 +65,47 @@ def main():
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        spark.catalog.clearCache()  # drop per-query persists; keep memory flat
+        _release_between_queries(spark)
         timings[name] = round(best, 3)
         total += best
         # per-query progress on stderr only; stdout must end with the JSON
         print(f"# {name}: {n} rows in {best:.2f}s", file=sys.stderr)
+    return timings, round(total, 3)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    spark = get_spark(app_name="panoptes_bench")
+
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+    batteries = []
+    run_totals = []
+    for b in range(repeats):
+        print(f"## battery {b + 1}/{repeats}", file=sys.stderr)
+        timings, total = run_battery(spark, qs, names, sf_dir)
+        batteries.append(timings)
+        run_totals.append(total)
+
+    # median across batteries, per query and for the battery total
+    timings = {
+        name: round(statistics.median(bt[name] for bt in batteries), 3)
+        for name in names
+    }
+    total = statistics.median(run_totals)
+
+    # shared build-once artifacts (e.g. the dedup pair index) amortize out
+    # of per-query bests; surface their one-time build cost explicitly
+    from panoptes_spark.pipeline import gate_queries
+
+    build_sec = gate_queries.LAST_DEDUP_BUILD_SEC
 
     # the plain BENCH_DETAIL.json name is reserved for the driver's
     # default SF so off-SF runs (e.g. the sf1 soak) never clobber the
@@ -85,6 +130,8 @@ def main():
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf_val,
+                "run_totals": run_totals,
+                "dedup_index_build_sec": build_sec,
             },
             f,
             indent=1,
@@ -103,6 +150,8 @@ def main():
                 "n_queries": len(timings),
                 "queries": slowest,
                 "sf": sf_val,
+                "run_totals": run_totals,
+                "dedup_index_build_sec": build_sec,
                 "detail": detail_name,
             }
         ),

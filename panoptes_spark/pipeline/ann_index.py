@@ -40,9 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import pq as _pq
-from .similarity import ivf_assign, ivf_auto_cells, seed_centroids
+from .similarity import ivf_assign, ivf_auto_cells, kmeans_refine, seed_centroids
 
 __all__ = ["build_ivfpq_index", "IvfPqIndex"]
+
+#: bump when the on-disk layout changes; handles refuse unknown versions
+_FORMAT_VERSION = 2
 
 
 def build_ivfpq_index(
@@ -57,15 +60,30 @@ def build_ivfpq_index(
 ) -> "IvfPqIndex":
     """Materialize the IVF-PQ index for ``corpus`` at ``path``.
 
-    Codebooks are Lloyd-trained (``pq_train_kmeans``; ``train_iters=0``
-    keeps the deterministic seeds), centroids are the deterministic
-    seeds, and ``n_cells`` auto-sizes from the corpus when omitted."""
+    ``train_iters`` Lloyd rounds train BOTH halves of the index (r8):
+    the PQ codebooks per subspace (``pq_train_kmeans``) AND the coarse
+    cell centroids (``kmeans_refine`` over the deterministic seeds —
+    untrained seed cells skew cell occupancy, which is exactly what
+    hurts IVF recall and pruning at scale;
+    ``tests/test_pipeline.py::test_trained_index_improves_recall``
+    records the lift at equal geometry). ``train_iters=0`` keeps the
+    deterministic seeds for both (the oracle-replayable configuration
+    the ``ann_index_topk`` gate checks). ``n_cells`` auto-sizes from the
+    corpus when omitted."""
     spark = corpus.sparkSession
     n_rows = corpus.count()
+    if n_rows == 0:
+        raise ValueError(
+            "cannot build an IVF-PQ index over an EMPTY corpus: no "
+            "dimensionality, no centroids, no codebooks"
+        )
     if n_cells is None:
         n_cells = ivf_auto_cells(n_rows)
     cents = seed_centroids(corpus, n_cells, id_col, vec_col)
     if train_iters > 0:
+        cents = kmeans_refine(
+            corpus, cents, iters=train_iters, id_col=id_col, vec_col=vec_col
+        )
         cbs = _pq.pq_train_kmeans(
             corpus, m, n_codes, iters=train_iters,
             id_col=id_col, vec_col=vec_col,
@@ -96,9 +114,16 @@ def build_ivfpq_index(
         .parquet(os.path.join(path, "index.parquet"))
     )
     dim = int(corpus.select(F.size(vec_col)).limit(1).collect()[0][0])
+    # record the ACTUAL built geometry, not the request: a corpus smaller
+    # than n_codes trains fewer codewords, and the byte guard / integrity
+    # checks must size against what is on disk
+    actual = cbs.agg(
+        (F.max("code_id") + 1).alias("nc"), (F.max("subspace") + 1).alias("m")
+    ).collect()[0]
     manifest = {
-        "m": int(m),
-        "n_codes": int(n_codes),
+        "format_version": _FORMAT_VERSION,
+        "m": int(actual["m"]),
+        "n_codes": int(actual["nc"]),
         "n_cells": int(n_cells),
         "dim": dim,
         "n_rows": int(n_rows),
@@ -121,6 +146,12 @@ class IvfPqIndex:
         self.path = path
         with open(os.path.join(path, "MANIFEST.json")) as f:
             self.meta = json.load(f)
+        ver = int(self.meta.get("format_version", 1))
+        if ver > _FORMAT_VERSION:
+            raise ValueError(
+                f"index at {path} has format_version={ver}, newer than "
+                f"this reader ({_FORMAT_VERSION}); rebuild or upgrade"
+            )
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(
@@ -143,7 +174,54 @@ class IvfPqIndex:
         ``pq.ivfpq_topk`` over the indexed corpus: the probed cells are
         read back partition-pruned, scored with the cogrouped tie-safe
         integer-ADC kernel, and window-ranked in the
-        (adist asc, nbr_id asc) total order."""
+        (adist asc, nbr_id asc) total order.
+
+        Probe sets whose ADC tables exceed ``max_table_bytes`` are
+        auto-sharded EXACTLY (per-query ranks are independent): the
+        probe frame streams through shard-sized partitions, so the
+        driver never holds more than ~2 shards of vectors (r8 — the
+        previous unbounded ``collect()`` was itself the OOM at the
+        probe sizes the guard exists for); each shard's result is
+        eagerly materialized so shard broadcasts never accumulate."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        m, n_codes = self.meta["m"], self.meta["n_codes"]
+        shard = max(1, max_table_bytes // (m * n_codes * 8))
+        qsel = queries.select(id_col, vec_col)
+        # bounded probe: collect at most one shard (+1 row to detect
+        # overflow) — never the whole probe set
+        head = qsel.limit(shard + 1).collect()
+        if not head:
+            return self.spark.createDataFrame(
+                [], "query_id long, nbr_id long, adist long, rank int"
+            )
+        if len(head) <= shard:
+            return self._topk_batch(head, qsel.schema, k, nprobe)
+        nq = qsel.count()
+        n_batches = -(-nq // shard)
+        parts = []
+        buf: list = []
+
+        def flush():
+            parts.append(
+                self._topk_batch(buf, qsel.schema, k, nprobe)
+                .localCheckpoint(eager=True)
+            )
+            buf.clear()
+
+        for row in qsel.repartition(n_batches).toLocalIterator():
+            buf.append(row)
+            if len(buf) >= shard:
+                flush()
+        if buf:
+            flush()
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    def _topk_batch(self, qrows, schema, k: int, nprobe: int) -> DataFrame:
+        """Score one byte-budget-sized list of probe rows."""
         import numpy as np
         from pyspark.sql import Window
 
@@ -153,11 +231,10 @@ class IvfPqIndex:
         ds = self.meta["dim"] // m
         cb = _pq._codebook_tensor(self.codebooks())
 
+        q_df = self.spark.createDataFrame(list(qrows), schema)
         q_assigned = ivf_assign(
-            queries, self.centroids(), id_col, vec_col, nprobe=nprobe
+            q_df, self.centroids(), id_col, vec_col, nprobe=nprobe
         ).select(F.col(id_col).alias("query_id"), "cell_id")
-        qrows = queries.select(id_col, vec_col).collect()
-        _pq._guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
         q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
         q_mat = np.array(
             [r[1] for r in qrows], dtype=np.float64

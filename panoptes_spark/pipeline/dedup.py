@@ -41,15 +41,26 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     table). The round-robin exchange moves the raw rows once, cheap
     relative to 10-100× compute parallelism; it's SKIPPED when the
     input already has enough splits (the 100 TB case, where well-written
-    parquet carries thousands of row groups) and on streaming frames
+    parquet carries thousands of row groups), on already-CACHED frames
+    (their blocks are in memory at whatever layout filled them — a
+    spread would add an exchange on top of a frame that no longer pays
+    a scan; the r7→r8 dedup-family bench regression was exactly this
+    fixed cost stacking per consumer), and on streaming frames
     (micro-batch sizing is the stream's concern)."""
-    if df.isStreaming:
+    if df.isStreaming or df.is_cached:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * int(min_factor)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+#: frames ``materialize_once`` persisted and never released — callers
+#: that finish a pipeline can drop them all with ``release_materialized``
+#: (repeated invocations in one session otherwise accumulate cached
+#: blocks until executor storage evicts them)
+_MATERIALIZED: list[DataFrame] = []
 
 
 def materialize_once(df: DataFrame) -> DataFrame:
@@ -61,10 +72,31 @@ def materialize_once(df: DataFrame) -> DataFrame:
     signature cost from exactly this: four branches racing to compute the
     60-bit fold). One count() action fills the cache before the fan-out;
     its cost is the single materialization the plan needs anyway.
-    Default storage level (memory+disk) keeps it spill-safe."""
+    Default storage level (memory+disk) keeps it spill-safe.
+
+    Composition-aware (r8): a frame that is ALREADY cached is returned
+    as-is after a (cheap, cache-served) fill action — re-persisting a
+    frame an upstream operator materialized would stack a second copy
+    of the same blocks and a second eager count against cold storage.
+    """
+    if df.is_cached:
+        df.count()  # no-op if filled; fills a lazily-persisted frame
+        return df
     df = df.persist()
     df.count()
+    _MATERIALIZED.append(df)
     return df
+
+
+def release_materialized() -> int:
+    """Unpersist every frame ``materialize_once`` registered in this
+    session and return how many were released. Call after the consuming
+    actions complete (bench/gate harnesses call it between queries)."""
+    n = 0
+    while _MATERIALIZED:
+        _MATERIALIZED.pop().unpersist()
+        n += 1
+    return n
 
 
 def spark_hash64(expr: str) -> str:

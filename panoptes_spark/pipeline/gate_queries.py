@@ -53,12 +53,55 @@ SELECT doc_id FROM (
 _K, _NH, _BANDS, _THRESH = 3, 32, 8, 0.7
 _P = dedup.MINHASH_PRIME
 
+#: (applicationId, realpath(sf_dir)) -> DedupIndex. The minhash chain has
+#: SIX gate consumers (pairs, representatives, components, leakage-safe
+#: splits, split-leakage audit, source-overlap matrix); r7 ran it once
+#: PER consumer and the bench measured the stacking (+106% on
+#: dedup_components at sf0.1). Build-once artifact (pipeline/dedup_index),
+#: keyed per session so a layout-override soak (fresh app) rebuilds under
+#: ITS partitioning and still must produce the identical canon.
+_DEDUP_IDX_CACHE: dict = {}
+
+#: wall-clock seconds of the last in-process artifact build — bench.py
+#: reports it alongside the per-query times so the shared build cost is
+#: visible, not silently amortized out of the battery total
+LAST_DEDUP_BUILD_SEC: float = 0.0
+
+
+def _dedup_artifact(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    from .dedup_index import DedupIndex, build_dedup_index
+
+    global LAST_DEDUP_BUILD_SEC
+    app = spark.sparkContext.applicationId
+    real = os.path.realpath(sf_dir)
+    key = (app, real)
+    idx = _DEDUP_IDX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    tag = hashlib.md5(
+        f"{app}|{real}|{_K}|{_NH}|{_BANDS}|{_THRESH}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"panoptes_dedup_idx_{tag}")
+    if DedupIndex.is_built(path):
+        idx = DedupIndex(spark, path)
+    else:
+        t0 = time.time()
+        docs = fx.read_table(spark, sf_dir, "documents")
+        idx = build_dedup_index(
+            docs, path, "doc_id", "text", _K, _NH, _BANDS, _THRESH
+        )
+        LAST_DEDUP_BUILD_SEC = round(time.time() - t0, 3)
+    _DEDUP_IDX_CACHE[key] = idx
+    return idx
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fx.read_table(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(
-        docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH
-    ).orderBy("a", "b")
+    return _dedup_artifact(spark, sf_dir).pairs().orderBy("a", "b")
 
 
 O_DEDUP_MINHASH = f"""
@@ -251,8 +294,11 @@ SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {_TOPK}
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors after min-id representative selection over minhash pairs."""
     docs = fx.read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
-    return dedup.dedup_keep_representatives(docs, pairs).select("doc_id")
+    return (
+        _dedup_artifact(spark, sf_dir)
+        .keep_representatives(docs)
+        .select("doc_id")
+    )
 
 
 O_DEDUP_REPRESENTATIVES = (
@@ -638,11 +684,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .components import connected_components
-
-    docs = fx.read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
-    return connected_components(pairs, nodes=docs.select("doc_id")).select(
+    return _dedup_artifact(spark, sf_dir).components().select(
         "node", "component"
     )
 
@@ -670,8 +712,9 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .splits import leakage_safe_splits
 
     docs = fx.read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
-    return leakage_safe_splits(docs, pairs)
+    return leakage_safe_splits(
+        docs, components=_dedup_artifact(spark, sf_dir).components()
+    )
 
 
 def _o_leakage_safe_splits() -> str:
@@ -1171,7 +1214,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang_a, lang_b) slice pair — which sources re-publish each other.
     Pair-set-sized joins against the doc dim; corpus never re-shuffles."""
     docs = fx.read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    pairs = _dedup_artifact(spark, sf_dir).pairs()
     dim_a = docs.select(
         F.col("doc_id").alias("a"), F.col("source").alias("src_a")
     )
@@ -1230,7 +1273,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import assign_split, split_leakage
 
     docs = fx.read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup(docs, "doc_id", "text", _K, _NH, _BANDS, _THRESH)
+    pairs = _dedup_artifact(spark, sf_dir).pairs()
     splits = assign_split(
         docs, "doc_id", salt="leak", fractions=_LEAK_FRACS
     ).select("doc_id", "split")
@@ -2004,6 +2047,51 @@ SELECT query_id, nbr_id, adist, rank FROM (
   FROM ad
 ) WHERE rank <= {_TOPK}
 """
+
+
+#: (applicationId, realpath(sf_dir)) -> built IVF-PQ index path — the
+#: persisted-index gate builds once per session, then queries REREAD
+#: the artifact through a fresh handle (the production pattern)
+_ANN_IDX_CACHE: dict = {}
+
+
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index query path (r8 — VERDICT r7 next-round #4): build
+    the IVF-PQ index at a temp path, REREAD it through a fresh handle,
+    and run the probe batch. ``train_iters=0`` keeps the deterministic
+    seed cells/codebooks so the DuckDB oracle is exactly
+    ``_o_ivfpq_topk`` — the artifact round-trip (write → manifest →
+    partition-pruned reread → cogrouped ADC) is what this gate puts in
+    front of the driver, not new math."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .ann_index import IvfPqIndex, build_ivfpq_index
+
+    app = spark.sparkContext.applicationId
+    real = _os.path.realpath(sf_dir)
+    key = (app, real)
+    path = _ANN_IDX_CACHE.get(key)
+    if path is None:
+        import hashlib as _hashlib
+
+        tag = _hashlib.md5(
+            f"{app}|{real}|{_PQ_M}|{_PQ_CODES}|{_IVF_CELLS}".encode()
+        ).hexdigest()[:16]
+        path = _os.path.join(
+            _tempfile.gettempdir(), f"panoptes_ann_idx_{tag}"
+        )
+        if not _os.path.exists(_os.path.join(path, "MANIFEST.json")):
+            emb = fx.read_table(spark, sf_dir, "embeddings")
+            build_ivfpq_index(
+                emb, path, m=_PQ_M, n_codes=_PQ_CODES,
+                n_cells=_IVF_CELLS, train_iters=0,
+            )
+        _ANN_IDX_CACHE[key] = path
+    idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
 
 
 _CHUNK_MAX, _CHUNK_OVERLAP = 40, 8  # small window so sf docs multi-chunk
@@ -3113,6 +3201,8 @@ QUERIES = {
     "ann_ivfpq_topk": q_ivfpq_topk,
     # --- r7 additions ---
     "pq_recall_trained": q_pq_recall_trained,
+    # --- r8 additions ---
+    "ann_index_topk": q_ann_index_topk,
 }
 
 ORACLES = {
@@ -3184,4 +3274,6 @@ ORACLES = {
     "ann_ivfpq_topk": _o_ivfpq_topk(),
     # --- r7 additions ---
     "pq_recall_trained": _o_pq_recall_trained(),
+    # --- r8 additions ---
+    "ann_index_topk": _o_ivfpq_topk(),
 }

@@ -412,31 +412,59 @@ def pq_adc_topk_sharded(
     Scale shape: ceil(nq / shard) corpus scans, each with a
     ≤ ``max_table_bytes`` broadcast. For probe sets that large, the
     IVF-PQ composition (cells prune the corpus per probe) is usually the
-    better plan — this is the flat-scan fallback."""
-    import numpy as np  # noqa: F401 (parity with pq_adc_topk imports)
+    better plan — this is the flat-scan fallback.
 
+    Driver-memory bound (r8): the probe set is NEVER collected whole —
+    at the sizes this entry point exists for, a full ``collect()`` is
+    itself the OOM the byte guard protects against. The probe frame is
+    repartitioned to ~shard-sized partitions and streamed through
+    ``toLocalIterator`` (the driver holds ≤ ~2 shards of vectors at any
+    instant); each shard's result is eagerly materialized
+    (``localCheckpoint``) so its ADC-table broadcast is released before
+    the next shard builds its own — shard broadcasts never accumulate."""
     cb = _codebook_tensor(codebooks)
     m, n_codes, _ = cb.shape
     shard = max(1, max_table_bytes // (m * n_codes * 8))
-    qrows = queries.select(id_col, vec_col).collect()
-    out = None
-    for s in range(0, len(qrows), shard):
-        batch = queries.sparkSession.createDataFrame(
-            qrows[s : s + shard], queries.select(id_col, vec_col).schema
+    spark = corpus_codes.sparkSession
+    qsel = queries.select(id_col, vec_col)
+    nq = qsel.count()
+    if nq == 0:
+        # consistent with pq_adc_topk on the same input: empty result,
+        # not an error — the sharded form is a drop-in superset
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, adist long, rank int"
         )
-        part = pq_adc_topk(
-            corpus_codes,
-            batch,
-            codebooks,
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-            max_query_rows=shard,
+    n_batches = -(-nq // shard)
+    if n_batches == 1:
+        return pq_adc_topk(
+            corpus_codes, qsel, codebooks, k=k, id_col=id_col,
+            vec_col=vec_col, max_query_rows=shard,
             max_table_bytes=max_table_bytes,
         )
-        out = part if out is None else out.unionByName(part)
-    if out is None:
-        raise ValueError("empty query set")
+    parts = []
+    buf: list = []
+
+    def flush():
+        batch = spark.createDataFrame(buf, qsel.schema)
+        part = pq_adc_topk(
+            corpus_codes, batch, codebooks, k=k, id_col=id_col,
+            vec_col=vec_col, max_query_rows=shard,
+            max_table_bytes=max_table_bytes,
+        )
+        # eager: results are probe-sized (≤ shard·(k+ties) rows); the
+        # checkpoint cuts the lineage so the shard's broadcast is GC-able
+        parts.append(part.localCheckpoint(eager=True))
+        buf.clear()
+
+    for row in qsel.repartition(n_batches).toLocalIterator():
+        buf.append(row)
+        if len(buf) >= shard:
+            flush()
+    if buf:
+        flush()
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
     return out
 
 

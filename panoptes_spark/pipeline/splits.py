@@ -311,10 +311,11 @@ def sample_per_group(
 
 def leakage_safe_splits(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     salt: str = "v1",
     fractions: tuple[tuple[str, float], ...] = DEFAULT_FRACTIONS,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Split assignment that can never leak near-duplicates across the
     train/val/test boundary: documents are first clustered into
@@ -333,12 +334,28 @@ def leakage_safe_splits(
     of ``connected_components`` (edge-sized shuffles, iteration capped);
     the split itself is one murmur3 column expression — no extra
     shuffle beyond the (doc_id, component) join.
-    """
-    from .components import connected_components
 
-    comps = connected_components(
-        pairs, nodes=docs.select(id_col), id_col_a="a", id_col_b="b"
-    ).select(F.col("node").alias(id_col), "component")
+    ``components`` (r8): a precomputed (node, component) labeling — e.g.
+    from a persisted :mod:`dedup_index` artifact — skips the propagation
+    loop entirely; several consumers of one pair graph should compute
+    components ONCE and pass them here.
+    """
+    if components is None:
+        if pairs is None:
+            raise ValueError(
+                "leakage_safe_splits needs either near-dup `pairs` or a "
+                "precomputed `components` labeling"
+            )
+        from .components import connected_components
+
+        comps = connected_components(
+            pairs, nodes=docs.select(id_col), id_col_a="a", id_col_b="b"
+        ).select(F.col("node").alias(id_col), "component")
+    else:
+        comps = components.select(
+            F.col(components.columns[0]).alias(id_col),
+            F.col("component"),
+        )
     labeled = docs.select(id_col).join(comps, id_col)
     return assign_split(
         labeled, id_col="component", salt=salt, fractions=fractions

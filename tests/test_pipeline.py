@@ -1423,7 +1423,7 @@ def test_ann_index_roundtrip(spark, tmp_path, sf_dir):
         build_ivfpq_index,
     )
     from panoptes_spark.pipeline.pq import ivfpq_topk, pq_train_kmeans
-    from panoptes_spark.pipeline.similarity import seed_centroids
+    from panoptes_spark.pipeline.similarity import kmeans_refine, seed_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") % 25 == 0)
@@ -1434,7 +1434,8 @@ def test_ann_index_roundtrip(spark, tmp_path, sf_dir):
     assert idx.meta["n_cells"] == 16 and idx.meta["dim"] == 64
     got = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
 
-    cents = seed_centroids(emb, n_cells=16)
+    # r8: train_iters trains BOTH halves — coarse cells AND codebooks
+    cents = kmeans_refine(emb, seed_centroids(emb, n_cells=16), iters=1)
     cbs = pq_train_kmeans(emb, m=8, n_codes=16, iters=1)
     want = sorted(
         map(tuple, ivfpq_topk(emb, queries, cents, cbs, k=10, nprobe=4).collect())
@@ -1536,3 +1537,215 @@ def test_pq_train_kmeans_improves_recall(spark, sf_dir):
         (r.subspace, r.code_id, tuple(r.codevec)) for r in df.collect()
     )
     assert canon(again) == canon(trained_cbs)
+
+
+def test_dedup_index_roundtrip(spark, tmp_path, sf_dir):
+    """build_dedup_index artifact == the inline minhash chain on BOTH
+    relations (verified pairs and component labels), consumed through a
+    fresh handle over the directory — the build-once artifact several
+    gate consumers share instead of re-running the chain each."""
+    from panoptes_spark.pipeline.components import connected_components
+    from panoptes_spark.pipeline.dedup_index import (
+        DedupIndex,
+        build_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "dedup_idx")
+    idx = build_dedup_index(docs, path)
+    assert idx.meta["n_nodes"] == docs.count()
+
+    inline_pairs = dedup.minhash_dedup(docs)
+    want_pairs = sorted(map(tuple, inline_pairs.collect()))
+    assert sorted(map(tuple, idx.pairs().collect())) == want_pairs
+
+    want_comps = sorted(
+        map(
+            tuple,
+            connected_components(
+                inline_pairs, nodes=docs.select("doc_id")
+            ).collect(),
+        )
+    )
+    again = DedupIndex(spark, path)
+    assert sorted(map(tuple, again.components().collect())) == want_comps
+
+    # representative selection through the artifact == the inline op
+    want_keep = sorted(
+        r.doc_id
+        for r in dedup.dedup_keep_representatives(docs, inline_pairs)
+        .select("doc_id")
+        .collect()
+    )
+    got_keep = sorted(
+        r.doc_id
+        for r in again.keep_representatives(docs).select("doc_id").collect()
+    )
+    assert got_keep == want_keep
+
+
+def test_leakage_safe_splits_precomputed_components(spark, sf_dir):
+    """leakage_safe_splits(components=...) == leakage_safe_splits(pairs)
+    — the artifact-backed form skips the propagation loop, not the
+    semantics."""
+    import pytest
+
+    from panoptes_spark.pipeline.components import connected_components
+    from panoptes_spark.pipeline.splits import leakage_safe_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup(docs)
+    want = sorted(
+        map(tuple, leakage_safe_splits(docs, pairs).collect())
+    )
+    comps = connected_components(pairs, nodes=docs.select("doc_id"))
+    got = sorted(
+        map(tuple, leakage_safe_splits(docs, components=comps).collect())
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="pairs.*or.*components"):
+        leakage_safe_splits(docs)
+
+
+def test_materialize_once_composition_aware(spark):
+    """Re-materializing an already-cached frame must not stack a second
+    persist; release_materialized drops everything registered."""
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    m1 = dedup.materialize_once(df)
+    assert m1.is_cached
+    m2 = dedup.materialize_once(m1)
+    assert m2 is m1  # no new lineage node, no second persist
+    # an already-cached frame is not re-spread either
+    assert dedup.spread_for_compute(m1) is m1
+    n = dedup.release_materialized()
+    assert n >= 1
+    assert not m1.is_cached
+
+
+def test_index_build_validates_corpus(spark, tmp_path):
+    """An empty corpus is a clear error, and a corpus smaller than the
+    requested n_codes records the ACTUAL trained codebook size in the
+    manifest (the byte guard and integrity checks size off it)."""
+    import pytest
+
+    from panoptes_spark.pipeline.ann_index import build_ivfpq_index
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="EMPTY corpus"):
+        build_ivfpq_index(empty, str(tmp_path / "never"))
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_ivfpq_index(
+        tiny, str(tmp_path / "tiny"), m=2, n_codes=16, n_cells=2,
+        train_iters=0,
+    )
+    assert idx.meta["n_codes"] == 5  # actual, not the requested 16
+    assert idx.meta["format_version"] >= 2
+
+
+def test_index_topk_autoshards_over_budget(spark, tmp_path, sf_dir):
+    """An over-budget probe set shards EXACTLY (same rows as the
+    unsharded run) without the driver ever collecting all vectors —
+    the budget forces ~4 shards over a 40-probe set."""
+    from panoptes_spark.pipeline.ann_index import build_ivfpq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    nq = queries.count()
+    idx = build_ivfpq_index(
+        emb, str(tmp_path / "ivfpq"), m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    want = sorted(map(tuple, idx.topk(queries, k=5, nprobe=4).collect()))
+    # budget admits ~ceil(nq/4) probes per ADC table
+    per = -(-nq // 4)
+    got = sorted(
+        map(
+            tuple,
+            idx.topk(
+                queries, k=5, nprobe=4,
+                max_table_bytes=per * 8 * 16 * 8,
+            ).collect(),
+        )
+    )
+    assert got == want
+    # empty probe set: empty frame, stable schema
+    none = idx.topk(queries.where("vec_id < 0"), k=5)
+    assert none.count() == 0
+    assert [f.name for f in none.schema] == [
+        "query_id", "nbr_id", "adist", "rank",
+    ]
+
+
+def test_pq_sharded_bounded_and_empty(spark, sf_dir):
+    """pq_adc_topk_sharded: (a) returns an EMPTY result for an empty
+    probe set (consistent with pq_adc_topk); (b) a budget that forces
+    multiple shards reproduces the single-broadcast result exactly."""
+    from panoptes_spark.pipeline import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = pq.pq_train(emb, m=8, n_codes=16)
+    enc = pq.pq_encode(emb, cbs)
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+
+    none = pq.pq_adc_topk_sharded(enc, queries.where("vec_id < 0"), cbs)
+    assert none.count() == 0
+    assert [f.name for f in none.schema] == [
+        "query_id", "nbr_id", "adist", "rank",
+    ]
+
+    want = sorted(
+        map(tuple, pq.pq_adc_topk(enc, queries, cbs, k=5).collect())
+    )
+    per = -(-queries.count() // 3)
+    got = sorted(
+        map(
+            tuple,
+            pq.pq_adc_topk_sharded(
+                enc, queries, cbs, k=5, max_table_bytes=per * 8 * 16 * 8
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_trained_index_improves_recall(spark, tmp_path, sf_dir):
+    """Directive r7→r8 #3: at EQUAL (n_cells, nprobe, m, n_codes),
+    Lloyd-training the coarse cells + codebooks must beat the pure-seed
+    index on recall@k vs brute-force cosine. The number is recorded in
+    the assertion (strict improvement)."""
+    from panoptes_spark.pipeline.ann_index import build_ivfpq_index
+    from panoptes_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    k, nprobe = 10, 2
+
+    truth = {
+        (r.query_id, r.nbr_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=k)
+        .select("query_id", "nbr_id")
+        .collect()
+    }
+
+    def recall(train_iters: int, name: str) -> float:
+        idx = build_ivfpq_index(
+            emb, str(tmp_path / name), m=8, n_codes=16, n_cells=16,
+            train_iters=train_iters,
+        )
+        hits = {
+            (r.query_id, r.nbr_id)
+            for r in idx.topk(queries, k=k, nprobe=nprobe)
+            .select("query_id", "nbr_id")
+            .collect()
+        }
+        return len(hits & truth) / len(truth)
+
+    r_seed = recall(0, "seed")
+    r_trained = recall(2, "trained")
+    assert r_trained > r_seed, (r_seed, r_trained)

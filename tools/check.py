@@ -116,6 +116,13 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop per-gate persists so a 131-gate sweep keeps memory flat
+            # (file-backed artifacts like the dedup index survive this)
+            from panoptes_spark.pipeline import dedup as _dedup
+
+            _dedup.release_materialized()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
