@@ -164,7 +164,14 @@ class ExactlyOnceResourceStoreWriter:
             return {"last_epoch": -1, "scopes": {}, "retired": []}
         if "scopes" not in m:  # pre-r7 single-snapshot manifest
             snap = m.get("snapshot")
-            m["scopes"] = {"": snap} if snap else {}
+            # reserved key, never produced by _scope_key (those are
+            # '<slug>-<hash>' / 'scope-<hash>'): the first scoped commit
+            # migrates it — splitting per scope or renaming to
+            # _scope_key([]) — and retires the legacy file. Mapping it to
+            # "" (pre-r8 bug) matched NO _scope_key, so the first
+            # post-upgrade merge ran against an empty store and read()
+            # resurrected deleted resources from the stale snapshot.
+            m["scopes"] = {"__legacy__": snap} if snap else {}
             m.pop("snapshot", None)
         m.setdefault("retired", [])
         return m
@@ -193,12 +200,16 @@ class ExactlyOnceResourceStoreWriter:
             raise ValueError(f"store at {self.store_path} has no commits yet")
         return self.spark.read.parquet(*files)
 
-    def _gc(self, retired_now: list[str], previously_retired: list[str]) -> None:
+    def _gc(self, previously_retired: list[str]) -> list[str]:
         """Delete files retired at the PREVIOUS commit (no reader that
         started after that commit can reference them); files superseded
-        just now stay on disk one more generation."""
+        just now stay on disk one more generation. Returns the names
+        that STILL exist after the attempt (delete failures) — the
+        caller keeps them in the manifest's retired list so they are
+        retried next commit instead of leaking forever."""
         import shutil
 
+        still: list[str] = []
         for fname in previously_retired:
             p = os.path.join(self.store_path, "data", fname)
             if os.path.isdir(p):
@@ -208,6 +219,9 @@ class ExactlyOnceResourceStoreWriter:
                     os.remove(p)
                 except OSError:
                     pass
+            if os.path.exists(p):
+                still.append(fname)
+        return still
 
     def __call__(self, batch: DataFrame, epoch_id: int):
         m = self.manifest()
@@ -235,6 +249,36 @@ class ExactlyOnceResourceStoreWriter:
         prev_retired = list(m.get("retired", []))
         retired_now: list[str] = []
         scopes = dict(m["scopes"])
+        # one-time migration of a pre-r7 single-snapshot store, committed
+        # atomically WITH this epoch's manifest swap: unscoped writers
+        # keep the file (key rename only); scoped writers split it into
+        # per-scope snapshots so every scope's history/timestamp guards
+        # survive the upgrade, then retire the legacy file.
+        if "__legacy__" in scopes:
+            legacy_file = scopes.pop("__legacy__")
+            if not self.scope_cols:
+                scopes[self._scope_key([])] = legacy_file
+            else:
+                legacy = self.spark.read.parquet(
+                    os.path.join(self.store_path, "data", legacy_file)
+                )
+                for lrow in sorted(
+                    legacy.select(*self.scope_cols).distinct().collect(),
+                    key=lambda r: [str(v) for v in r],
+                ):
+                    lvals = [lrow[c] for c in self.scope_cols]
+                    lkey = self._scope_key(lvals)
+                    part = legacy
+                    for c, v in zip(self.scope_cols, lvals):
+                        part = part.where(F.col(c).eqNullSafe(F.lit(v)))
+                    # 'm' suffix: migration names never collide with this
+                    # epoch's merge snapshots (s<key>-e<E>.parquet)
+                    fname = f"s{lkey}-e{int(epoch_id)}m.parquet"
+                    part.write.mode("overwrite").parquet(
+                        os.path.join(self.store_path, "data", fname)
+                    )
+                    scopes[lkey] = fname
+                retired_now.append(legacy_file)
         wrote_any = False
         for srow in sorted(
             stats, key=lambda r: [str(r[c]) for c in self.scope_cols]
@@ -275,14 +319,21 @@ class ExactlyOnceResourceStoreWriter:
             scopes[skey] = fname
             wrote_any = True
 
+        # GC BEFORE the swap, and carry any survivor names forward: the
+        # previous ordering (swap, then delete) dropped prev_retired from
+        # the manifest first — a crash in between left them referenced by
+        # nothing and deleted by no one, a permanent leak. Deleting here
+        # keeps the same one-generation grace (these files were
+        # superseded a full commit ago); a crash after the deletes and
+        # before the swap just makes the epoch's retry re-attempt
+        # already-gone names (the exists-checks no-op).
+        still_retired = self._gc(prev_retired)
         m_new = {
             "last_epoch": int(epoch_id),
             "scopes": scopes,
-            "retired": retired_now,
+            "retired": retired_now + still_retired,
         }
         self._swap_manifest(m_new)
-        if wrote_any or prev_retired:
-            self._gc(retired_now, prev_retired)
 
 
 def reconcile_stream(

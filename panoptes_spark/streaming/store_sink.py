@@ -191,18 +191,19 @@ class ParquetStoreSink:
                 retired_now.append(old_file)
             new_buckets[str(b)] = fname
 
-        m["buckets"] = new_buckets
-        m["last_epoch"] = int(epoch_id)
-        m["retired"] = retired_now
-        self._swap_manifest(m)
         # GC with a one-generation grace: files superseded at the
         # PREVIOUS commit are unreachable to any reader that resolved
         # the manifest after that commit — delete them now; the files
         # retired just now survive until the next commit (in-flight
         # readers may still hold the old manifest). A long-running
         # stream's storage is therefore bounded by ~2x the live store.
+        # Deletion runs BEFORE the swap and survivors stay in the
+        # manifest's retired list (r8): the old swap-then-delete order
+        # leaked prev_retired permanently on a crash in between —
+        # referenced by no manifest, deleted by no one.
         import shutil
 
+        still: list[str] = []
         for fname in prev_retired:
             p = os.path.join(self.path, "data", fname)
             if os.path.isdir(p):
@@ -212,3 +213,9 @@ class ParquetStoreSink:
                     os.remove(p)
                 except OSError:
                     pass
+            if os.path.exists(p):
+                still.append(fname)
+        m["buckets"] = new_buckets
+        m["last_epoch"] = int(epoch_id)
+        m["retired"] = retired_now + still
+        self._swap_manifest(m)

@@ -226,3 +226,130 @@ def test_exactly_once_reconcile_store_chaos(spark, tmp_path):
     }
     writer(spark.createDataFrame([("z", 99.0, "evil")], schema), epoch_id=0)
     assert {(r.rid, r.val) for r in writer.read().collect()} == got
+
+
+def test_legacy_manifest_migration_scoped(spark, tmp_path):
+    """ADVICE r7 (medium): a pre-r7 single-snapshot store must migrate on
+    the first SCOPED commit — per-scope history/timestamp guards intact
+    (an older incoming row is rejected), no resurrection of deleted
+    resources via read(), legacy file retired with the usual grace."""
+    import json
+    import os
+    import pathlib
+
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+
+    schema = (
+        "site string, rid string, resource_creation_timestamp double,"
+        " val string"
+    )
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "data"))
+    # hand-write the pre-r7 layout: one global snapshot + old manifest
+    spark.createDataFrame(
+        [
+            ("A", "a", 30.0, "a-old"),
+            ("A", "b", 10.0, "b-old"),
+            ("B", "x", 10.0, "x-old"),
+        ],
+        schema,
+    ).write.parquet(os.path.join(store, "data", "legacy.parquet"))
+    with open(os.path.join(store, "MANIFEST"), "w") as f:
+        json.dump({"last_epoch": 0, "snapshot": "legacy.parquet"}, f)
+
+    w = ExactlyOnceResourceStoreWriter(
+        spark, store, identity_cols=["site", "rid"], scope_cols=["site"]
+    )
+    # pre-migration read: exactly the legacy content, no duplication
+    pre = {(r.site, r.rid, r.val) for r in w.read().collect()}
+    assert pre == {("A", "a", "a-old"), ("A", "b", "b-old"),
+                   ("B", "x", "x-old")}
+
+    # epoch 1, site A only: 'a' arrives OLDER (ts 20 < stored 30) -> the
+    # stored row must survive (guards only work if the merge saw the
+    # migrated content, not an empty store); 'b' absent within A ->
+    # deleted; site B untouched.
+    w(
+        spark.createDataFrame([("A", "a", 20.0, "a-new")], schema),
+        epoch_id=1,
+    )
+    got = {(r.site, r.rid, r.val) for r in w.read().collect()}
+    assert got == {("A", "a", "a-old"), ("B", "x", "x-old")}
+
+    m = w.manifest()
+    assert "__legacy__" not in m["scopes"] and "" not in m["scopes"]
+    # legacy file retired (grace: still on disk until the next commit)
+    assert "legacy.parquet" in m["retired"]
+    assert pathlib.Path(store, "data", "legacy.parquet").exists()
+    w(
+        spark.createDataFrame([("A", "a", 40.0, "a-40")], schema),
+        epoch_id=2,
+    )
+    assert not pathlib.Path(store, "data", "legacy.parquet").exists()
+    # no orphans: every file under data/ is manifest-referenced
+    m2 = w.manifest()
+    referenced = set(m2["scopes"].values()) | set(m2["retired"])
+    on_disk = {p.name for p in pathlib.Path(store, "data").iterdir()}
+    assert on_disk <= referenced
+
+
+def test_legacy_manifest_migration_unscoped(spark, tmp_path):
+    """Unscoped upgrade: the legacy snapshot is adopted as the global
+    scope (pure manifest rename, no rewrite) and the first merge applies
+    its guards against it."""
+    import json
+    import os
+
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+
+    schema = "rid string, resource_creation_timestamp double, val string"
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "data"))
+    spark.createDataFrame(
+        [("a", 30.0, "a-old"), ("b", 10.0, "b-old")], schema
+    ).write.parquet(os.path.join(store, "data", "legacy.parquet"))
+    with open(os.path.join(store, "MANIFEST"), "w") as f:
+        json.dump({"last_epoch": 0, "snapshot": "legacy.parquet"}, f)
+
+    w = ExactlyOnceResourceStoreWriter(spark, store, identity_cols=["rid"])
+    # incoming: 'a' older -> stored survives; 'b' absent -> deleted;
+    # 'c' added
+    w(
+        spark.createDataFrame(
+            [("a", 20.0, "a-new"), ("c", 20.0, "c-new")], schema
+        ),
+        epoch_id=1,
+    )
+    got = {(r.rid, r.val) for r in w.read().collect()}
+    assert got == {("a", "a-old"), ("c", "c-new")}
+    m = w.manifest()
+    assert "__legacy__" not in m["scopes"] and "" not in m["scopes"]
+
+
+def test_retired_files_never_orphaned(spark, tmp_path):
+    """ADVICE r7 (low): GC runs BEFORE the manifest swap and survivors
+    carry forward — at every commit boundary, every file under data/ is
+    referenced by the manifest (scopes or retired); nothing can leak."""
+    import pathlib
+
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+
+    schema = "rid string, resource_creation_timestamp double, val string"
+    store = str(tmp_path / "store")
+    w = ExactlyOnceResourceStoreWriter(spark, store, identity_cols=["rid"])
+    for e in range(4):
+        w(
+            spark.createDataFrame([("a", float(10 + e), f"v{e}")], schema),
+            epoch_id=e,
+        )
+        m = w.manifest()
+        referenced = set(m["scopes"].values()) | set(m["retired"])
+        on_disk = {p.name for p in pathlib.Path(store, "data").iterdir()}
+        assert on_disk <= referenced, (e, on_disk - referenced)
+    assert {r.val for r in w.read().collect()} == {"v3"}
