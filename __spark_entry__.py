@@ -3230,25 +3230,11 @@ def _telemetry_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="metric_value",
         interval_sec=_RATE_INTERVAL,
     )
-    live = rates.join(
-        F.broadcast(store.select("resource_id", "site")), "resource_id"
-    )
-    fan = live.select(
-        "*",
-        F.explode(
-            F.array(
-                F.concat(F.col("site"), F.lit("-processed")),
-                F.lit("panoptes-metrics"),
-            )
-        ).alias("topic"),
-    )
-    return fan.groupBy("topic", "metrics_group_type").agg(
-        F.count("*").alias("n_points"),
-        F.countDistinct("resource_id").alias("n_series"),
-        F.round(F.sum(F.col("rate").cast("decimal(20,2)")), 2)
-        .cast("double")
-        .alias("sum_rate"),
-    )
+    from panoptes_spark.operators.telemetry import telemetry_end_state
+
+    # shared plan tail (enrich -> fan-out -> rollup): the streaming-parity
+    # test routes its composed stream through the SAME function
+    return telemetry_end_state(store, rates)
 
 
 _TELEMETRY_E2E_ORACLE = f"""

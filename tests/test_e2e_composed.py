@@ -263,3 +263,111 @@ def test_four_subsystem_composed_with_restart(spark, tmp_path):
     assert all(l.startswith("interface,resource_class=network") for l in lines)
     assert any("bits_in__counter=7000" in l for l in lines)
     assert all("resource_site" not in l or "dc1" in l for l in lines)
+
+
+# points for the streaming-parity run: two poll cycles 60 s apart; dev-b
+# is deleted by discovery cycle 2 so its rate computes but must not
+# enrich/fan out — the composed test's cycle-2 assertion, checked here
+# through the telemetry_e2e plan tail itself
+PTS1 = [("dev-a", "ifc", 60_000, 1000.0), ("dev-b", "ifc", 60_000, 500.0)]
+PTS2 = [("dev-a", "ifc", 120_000, 7000.0), ("dev-b", "ifc", 120_000, 800.0)]
+
+
+def test_streaming_end_state_matches_batch_plan(spark, tmp_path):
+    """r7 directive 8: the composed STREAMING run's end state equals the
+    ``telemetry_e2e`` BATCH plan's result on the same input — both sides
+    routed through the shared ``telemetry_end_state`` tail (parity, not
+    a new oracle) — with every stage restarted from its checkpoint
+    between cycles, plus a chaos replay of the final discovery epoch."""
+    from panoptes_spark.operators.telemetry import telemetry_end_state
+
+    paths = {
+        n: str(tmp_path / n)
+        for n in ("res_src", "store", "pts_src", "rates", "ck_res", "ck_rate")
+    }
+
+    def run_discovery(batch_rows, fname):
+        spark.createDataFrame(batch_rows, RES_SCHEMA).coalesce(1).write.parquet(
+            paths["res_src"] + "/" + fname
+        )
+        stream = spark.readStream.schema(RES_SCHEMA).parquet(
+            paths["res_src"] + "/*"
+        )
+        q = reconcile_stream(
+            stream, spark, paths["store"], paths["ck_res"],
+            identity_cols=["rid"],
+        )
+        q.awaitTermination(180)
+
+    def run_rates(batch_rows, fname):
+        spark.createDataFrame(batch_rows, POINTS_SCHEMA).coalesce(1) \
+            .write.parquet(paths["pts_src"] + "/" + fname)
+        stream = spark.readStream.schema(POINTS_SCHEMA).parquet(
+            paths["pts_src"] + "/*"
+        )
+        q = (
+            rate_stream(stream, interval_sec=600)
+            .writeStream.format("parquet")
+            .option("path", paths["rates"])
+            .option("checkpointLocation", paths["ck_rate"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # cycle 1, then restart-from-checkpoint for cycle 2
+    run_discovery(RES_SET1, "b1")
+    run_rates(PTS1, "b1")
+    run_discovery(RES_SET2, "b2")
+    run_rates(PTS2, "b2")
+    # chaos: replay the final discovery epoch (a foreachBatch retry after
+    # a post-commit crash) — the exactly-once writer must no-op it
+    writer_store = _read_store(spark, paths["store"])
+    from panoptes_spark.streaming.reconcile_stream import (
+        ExactlyOnceResourceStoreWriter,
+    )
+    w = ExactlyOnceResourceStoreWriter(
+        spark, paths["store"], identity_cols=["rid"]
+    )
+    last_epoch = w.manifest()["last_epoch"]
+    w(spark.createDataFrame(RES_SET2, RES_SCHEMA), epoch_id=last_epoch)
+
+    # streaming side of the parity: the reconciled store + streamed rates
+    # through the SHARED plan tail
+    stream_store = _read_store(spark, paths["store"]).select(
+        F.col("rid").alias("resource_id"), "site"
+    )
+    stream_rates = spark.read.parquet(paths["rates"])
+    stream_end = {
+        tuple(r)
+        for r in telemetry_end_state(stream_store, stream_rates).collect()
+    }
+
+    # batch side: apply_reconciliation folds + rate_transform over the
+    # union of all points, through the same tail
+    empty = spark.createDataFrame([], RES_SCHEMA)
+    m1 = apply_reconciliation(
+        empty, spark.createDataFrame(RES_SET1, RES_SCHEMA), 10.0, ["rid"],
+        "resource_creation_timestamp",
+    )
+    m2 = apply_reconciliation(
+        m1, spark.createDataFrame(RES_SET2, RES_SCHEMA), 20.0, ["rid"],
+        "resource_creation_timestamp",
+    )
+    batch_store = m2.select(F.col("rid").alias("resource_id"), "site")
+    all_points = spark.createDataFrame(PTS1 + PTS2, POINTS_SCHEMA)
+    batch_rates = rate_transform(
+        all_points, ["resource_id", "metrics_group_type"], interval_sec=600
+    )
+    batch_end = {
+        tuple(r)
+        for r in telemetry_end_state(batch_store, batch_rates).collect()
+    }
+
+    assert stream_end == batch_end
+    # dev-a (site dc1) survives; dev-b rated but deleted -> no dc2 topic
+    assert stream_end == {
+        ("dc1-processed", "ifc", 1, 1, 100.0),
+        ("panoptes-metrics", "ifc", 1, 1, 100.0),
+    }
