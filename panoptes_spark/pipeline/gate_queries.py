@@ -1274,9 +1274,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fx.read_table(spark, sf_dir, "documents")
     pairs = _dedup_artifact(spark, sf_dir).pairs()
-    splits = assign_split(
-        docs, "doc_id", salt="leak", fractions=_LEAK_FRACS
-    ).select("doc_id", "split")
+    # the splits dim feeds BOTH sides of the leakage join (split_a and
+    # split_b) — materialize so the murmur3 chain runs once, not per side
+    splits = dedup.materialize_once(
+        assign_split(
+            docs, "doc_id", salt="leak", fractions=_LEAK_FRACS
+        ).select("doc_id", "split")
+    )
     return split_leakage(pairs, splits).select(
         "a", "b", "jaccard", "split_a", "split_b"
     )
