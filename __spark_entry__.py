@@ -3721,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: fixed interleave kept them outside every round's 50-gate prefix)
 _DRIVER_PRIORITY = [
     "ann_index_topk",
+    "dedup_incremental_pairs",
     "binned_quantiles",
     "bm25_search",
     "corpus_divergence",

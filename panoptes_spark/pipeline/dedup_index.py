@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from . import dedup
 from .components import connected_components
 
-__all__ = ["build_dedup_index", "DedupIndex"]
+__all__ = ["build_dedup_index", "update_dedup_index", "DedupIndex"]
 
 
 def build_dedup_index(
@@ -81,6 +81,12 @@ def build_dedup_index(
         pairs = dedup.jaccard_verify(cand, sig, id_col, threshold)
         pairs_path = os.path.join(path, "pairs.parquet")
         pairs.write.mode("overwrite").parquet(pairs_path)
+        # signatures persist in the artifact (num_hashes longs per doc —
+        # tiny next to the corpus) so `update_dedup_index` can band the
+        # EXISTING corpus without rescanning its text
+        sig.select(id_col, "minhash").write.mode("overwrite").parquet(
+            os.path.join(path, "signatures.parquet")
+        )
     finally:
         sig.unpersist()
 
@@ -97,7 +103,7 @@ def build_dedup_index(
         os.path.join(path, "components.parquet")
     ).count()
     manifest = {
-        "format_version": 1,
+        "format_version": 2,  # 2 = carries signatures.parquet
         "id_col": id_col,
         "text_col": text_col,
         "k_shingle": int(k_shingle),
@@ -118,6 +124,162 @@ def build_dedup_index(
     return DedupIndex(spark, path)
 
 
+def update_dedup_index(
+    old: "DedupIndex",
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    path: str,
+) -> "DedupIndex":
+    """Append ``new_docs`` to an existing index WITHOUT re-running the
+    minhash chain over the old corpus — the 100 TB growth path (a corpus
+    that gains 1% per day cannot afford a full re-shingle per append).
+    Result is EXACTLY the full rebuild over ``old_docs ∪ new_docs``
+    (asserted by ``test_dedup_index_incremental_equals_rebuild``).
+
+    Incremental work, by stage:
+
+    - signatures: computed for NEW docs only; the old corpus's come from
+      the artifact (``signatures.parquet`` — its text is never rescanned);
+    - banding: both signature sets band (narrow expressions over the
+      signature tables, not the corpora);
+    - bucket cap: eligibility is re-evaluated on COMBINED bucket sizes.
+      Sizes only GROW under appends, so eligible-in-combined ⇒
+      eligible-in-old ⇒ every still-eligible (old, old) candidate was
+      already verified by the old build — old pairs need only a
+      candidacy REVALIDATION (drop pairs whose every generating bucket
+      crossed the cap), never re-verification. That monotonicity is what
+      makes the incremental result exact, cap included;
+    - new candidate pairs (≥ 1 new member) are Jaccard-verified as
+      usual; OLD members' shingle sets are recomputed on demand for the
+      candidate docs ONLY (a semi-join prunes the old corpus scan to the
+      handful of docs that actually collide with new ones);
+    - components re-propagate over the combined pair set (edge-sized,
+      bounded rounds — never corpus-sized).
+    """
+    spark = new_docs.sparkSession
+    meta = old.meta
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    k_shingle, num_hashes = meta["k_shingle"], meta["num_hashes"]
+    bands, threshold = meta["bands"], meta["threshold"]
+    max_bucket_size = meta["max_bucket_size"]
+    if int(meta.get("format_version", 1)) < 2:
+        raise ValueError(
+            f"index at {old.path} predates signatures.parquet "
+            "(format_version < 2); rebuild once with build_dedup_index"
+        )
+
+    os.makedirs(path, exist_ok=True)
+    sig_new = dedup.materialize_once(
+        dedup.minhash_signature(new_docs, text_col, k_shingle, num_hashes)
+    )
+    try:
+        b_old = dedup.banded_buckets(
+            old.signatures(), id_col, num_hashes, bands
+        ).withColumn("__new", F.lit(False))
+        b_new = dedup.banded_buckets(
+            sig_new, id_col, num_hashes, bands
+        ).withColumn("__new", F.lit(True))
+        banded = b_old.unionByName(b_new)
+        if max_bucket_size is not None:
+            sizes = banded.groupBy("band", "bucket").agg(
+                F.count("*").alias("__bn")
+            )
+            eligible = banded.join(
+                sizes.where(F.col("__bn") <= max_bucket_size),
+                ["band", "bucket"],
+            ).drop("__bn")
+        else:
+            eligible = banded
+        eligible = dedup.materialize_once(eligible)
+
+        # candidate pairs with >= 1 new member (old-old candidacy is
+        # settled by the old build + the revalidation below)
+        l, r = eligible.alias("l"), eligible.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                & (F.col("l.__new") | F.col("r.__new")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("a"),
+                F.col(f"r.{id_col}").alias("b"),
+            )
+            .distinct()
+        )
+        # shingle sets for verification: new docs carry theirs in
+        # sig_new; old docs re-shingle ON DEMAND for candidate members
+        # only (semi-join prunes the corpus scan)
+        old_ids = (
+            cand.select(F.col("a").alias(id_col))
+            .unionByName(cand.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        old_cand_docs = old_docs.join(old_ids, id_col, "left_semi")
+        sh_old = old_cand_docs.select(
+            F.col(id_col),
+            F.expr(dedup.shingles_col(text_col, k_shingle)).alias("shingles"),
+        )
+        sh_all = sig_new.select(id_col, "shingles").unionByName(sh_old)
+        new_pairs = dedup.jaccard_verify(cand, sh_all, id_col, threshold)
+
+        # revalidate OLD pairs: keep iff some shared bucket is still
+        # under the (combined) cap — candidacy can only shrink, and the
+        # verified jaccard is unchanged
+        old_pairs = old.pairs()
+        if max_bucket_size is not None:
+            ea = eligible.select(
+                F.col(id_col).alias("a"), "band", "bucket"
+            )
+            eb = eligible.select(
+                F.col(id_col).alias("b"), "band", "bucket"
+            )
+            kept_old = old_pairs.join(
+                ea.join(eb, ["band", "bucket"]).select("a", "b").distinct(),
+                ["a", "b"],
+                "left_semi",
+            )
+        else:
+            kept_old = old_pairs
+        pairs = kept_old.unionByName(new_pairs)
+        pairs_path = os.path.join(path, "pairs.parquet")
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        old.signatures().unionByName(
+            sig_new.select(id_col, "minhash")
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "signatures.parquet")
+        )
+    finally:
+        # release only THIS update's persists (a global release could
+        # drop frames a concurrent consumer registered)
+        sig_new.unpersist()
+        try:
+            eligible.unpersist()
+        except NameError:
+            pass
+
+    all_ids = old_docs.select(id_col).unionByName(new_docs.select(id_col))
+    pairs_back = spark.read.parquet(pairs_path)
+    comps = connected_components(
+        pairs_back, nodes=all_ids, max_iter=meta["max_iter"]
+    )
+    comps.write.mode("overwrite").parquet(
+        os.path.join(path, "components.parquet")
+    )
+    manifest = dict(meta)
+    manifest["n_pairs"] = int(spark.read.parquet(pairs_path).count())
+    manifest["n_nodes"] = int(
+        spark.read.parquet(os.path.join(path, "components.parquet")).count()
+    )
+    tmp = os.path.join(path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "MANIFEST.json"))
+    return DedupIndex(spark, path)
+
+
 class DedupIndex:
     """Handle over a built dedup artifact directory."""
 
@@ -126,6 +288,13 @@ class DedupIndex:
         self.path = path
         with open(os.path.join(path, "MANIFEST.json")) as f:
             self.meta = json.load(f)
+
+    def signatures(self) -> DataFrame:
+        """(id, minhash array<bigint>) — the banding input, persisted so
+        incremental updates never rescan the old corpus text."""
+        return self.spark.read.parquet(
+            os.path.join(self.path, "signatures.parquet")
+        )
 
     @staticmethod
     def is_built(path: str) -> bool:

@@ -104,6 +104,42 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_artifact(spark, sf_dir).pairs().orderBy("a", "b")
 
 
+def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental index maintenance (r8): build over 80% of the
+    corpus, APPEND the rest via ``update_dedup_index`` (new docs
+    signed/banded; old text re-shingled only for candidate members;
+    bucket-cap eligibility re-evaluated on combined sizes), and check
+    the updated artifact's pairs against the FULL-corpus oracle — the
+    equality a full rebuild would satisfy."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .dedup_index import DedupIndex, build_dedup_index, update_dedup_index
+
+    app = spark.sparkContext.applicationId
+    real = os.path.realpath(sf_dir)
+    key = (app, real, "incr")
+    idx = _DEDUP_IDX_CACHE.get(key)
+    if idx is None:
+        tag = hashlib.md5(f"{app}|{real}|incr".encode()).hexdigest()[:16]
+        base = os.path.join(tempfile.gettempdir(), f"panoptes_dedup_incr_{tag}")
+        docs = fx.read_table(spark, sf_dir, "documents")
+        old_docs = docs.where(F.col("doc_id") % 5 > 0)
+        new_docs = docs.where(F.col("doc_id") % 5 == 0)
+        upd_path = os.path.join(base, "upd")
+        if DedupIndex.is_built(upd_path):
+            idx = DedupIndex(spark, upd_path)
+        else:
+            old_idx = build_dedup_index(
+                old_docs, os.path.join(base, "old"),
+                "doc_id", "text", _K, _NH, _BANDS, _THRESH,
+            )
+            idx = update_dedup_index(old_idx, old_docs, new_docs, upd_path)
+        _DEDUP_IDX_CACHE[key] = idx
+    return idx.pairs().orderBy("a", "b")
+
+
 O_DEDUP_MINHASH = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -3207,6 +3243,7 @@ QUERIES = {
     "pq_recall_trained": q_pq_recall_trained,
     # --- r8 additions ---
     "ann_index_topk": q_ann_index_topk,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
 }
 
 ORACLES = {
@@ -3280,4 +3317,7 @@ ORACLES = {
     "pq_recall_trained": _o_pq_recall_trained(),
     # --- r8 additions ---
     "ann_index_topk": _o_ivfpq_topk(),
+    # the incremental update must equal the full rebuild, so its oracle
+    # is the FULL-corpus pair replay
+    "dedup_incremental_pairs": O_DEDUP_MINHASH,
 }

@@ -1749,3 +1749,69 @@ def test_trained_index_improves_recall(spark, tmp_path, sf_dir):
     r_seed = recall(0, "seed")
     r_trained = recall(2, "trained")
     assert r_trained > r_seed, (r_seed, r_trained)
+
+
+def test_dedup_index_incremental_equals_rebuild(spark, tmp_path, sf_dir):
+    """update_dedup_index(old, new) == build_dedup_index(old ∪ new) on
+    BOTH relations — the exact append path (new docs signed/banded, old
+    corpus text never re-shingled except for the candidate members)."""
+    from panoptes_spark.pipeline.dedup_index import (
+        build_dedup_index,
+        update_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_docs = docs.where("doc_id % 5 > 0")
+    new_docs = docs.where("doc_id % 5 = 0")
+
+    old_idx = build_dedup_index(old_docs, str(tmp_path / "old"))
+    upd = update_dedup_index(
+        old_idx, old_docs, new_docs, str(tmp_path / "upd")
+    )
+    full = build_dedup_index(docs, str(tmp_path / "full"))
+
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(upd.pairs()) == canon(full.pairs())
+    assert canon(upd.components()) == canon(full.components())
+    assert upd.meta["n_nodes"] == docs.count()
+    # the updated artifact itself supports a further update (signatures
+    # carried forward)
+    assert canon(upd.signatures().select("doc_id")) == canon(
+        docs.select("doc_id")
+    )
+
+
+def test_dedup_index_incremental_cap_crossing(spark, tmp_path):
+    """The bucket cap re-evaluates on COMBINED sizes: a template cluster
+    under the cap in the old corpus (pairs generated) that crosses it
+    after the append must have those old pairs RETRACTED — exactly what
+    a full rebuild would do (oversized buckets take the representative
+    route, not the O(k²) pair join)."""
+    from panoptes_spark.pipeline.dedup_index import (
+        build_dedup_index,
+        update_dedup_index,
+    )
+
+    tpl = "identical template document body with enough words to shingle"
+    uniq = "totally different content number {} talking about other things"
+    old_rows = [(i, tpl) for i in range(3)] + [
+        (10 + i, uniq.format(i)) for i in range(4)
+    ]
+    new_rows = [(100, tpl), (101, tpl)]
+    schema = "doc_id long, text string"
+    old_docs = spark.createDataFrame(old_rows, schema)
+    new_docs = spark.createDataFrame(new_rows, schema)
+    both = old_docs.unionByName(new_docs)
+
+    kw = dict(max_bucket_size=3)
+    old_idx = build_dedup_index(old_docs, str(tmp_path / "old"), **kw)
+    assert old_idx.pairs().count() == 3  # 3-clone cluster under the cap
+    upd = update_dedup_index(
+        old_idx, old_docs, new_docs, str(tmp_path / "upd")
+    )
+    full = build_dedup_index(both, str(tmp_path / "full"), **kw)
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    # the cluster is now 5 > cap: every bucket it occupies is ineligible,
+    # so the old pairs retract and no new ones form
+    assert canon(upd.pairs()) == canon(full.pairs()) == []
+    assert canon(upd.components()) == canon(full.components())
