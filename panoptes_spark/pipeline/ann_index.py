@@ -163,6 +163,44 @@ class IvfPqIndex:
             os.path.join(self.path, "codebooks.parquet")
         )
 
+    def append(self, new_corpus: DataFrame) -> "IvfPqIndex":
+        """Append vectors to the index WITHOUT retraining: new rows are
+        assigned to the EXISTING coarse cells and encoded with the
+        EXISTING codebooks, then written into the cell partitions
+        (append mode — parquet partition dirs gain files, nothing is
+        rewritten). Result ranks identically to an index built over the
+        combined corpus with these same centroids/codebooks
+        (``test_ann_index_append_matches_combined``).
+
+        The production growth path at 100 TB: write volume is the new
+        rows' (8+4+m) bytes each; the frozen-codebook trade-off is the
+        standard one (FAISS ``add`` semantics) — retrain+rebuild when
+        the data distribution drifts, which the manifest's n_rows growth
+        makes observable."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        n_new = new_corpus.count()
+        if n_new == 0:
+            return self
+        enc = _pq.pq_encode(new_corpus, self.codebooks(), id_col, vec_col)
+        idx = (
+            ivf_assign(
+                new_corpus, self.centroids(), id_col, vec_col, nprobe=1
+            )
+            .select(id_col, "cell_id")
+            .join(enc, id_col)
+            .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+        )
+        idx.write.mode("append").partitionBy("cell_id").parquet(
+            os.path.join(self.path, "index.parquet")
+        )
+        self.meta["n_rows"] = int(self.meta["n_rows"]) + int(n_new)
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+        return self
+
     def topk(
         self,
         queries: DataFrame,

@@ -1815,3 +1815,45 @@ def test_dedup_index_incremental_cap_crossing(spark, tmp_path):
     # so the old pairs retract and no new ones form
     assert canon(upd.pairs()) == canon(full.pairs()) == []
     assert canon(upd.components()) == canon(full.components())
+
+
+def test_ann_index_append_matches_combined(spark, tmp_path, sf_dir):
+    """IvfPqIndex.append (FAISS `add` semantics — frozen cells and
+    codebooks) == an index built over the combined corpus with the SAME
+    centroids/codebooks; the appended rows land in cell partitions
+    without rewriting existing files, and the manifest row count grows."""
+    from panoptes_spark.pipeline.ann_index import IvfPqIndex, build_ivfpq_index
+    from panoptes_spark.pipeline.pq import ivfpq_topk, pq_train
+    from panoptes_spark.pipeline.similarity import seed_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where("vec_id % 4 > 0")
+    new = emb.where("vec_id % 4 = 0")
+    queries = emb.where("vec_id % 25 = 0")
+
+    idx = build_ivfpq_index(
+        old, str(tmp_path / "grow"), m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    n_before = idx.meta["n_rows"]
+    idx.append(new)
+    assert idx.meta["n_rows"] == n_before + new.count()
+    got = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
+
+    # reference: the composed plan over the COMBINED corpus with the
+    # index's frozen (old-corpus) centroids/codebooks
+    cents = seed_centroids(old, n_cells=16)
+    cbs = pq_train(old, m=8, n_codes=16)
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(emb, queries, cents, cbs, k=10, nprobe=4).collect(),
+        )
+    )
+    assert got == want
+    # a fresh handle sees the appended state too (manifest durable)
+    again = IvfPqIndex(spark, str(tmp_path / "grow"))
+    assert again.meta["n_rows"] == n_before + new.count()
+    # empty append is a no-op
+    idx.append(new.where("vec_id < 0"))
+    assert idx.meta["n_rows"] == n_before + new.count()
