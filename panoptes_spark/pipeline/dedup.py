@@ -754,3 +754,114 @@ def simhash_hamming_pairs(
         sim_df, id_col, "simhash", SIMHASH_BITS, max_hamming,
         max(bands, max_hamming + 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (shared-substring dedup)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  #: words per k-gram
+WINNOW_WINDOW = 4  #: winnowing window; guarantee length t = K + WINDOW - 1
+WINNOW_MAX_DF = 32  #: fingerprints in more docs are boilerplate — dropped
+WINNOW_MIN_SHARED = 3  #: report pairs sharing at least this many prints
+
+
+def winnow_fingerprints_col(
+    text_col: str, k: int = WINNOW_K, window: int = WINNOW_WINDOW
+) -> str:
+    """Spark SQL for the winnowing fingerprint set of ``text_col``.
+
+    Winnowing (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms
+    for Document Fingerprinting", SIGMOD 2003): hash every word
+    ``k``-gram, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum. The selected VALUE set is tie-break
+    independent (ties pick the same value), and any word run of
+    ``window + k - 1`` words shared by two documents is guaranteed to
+    contribute at least one common fingerprint — the local property
+    that makes shared-SUBSTRING detection (vs whole-doc minhash
+    similarity) work.
+
+    Every intermediate (word array, k-gram array, hash array) binds as
+    a single-element ``transform`` let-variable — the same
+    anti-inlining guard as :func:`shingles_col`; a naive nested
+    expression would recompute the split/md5 once per window."""
+    h = spark_hash64("s")
+    grams = (
+        f"CASE WHEN size(w) < {k} "
+        f"THEN array(concat_ws(' ', w)) "
+        f"ELSE transform(sequence(1, size(w) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(w, i, {k}))) END"
+    )
+    mins = (
+        f"CASE WHEN size(hs) < {window} "
+        f"THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {window} + 1),"
+        f" j -> array_min(slice(hs, j, {window}))) END"
+    )
+    return (
+        f"array_distinct(element_at(transform(array(split({text_col}, ' ')),"
+        f" w -> element_at(transform(array({grams}),"
+        f" g -> element_at(transform(array(transform(g, s -> {h})),"
+        f" hs -> {mins}), 1)), 1)), 1))"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """(id, fp) — one row per distinct winnowing fingerprint per doc.
+
+    Map-only: one md5 per k-gram, window-min via array slices, explode.
+    Winnowing selects ~2/(window+1) of positions, so the exploded
+    relation is a small fraction of the gram count — the density knob
+    that keeps the downstream fp-join shuffle bounded at corpus scale."""
+    df = spread_for_compute(df)
+    fps = df.withColumn(
+        "__fps", F.expr(winnow_fingerprints_col(text_col, k, window))
+    )
+    return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """(a, b, shared_fps) — document pairs sharing >= ``min_shared``
+    winnowing fingerprints, i.e. pairs sharing exact word runs of at
+    least ``window + k - 1`` words (the substring-level dedup the
+    whole-document signatures miss: minhash needs global similarity,
+    winnowing catches a long quoted passage inside otherwise-unrelated
+    docs).
+
+    Scale shape — identical to the banded minhash join, and safe for
+    the same reasons: fingerprint extraction is map-only; document
+    frequency is a partial-aggregated groupBy; fingerprints above
+    ``max_df`` (boilerplate/common substrings — the standard MOSS
+    deployment guard) are dropped BEFORE the self-join, so every join
+    bucket is <= ``max_df`` rows and the pair fan-out per fingerprint
+    is bounded by ``max_df``²; the join itself is a plain fp equi-join
+    (no cartesian). The df-filter join and the pair self-join share the
+    fp hash partitioning."""
+    e = materialize_once(winnow_fingerprints(df, id_col, text_col, k, window))
+    dfreq = e.groupBy("fp").agg(F.count("*").alias("__df"))
+    kept = e.join(
+        dfreq.where(F.col("__df") <= max_df).select("fp"), "fp"
+    )
+    left = kept.select(F.col("fp"), F.col(id_col).alias("a"))
+    right = kept.select(F.col("fp"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -140,6 +140,59 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.pairs().orderBy("a", "b")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing shared-substring pairs (r8): local fingerprinting per
+    SIGMOD'03 winnowing — pairs sharing >= WINNOW_MIN_SHARED selected
+    k-gram window minima, i.e. sharing exact word runs of
+    WINNOW_WINDOW + WINNOW_K - 1 words. The substring-level dedup
+    member the whole-doc signatures (minhash/simhash) miss."""
+    docs = fx.read_table(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(docs).orderBy("a", "b")
+
+
+O_WINNOW_PAIRS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) < {dedup.WINNOW_K}
+      THEN [array_to_string(words, ' ')]
+      ELSE list_transform(range(1, len(words) - {dedup.WINNOW_K} + 2),
+           i -> array_to_string(words[i:i+{dedup.WINNOW_K - 1}], ' '))
+    END AS grams
+  FROM w
+),
+h AS (
+  SELECT doc_id,
+    list_transform(grams,
+      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM g
+),
+fp AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(hs) < {dedup.WINNOW_WINDOW}
+      THEN [list_min(hs)]
+      ELSE list_transform(range(1, len(hs) - {dedup.WINNOW_WINDOW} + 2),
+           j -> list_min(hs[j:j+{dedup.WINNOW_WINDOW - 1}]))
+    END) AS fps
+  FROM h
+),
+e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM fp
+),
+dfreq AS (SELECT fp, count(*) AS df FROM e GROUP BY fp),
+kept AS (
+  SELECT e.* FROM e JOIN dfreq d USING (fp)
+  WHERE d.df <= {dedup.WINNOW_MAX_DF}
+)
+SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_fps
+FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
+"""
+
+
 O_DEDUP_MINHASH = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -3244,6 +3297,7 @@ QUERIES = {
     # --- r8 additions ---
     "ann_index_topk": q_ann_index_topk,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "dedup_winnow_pairs": q_winnow_pairs,
 }
 
 ORACLES = {
@@ -3320,4 +3374,5 @@ ORACLES = {
     # the incremental update must equal the full rebuild, so its oracle
     # is the FULL-corpus pair replay
     "dedup_incremental_pairs": O_DEDUP_MINHASH,
+    "dedup_winnow_pairs": O_WINNOW_PAIRS,
 }

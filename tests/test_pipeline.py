@@ -1857,3 +1857,54 @@ def test_ann_index_append_matches_combined(spark, tmp_path, sf_dir):
     # empty append is a no-op
     idx.append(new.where("vec_id < 0"))
     assert idx.meta["n_rows"] == n_before + new.count()
+
+
+def test_winnow_substring_guarantee(spark):
+    """Winnowing's local guarantee: any shared word run of
+    window + k - 1 words yields >= 1 common fingerprint; fully
+    disjoint vocabularies yield none."""
+    k, w = dedup.WINNOW_K, dedup.WINNOW_WINDOW
+    run = " ".join(f"shared{i}" for i in range(w + k - 1))
+    a_text = " ".join(f"alpha{i}" for i in range(30)) + " " + run + " " + \
+        " ".join(f"alpha{i}" for i in range(30, 60))
+    b_text = " ".join(f"beta{i}" for i in range(45)) + " " + run + " " + \
+        " ".join(f"beta{i}" for i in range(45, 70))
+    c_text = " ".join(f"gamma{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], ["doc_id", "text"]
+    )
+    pairs = dedup.winnow_pairs(df, min_shared=1).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    dedup.release_materialized()
+
+
+def test_winnow_short_doc_edges(spark):
+    """Docs shorter than k words fingerprint the whole text; docs with
+    fewer grams than the window take the global min — identical short
+    docs must still pair, and the fingerprint arrays must be nonempty."""
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnow_fingerprints(df)
+    counts = {r["doc_id"]: r["n"] for r in
+              fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 1 and counts[2] == 1 and counts[3] >= 1
+    pairs = dedup.winnow_pairs(df, min_shared=1, max_df=10).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    dedup.release_materialized()
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A fingerprint present in more than max_df docs is dropped before
+    the self-join — the hot-bucket guard that bounds join fan-out."""
+    k, w = dedup.WINNOW_K, dedup.WINNOW_WINDOW
+    boiler = " ".join(f"boiler{i}" for i in range(w + k - 1))
+    rows = [(i, " ".join(f"u{i}x{j}" for j in range(20)) + " " + boiler)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.winnow_pairs(df, min_shared=1, max_df=3)
+    assert pairs.count() == 0
+    dedup.release_materialized()
