@@ -193,6 +193,66 @@ HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR data selection (hashed-ngram importance weights + Gumbel-top-k)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_PRED = "source IN ('src0', 'src1')"
+_DSIR_SELECT_K = 100
+
+
+def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from panoptes_spark.pipeline import selection
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    target = docs.where(F.expr(_DSIR_TARGET_PRED))
+    return selection.dsir_logweights(docs, target)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS'23): raw = the
+    whole corpus, target = two sources; every model table is bucket-
+    bounded and broadcast."""
+    return _dsir_weights_df(spark, sf_dir).orderBy("doc_id")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k selection over the DSIR log-weights — sampling
+    without replacement ∝ exp(log_weight), reproducible murmur3 noise,
+    TakeOrderedAndProject (only k rows move)."""
+    from panoptes_spark.pipeline import selection
+
+    w = _dsir_weights_df(spark, sf_dir)
+    return selection.dsir_select(w, _DSIR_SELECT_K)
+
+
+def _o_dsir_weights() -> str:
+    from panoptes_spark.pipeline import selection
+
+    return selection.dsir_oracle_sql(_DSIR_TARGET_PRED)
+
+
+def _o_dsir_select() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+    from panoptes_spark.pipeline import selection
+
+    chain = mmh3_cte_chain(
+        "base", "'dsir' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    return f"""
+WITH base AS ({selection.dsir_oracle_sql(_DSIR_TARGET_PRED)}),
+{chain},
+keyed AS (
+  SELECT doc_id, n_grams, log_weight,
+    round(CAST(log_weight AS DOUBLE)
+          - ln(-ln((__mm_hash + 0.5) / 4294967296.0)), 9) AS gkey
+  FROM mmh3
+)
+SELECT doc_id, n_grams, log_weight FROM keyed
+ORDER BY gkey DESC, doc_id ASC LIMIT {_DSIR_SELECT_K}
+"""
+
+
 O_DEDUP_MINHASH = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -3298,6 +3358,8 @@ QUERIES = {
     "ann_index_topk": q_ann_index_topk,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "dedup_winnow_pairs": q_winnow_pairs,
+    "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -3375,4 +3437,6 @@ ORACLES = {
     # is the FULL-corpus pair replay
     "dedup_incremental_pairs": O_DEDUP_MINHASH,
     "dedup_winnow_pairs": O_WINNOW_PAIRS,
+    "dsir_weights": _o_dsir_weights(),
+    "dsir_select": _o_dsir_select(),
 }

@@ -1908,3 +1908,51 @@ def test_winnow_max_df_drops_boilerplate(spark):
     pairs = dedup.winnow_pairs(df, min_shared=1, max_df=3)
     assert pairs.count() == 0
     dedup.release_materialized()
+
+
+def test_dsir_weights_favor_target(spark):
+    """Documents drawn from the target vocabulary must outscore
+    documents from a disjoint vocabulary."""
+    from panoptes_spark.pipeline import selection
+
+    a_rows = [(i, " ".join(f"medical{j % 7}" for j in range(j0, j0 + 25)))
+              for i, j0 in enumerate(range(0, 50, 5))]
+    b_rows = [(100 + i, " ".join(f"webspam{j % 9}" for j in range(j0, j0 + 25)))
+              for i, j0 in enumerate(range(0, 50, 5))]
+    raw = spark.createDataFrame(a_rows + b_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(a_rows[:4], ["doc_id", "text"])
+    w = {r["doc_id"]: r["log_weight"]
+         for r in selection.dsir_logweights(raw, target).collect()}
+    a_scores = [w[i] for i, _ in a_rows]
+    b_scores = [w[i] for i, _ in b_rows]
+    assert min(a_scores) > max(b_scores)
+
+
+def test_dsir_select_k_and_determinism(spark):
+    """Gumbel-top-k returns exactly k rows and is reproducible; adding
+    rows never evicts a pick except for a higher-keyed newcomer (here:
+    appending strictly-lower-weight rows keeps the picks)."""
+    from panoptes_spark.pipeline import selection
+
+    rows = [(i, float(i % 13) - 6.0) for i in range(200)]
+    w = spark.createDataFrame(rows, ["doc_id", "log_weight"])
+    s1 = {r["doc_id"] for r in selection.dsir_select(w, 20).collect()}
+    s2 = {r["doc_id"] for r in selection.dsir_select(w, 20).collect()}
+    assert len(s1) == 20 and s1 == s2
+    low = spark.createDataFrame(
+        [(1000 + i, -1000.0) for i in range(50)], ["doc_id", "log_weight"]
+    )
+    s3 = {r["doc_id"]
+          for r in selection.dsir_select(w.unionByName(low), 20).collect()}
+    assert s3 == s1
+
+
+def test_dsir_select_per_source_quota(spark):
+    from panoptes_spark.pipeline import selection
+
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(90)]
+    w = spark.createDataFrame(rows, ["doc_id", "grp", "log_weight"])
+    out = selection.dsir_select_per_source(w, 5, "grp")
+    per = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"g0": 5, "g1": 5, "g2": 5}
