@@ -8,7 +8,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import dedup, multimodal, pq, similarity, text
+from . import dedup, multimodal, pq, similarity, text, topics
 from ..sources import tpch_fixtures as fx
 
 # ---------------------------------------------------------------------------
@@ -478,6 +478,65 @@ _COS_CELL = (
     " / (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[]))"
     "    * sqrt(list_dot_product(centroid::DOUBLE[], centroid::DOUBLE[]))), 6)"
 )
+
+# ---------------------------------------------------------------------------
+# cluster topic terms (c-TF-IDF over IVF cells)
+# ---------------------------------------------------------------------------
+
+_TOPIC_CELLS = 8
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic terms per embedding cluster (BERTopic formula,
+    Grootendorst 2022): the top-5 class-TF-IDF terms of each IVF cell —
+    'what IS in this corpus slice'. Everything past one partial-agg
+    groupBy operates on a (cells × vocab)-bounded relation."""
+    from panoptes_spark.pipeline import topics
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    return topics.cluster_topic_terms(docs, emb, n_cells=_TOPIC_CELLS).orderBy(
+        "cell_id", "rank"
+    )
+
+
+O_CLUSTER_TOPICS = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_TOPIC_CELLS}
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+terms AS (
+  SELECT a.cell_id, unnest(string_split(d.text, ' ')) AS term
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+),
+tfc AS (SELECT cell_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+wc AS (SELECT cell_id, sum(tf) AS w_c FROM tfc GROUP BY 1),
+ft AS (SELECT term, sum(tf) AS f_t FROM tfc GROUP BY 1),
+ab AS (SELECT avg(w_c) AS a_bar FROM wc),
+scored AS (
+  SELECT t.cell_id, t.term,
+    round((tf::DOUBLE / w_c) * ln(1.0 + a_bar / f_t), 6) AS ctfidf
+  FROM tfc t JOIN wc USING (cell_id) JOIN ft USING (term) CROSS JOIN ab
+),
+ranked AS (
+  SELECT cell_id, term, ctfidf,
+    CAST(row_number() OVER (PARTITION BY cell_id
+         ORDER BY ctfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT cell_id, term, ctfidf, rank FROM ranked
+WHERE rank <= {topics.TOPIC_TOP_TERMS}
+"""
+
 
 O_IVF_TOPK = f"""
 WITH cents AS (
@@ -3360,6 +3419,7 @@ QUERIES = {
     "dedup_winnow_pairs": q_winnow_pairs,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "cluster_topics": q_cluster_topics,
 }
 
 ORACLES = {
@@ -3439,4 +3499,5 @@ ORACLES = {
     "dedup_winnow_pairs": O_WINNOW_PAIRS,
     "dsir_weights": _o_dsir_weights(),
     "dsir_select": _o_dsir_select(),
+    "cluster_topics": O_CLUSTER_TOPICS,
 }

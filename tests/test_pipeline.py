@@ -1956,3 +1956,30 @@ def test_dsir_select_per_source_quota(spark):
     per = {r["grp"]: r["n"] for r in
            out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert per == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def test_cluster_topics_separates_vocabularies(spark):
+    """Two embedding clusters with disjoint dominant vocabularies must
+    surface their own terms; shared filler words score lower than the
+    cluster-exclusive terms."""
+    from panoptes_spark.pipeline import topics
+
+    def vec(which):
+        return [1.0, 0.0] if which == 0 else [0.0, 1.0]
+
+    docs, embs = [], []
+    for i in range(20):
+        c = i % 2
+        word = "finance" if c == 0 else "biology"
+        docs.append((i, " ".join([word] * 8 + ["the"] * 2)))
+        embs.append((i, vec(c)))
+    docs_df = spark.createDataFrame(docs, ["doc_id", "text"])
+    embs_df = spark.createDataFrame(embs, ["vec_id", "embedding"])
+    out = topics.cluster_topic_terms(docs_df, embs_df, n_cells=2, top_terms=2)
+    rows = out.collect()
+    top1 = {r["cell_id"]: r["term"] for r in rows if r["rank"] == 1}
+    assert set(top1.values()) == {"finance", "biology"}
+    # 'the' appears in every cluster -> its idf term is the floor
+    for r in rows:
+        if r["term"] == "the":
+            assert r["rank"] > 1
