@@ -1983,3 +1983,87 @@ def test_cluster_topics_separates_vocabularies(spark):
     for r in rows:
         if r["term"] == "the":
             assert r["rank"] > 1
+
+
+def test_near_dedup_stream_matches_rebuild(spark, tmp_path, sf_dir):
+    """Streamed incremental index == full rebuild: the corpus arrives in
+    3 micro-batches across TWO queries (a restart between), and the
+    final committed generation's pairs/components equal a one-shot
+    build over the whole corpus."""
+    import shutil
+
+    from panoptes_spark.pipeline.dedup_index import (
+        DedupIndex, build_dedup_index,
+    )
+    from panoptes_spark.streaming.dedup_stream import near_dedup_index_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "near_dedup")
+    ckpt = str(tmp_path / "ckpt")
+    for part in (0, 1):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, sink = near_dedup_index_stream(stream, base, ckpt)
+    q.awaitTermination(300)
+
+    # restart: a NEW query on the same checkpoint picks up batch 3
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2, sink2 = near_dedup_index_stream(stream2, base, ckpt)
+    q2.awaitTermination(300)
+
+    idx = DedupIndex(spark, sink2.index_path())
+    full = build_dedup_index(docs, str(tmp_path / "full"))
+    got_pairs = sorted(
+        (r["a"], r["b"], r["jaccard"]) for r in idx.pairs().collect()
+    )
+    want_pairs = sorted(
+        (r["a"], r["b"], r["jaccard"]) for r in full.pairs().collect()
+    )
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+    got_c = sorted(map(tuple, idx.components().collect()))
+    want_c = sorted(map(tuple, full.components().collect()))
+    assert got_c == want_c
+
+    # replay chaos: re-delivering the LAST committed batch (crash after
+    # swap, checkpoint not yet advanced) must be a no-op
+    st_before = open(f"{base}/STATE.json").read()
+    last_batch = docs.where(F.col("doc_id") % 3 == 2)
+    sink2(last_batch, 2)
+    assert open(f"{base}/STATE.json").read() == st_before
+
+    # torn-commit chaos: crash BETWEEN the generation write and the
+    # state swap — restore the pre-commit state, leave the orphan
+    # generation dir, replay the batch; result must still equal rebuild
+    import json
+
+    st = json.loads(st_before)
+    pre = dict(st)
+    pre["last_batch_id"] = 1
+    pre["generation"] = st["generation"] - 1
+    pre["batches"] = st["batches"][:-1]
+    with open(f"{base}/STATE.json", "w") as f:
+        json.dump(pre, f)
+    sink2(last_batch, 2)
+    idx2 = DedupIndex(spark, sink2.index_path())
+    got2 = sorted(
+        (r["a"], r["b"], r["jaccard"]) for r in idx2.pairs().collect()
+    )
+    assert got2 == want_pairs
+    shutil.rmtree(src, ignore_errors=True)
