@@ -253,6 +253,42 @@ ORDER BY gkey DESC, doc_id ASC LIMIT {_DSIR_SELECT_K}
 """
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting by excess-loss softmax (the DoReMi closed
+    form over static per-domain losses): per-source avg bigram-LM loss
+    → w_d ∝ exp(η·(loss_d − min)), normalized. Composes the gate-proven
+    LM scorer; every post-average relation is domain-count-sized."""
+    from panoptes_spark.pipeline.lm import score_documents, train_bigram_lm
+    from panoptes_spark.pipeline.selection import domain_mixture_weights
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    uni, bi, vocab = train_bigram_lm(docs)
+    losses = score_documents(docs, uni, bi, vocab)
+    return domain_mixture_weights(losses, docs).orderBy("source")
+
+
+def _o_domain_mixture() -> str:
+    from panoptes_spark.pipeline.lm import lm_oracle_sql
+
+    return f"""
+WITH scores AS ({lm_oracle_sql()}),
+per AS (
+  SELECT d.source, count(*) AS n_docs,
+         round(avg(s.avg_neg_logp), 6) AS avg_loss
+  FROM scores s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+base AS (SELECT min(avg_loss) AS m FROM per),
+sc AS (
+  SELECT source, n_docs, avg_loss, exp(1.0 * (avg_loss - m)) AS e
+  FROM per CROSS JOIN base
+),
+z AS (SELECT sum(e) AS zz FROM sc)
+SELECT source, n_docs, avg_loss, round(e / zz, 6) AS weight
+FROM sc CROSS JOIN z
+"""
+
+
 O_DEDUP_MINHASH = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -3420,6 +3456,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
     "cluster_topics": q_cluster_topics,
+    "domain_mixture": q_domain_mixture,
 }
 
 ORACLES = {
@@ -3500,4 +3537,5 @@ ORACLES = {
     "dsir_weights": _o_dsir_weights(),
     "dsir_select": _o_dsir_select(),
     "cluster_topics": O_CLUSTER_TOPICS,
+    "domain_mixture": _o_domain_mixture(),
 }

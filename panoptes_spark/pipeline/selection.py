@@ -219,3 +219,46 @@ LEFT JOIN rc USING (bucket)
 CROSS JOIN tn CROSS JOIN rn
 GROUP BY o.doc_id
 """
+
+
+def domain_mixture_weights(
+    doc_losses: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    loss_col: str = "avg_neg_logp",
+    eta: float = 1.0,
+) -> DataFrame:
+    """(group, n_docs, avg_loss, weight) — domain sampling weights from
+    per-document LM losses: ``w_d ∝ exp(η · (loss_d − min_loss))``,
+    normalized to sum 1 and rounded to 6 dp.
+
+    The DoReMi intuition (Xie et al. 2023) in closed form: domains the
+    proxy model finds HARD (high excess loss over the easiest domain)
+    get upweighted; with static per-domain losses the exponentiated-
+    gradient ladder collapses to exactly this softmax, so the iterative
+    machinery isn't replicated — only the reweighting rule. ``eta``
+    is the temperature: 0 = uniform, large = winner-take-most.
+
+    Scale: per-doc losses are the caller's (one data-sized groupBy in
+    ``lm.score_documents``); everything here after the per-group
+    partial-agg average operates on a DOMAIN-count-sized relation, and
+    the min/normalizer are 1-row broadcasts."""
+    per = (
+        doc_losses.join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(loss_col), 6).alias("avg_loss"),
+        )
+    )
+    base = per.agg(F.min("avg_loss").alias("__min_loss"))
+    scored = per.crossJoin(F.broadcast(base)).withColumn(
+        "__e", F.exp(F.lit(float(eta)) * (F.col("avg_loss") - F.col("__min_loss")))
+    )
+    z = scored.agg(F.sum("__e").alias("__z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.round(F.col("__e") / F.col("__z"), 6))
+        .select(group_col, "n_docs", "avg_loss", "weight")
+    )

@@ -2067,3 +2067,25 @@ def test_near_dedup_stream_matches_rebuild(spark, tmp_path, sf_dir):
     )
     assert got2 == want_pairs
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_domain_mixture_upweights_hard_domains(spark):
+    """Higher-loss domains get larger weights; weights sum to ~1; eta=0
+    collapses to uniform."""
+    from panoptes_spark.pipeline.selection import domain_mixture_weights
+
+    losses = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 3.0) for i in range(20)],
+        ["doc_id", "avg_neg_logp"],
+    )
+    docs = spark.createDataFrame(
+        [(i, "easy" if i < 10 else "hard") for i in range(20)],
+        ["doc_id", "source"],
+    )
+    out = {r["source"]: r for r in
+           domain_mixture_weights(losses, docs).collect()}
+    assert out["hard"]["weight"] > out["easy"]["weight"]
+    assert abs(out["hard"]["weight"] + out["easy"]["weight"] - 1.0) < 1e-5
+    uni = {r["source"]: r["weight"] for r in
+           domain_mixture_weights(losses, docs, eta=0.0).collect()}
+    assert abs(uni["hard"] - 0.5) < 1e-6 and abs(uni["easy"] - 0.5) < 1e-6
