@@ -289,6 +289,65 @@ FROM sc CROSS JOIN z
 """
 
 
+_SHARD_N = 16
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard shuffle
+    order: shard = murmur3 bucket (survives re-runs/appends/cluster
+    resizes), shard_pos = rank by the same hash inside the shard (the
+    reproducible 'global shuffle' a training loader reads back). The
+    window partitions by shard — shard sizes are bounded by design, so
+    no unpartitioned sort anywhere."""
+    from pyspark.sql import Window as W
+
+    from panoptes_spark.pipeline.splits import assign_shard
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    from panoptes_spark.operators.schedule import mmh3_sql_expr
+
+    sh = assign_shard(docs, _SHARD_N)
+    h = mmh3_sql_expr("concat('pos', ':', cast(doc_id as string))", "spark")
+    w = W.partitionBy("shard").orderBy(F.col("__ph").asc(), F.col("doc_id").asc())
+    return (
+        sh.withColumn("__ph", F.expr(h))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos")
+    )
+
+
+def _o_training_shards() -> str:
+    from panoptes_spark.operators.schedule import mmh3_cte_chain
+    from panoptes_spark.pipeline.splits import N_BUCKETS
+
+    shard_chain = mmh3_cte_chain(
+        "base", "'shard' || ':' || cast(doc_id as varchar)", "duckdb"
+    )
+    # second chain in the same WITH clause: relation names must not
+    # collide (`__mm_s*`/`mmh3` are already taken by the shard chain);
+    # COLUMN aliases need no rename — `sharded` projects them away
+    pos_chain = (
+        mmh3_cte_chain(
+            "sharded", "'pos' || ':' || cast(doc_id as varchar)", "duckdb"
+        )
+        .replace("__mm_s", "__pos_s")
+        .replace("mmh3 AS", "mmh3pos AS")
+    )
+    return f"""
+WITH base AS (SELECT doc_id FROM documents),
+{shard_chain},
+sharded AS (
+  SELECT doc_id, (__mm_hash % {N_BUCKETS}) % {_SHARD_N} AS shard FROM mmh3
+),
+{pos_chain}
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard
+       ORDER BY __mm_hash ASC, doc_id ASC) AS INT) AS shard_pos
+FROM mmh3pos
+"""
+
+
 O_DEDUP_MINHASH = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -3457,6 +3516,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "cluster_topics": q_cluster_topics,
     "domain_mixture": q_domain_mixture,
+    "training_shards": q_training_shards,
 }
 
 ORACLES = {
@@ -3538,4 +3598,5 @@ ORACLES = {
     "dsir_select": _o_dsir_select(),
     "cluster_topics": O_CLUSTER_TOPICS,
     "domain_mixture": _o_domain_mixture(),
+    "training_shards": _o_training_shards(),
 }
