@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.schedule import mmh3_sql_expr
-from .dedup import duckdb_hash64, spark_hash64, spread_for_compute
+from .dedup import (
+    duckdb_hash64,
+    materialize_once as spark_materialize,
+    spark_hash64,
+    spread_for_compute,
+)
 
 DSIR_BUCKETS = 4096  #: hashed-ngram feature buckets (model size bound)
 DSIR_SMOOTH = 1  #: add-one smoothing per bucket
@@ -102,8 +107,12 @@ def dsir_logweights(
     :func:`dsir_select`. Both count tables and the totals are broadcast
     (≤ ``buckets`` rows / 1 row); the only data-sized shuffle is the
     per-doc sum's partial-aggregated groupBy."""
-    tc = fit_bucket_counts(target, id_col, text_col, buckets)
-    rc = fit_bucket_counts(raw, id_col, text_col, buckets)
+    # materialize the bucket-bounded count tables: without this each of
+    # tn/rn/tc/rc is an independent plan subtree and Spark re-runs the
+    # full corpus gram explode per subtree (raw 3×, target 2× — measured
+    # in the sf3 spot soak); cached, the totals fold ≤ `buckets` rows
+    tc = spark_materialize(fit_bucket_counts(target, id_col, text_col, buckets))
+    rc = spark_materialize(fit_bucket_counts(raw, id_col, text_col, buckets))
     tn = tc.agg(F.sum("cnt").alias("t_total"))
     rn = rc.agg(F.sum("cnt").alias("r_total"))
     grams = doc_gram_buckets(raw, id_col, text_col, buckets)
@@ -244,7 +253,11 @@ def domain_mixture_weights(
     ``lm.score_documents``); everything here after the per-group
     partial-agg average operates on a DOMAIN-count-sized relation, and
     the min/normalizer are 1-row broadcasts."""
-    per = (
+    # materialize the domain-count-sized per-group table: the caller's
+    # doc_losses lineage is data-sized (the LM scorer's bigram join),
+    # and the min/softmax/normalizer crossJoins would re-evaluate it
+    # ~4× as independent plan subtrees (measured in the sf3 spot soak)
+    per = spark_materialize(
         doc_losses.join(docs.select(id_col, group_col), id_col)
         .groupBy(group_col)
         .agg(
