@@ -98,3 +98,101 @@ FROM cum JOIN tot USING ({key})
 WHERE n_a > 0 AND n_b > 0
 GROUP BY {key}, n_a, n_b
 """
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell embedding drift between two corpus snapshots — the
+    embedding-space complement to :func:`ks_drift`.
+
+    Cells are seeded from the OLD snapshot (the reference frame), both
+    snapshots assign by broadcast-matmul (`similarity.ivf_assign`, no
+    shuffle), and each cell reports:
+
+    - ``n_old`` / ``n_new`` — cell populations;
+    - ``pop_shift`` — ``n_new/N_new − n_old/N_old`` (occupancy drift);
+    - ``centroid_shift`` — ``1 − cos(mean_old, mean_new)`` of the
+      per-cell component means (semantic drift of the cell's content);
+      NULL when a side left the cell empty.
+
+    Cross-engine exactness: per-(cell, pos) means go through the
+    DECIMAL(30,12) sum + one correctly-rounded division + 6 dp rounding
+    (the ``kmeans_refine`` recipe), so the cosine of two mean vectors
+    is a sum of 64 reproducible doubles, rounded at 6 dp.
+
+    Scale: two narrow assignment passes + one (cell, pos)-keyed
+    partial-agg shuffle per side (the MapReduce-mean shape, ~corpus
+    sized once) + cell-count-sized joins after. Count frames
+    materialize before fanning into the total/fraction subtrees (the
+    crossJoin-broadcast recompute rule)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import materialize_once
+    from .similarity import ivf_assign, seed_centroids
+
+    cents = seed_centroids(old, n_cells, id_col, vec_col)
+
+    def _counts(df):
+        return materialize_once(
+            ivf_assign(df, cents, id_col, vec_col, nprobe=1)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _means(df, mcol):
+        return (
+            ivf_assign(df, cents, id_col, vec_col, nprobe=1)
+            .select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("comp").cast("double").cast("decimal(30,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias(mcol)
+            )
+        )
+
+    c_old, c_new = _counts(old), _counts(new)
+    t_old = c_old.agg(F.sum("n").alias("t_old"))
+    t_new = c_new.agg(F.sum("n").alias("t_new"))
+    shift = (
+        _means(old, "ma")
+        .join(_means(new, "mb"), ["cell_id", "pos"])
+        .groupBy("cell_id")
+        .agg(
+            F.round(
+                1.0
+                - F.sum(F.col("ma") * F.col("mb"))
+                / F.sqrt(
+                    F.sum(F.col("ma") * F.col("ma"))
+                    * F.sum(F.col("mb") * F.col("mb"))
+                ),
+                6,
+            ).alias("centroid_shift")
+        )
+    )
+    return (
+        c_old.withColumnRenamed("n", "n_old")
+        .join(c_new.withColumnRenamed("n", "n_new"), "cell_id", "full_outer")
+        .na.fill({"n_old": 0, "n_new": 0})
+        .crossJoin(F.broadcast(t_old))
+        .crossJoin(F.broadcast(t_new))
+        .withColumn(
+            "pop_shift",
+            F.round(
+                F.col("n_new") / F.col("t_new")
+                - F.col("n_old") / F.col("t_old"),
+                6,
+            ),
+        )
+        .join(shift, "cell_id", "left")
+        .select("cell_id", "n_old", "n_new", "pop_shift", "centroid_shift")
+    )

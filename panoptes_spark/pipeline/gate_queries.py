@@ -633,6 +633,64 @@ WHERE rank <= {topics.TOPIC_TOP_TERMS}
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell embedding drift between snapshots (old = even ids,
+    new = odd ids): population shift + per-cell centroid shift — the
+    embedding-space complement to ks_drift."""
+    from panoptes_spark.pipeline.drift import embedding_drift
+
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_drift(old, new, n_cells=_TOPIC_CELLS).orderBy("cell_id")
+
+
+O_EMBEDDING_DRIFT = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {_TOPIC_CELLS}
+),
+asg AS (
+  SELECT vec_id, embedding, vec_id % 2 = 0 AS is_old, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_COS_CELL.replace('v::', 'e.embedding::')} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+cnt AS (
+  SELECT cell_id,
+    count(*) FILTER (WHERE is_old) AS n_old,
+    count(*) FILTER (WHERE NOT is_old) AS n_new
+  FROM asg GROUP BY 1
+),
+tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM cnt),
+comps AS (
+  SELECT cell_id, is_old, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS comp
+  FROM asg, range(64) t(i)  -- fixture embedding dim (= _KM_DIM below)
+),
+means AS (
+  SELECT cell_id, is_old, pos,
+    round(sum(CAST(comp AS DECIMAL(30,12)))::DOUBLE / count(*), 6) AS m
+  FROM comps GROUP BY 1, 2, 3
+),
+shift AS (
+  SELECT a.cell_id,
+    round(1.0 - sum(a.m * b.m)
+          / sqrt(sum(a.m * a.m) * sum(b.m * b.m)), 6) AS centroid_shift
+  FROM means a
+  JOIN means b ON a.cell_id = b.cell_id AND a.pos = b.pos
+             AND a.is_old AND NOT b.is_old
+  GROUP BY 1
+)
+SELECT c.cell_id, c.n_old, c.n_new,
+  round(c.n_new / t.t_new - c.n_old / t.t_old, 6) AS pop_shift,
+  s.centroid_shift
+FROM cnt c CROSS JOIN tot t LEFT JOIN shift s USING (cell_id)
+"""
+
+
 O_IVF_TOPK = f"""
 WITH cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
@@ -3517,6 +3575,7 @@ QUERIES = {
     "cluster_topics": q_cluster_topics,
     "domain_mixture": q_domain_mixture,
     "training_shards": q_training_shards,
+    "embedding_drift": q_embedding_drift,
 }
 
 ORACLES = {
@@ -3599,4 +3658,5 @@ ORACLES = {
     "cluster_topics": O_CLUSTER_TOPICS,
     "domain_mixture": _o_domain_mixture(),
     "training_shards": _o_training_shards(),
+    "embedding_drift": O_EMBEDDING_DRIFT,
 }

@@ -2089,3 +2089,25 @@ def test_domain_mixture_upweights_hard_domains(spark):
     uni = {r["source"]: r["weight"] for r in
            domain_mixture_weights(losses, docs, eta=0.0).collect()}
     assert abs(uni["hard"] - 0.5) < 1e-6 and abs(uni["easy"] - 0.5) < 1e-6
+
+
+def test_embedding_drift_detects_population_and_semantic_shift(spark):
+    """A cell whose NEW snapshot population moved and rotated must show
+    nonzero pop_shift and centroid_shift; an unchanged cell shows ~0."""
+    from panoptes_spark.pipeline.drift import embedding_drift
+
+    old = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    old += [(2 + i, [1.0, 0.05 * i]) for i in range(8)]      # cell 0
+    old += [(10 + i, [0.05 * i, 1.0]) for i in range(8)]     # cell 1
+    # new snapshot: cell 0 unchanged; cell 1 rotated toward x and doubled
+    new = [(100 + i, [1.0, 0.05 * i]) for i in range(8)]
+    new += [(110 + i, [0.45 + 0.01 * i, 1.0]) for i in range(16)]
+    old_df = spark.createDataFrame(old, ["vec_id", "embedding"])
+    new_df = spark.createDataFrame(new, ["vec_id", "embedding"])
+    out = {r["cell_id"]: r for r in
+           embedding_drift(old_df, new_df, n_cells=2).collect()}
+    from panoptes_spark.pipeline import dedup
+    dedup.release_materialized()
+    assert abs(out[0]["centroid_shift"]) < 0.01
+    assert out[1]["centroid_shift"] > 0.01
+    assert out[1]["pop_shift"] > 0.1 and out[0]["pop_shift"] < 0.0
