@@ -3496,6 +3496,68 @@ FROM lineitem"""
 )
 
 
+def q_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal policy over the duplicated-span stats (same clone
+    construction as dup_span_stats): every token covered by a corpus-
+    duplicated k-gram window is dropped from every copy; output is the
+    rebuilt normalized text + removal counts."""
+    from panoptes_spark.pipeline.substrings import trim_duplicated_spans
+
+    docs = fx.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    both = docs.unionByName(clones)
+    return trim_duplicated_spans(both, "doc_id", "text", k=_SPAN_K).orderBy(
+        "doc_id"
+    )
+
+
+O_TRIM_DUP_SPANS = f"""
+WITH allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM allrows
+),
+grams AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(t) - {_SPAN_K - 1}, 0))) AS pos,
+    unnest(CASE WHEN len(t) >= {_SPAN_K} THEN
+      list_transform(range(1, len(t) - {_SPAN_K - 2}),
+        i -> substr(md5(array_to_string(t[i : i + {_SPAN_K - 1}], ' ')), 1, 16))
+      ELSE [] END) AS gh
+  FROM tok
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2
+),
+starts AS (
+  SELECT g.doc_id, list(g.pos ORDER BY g.pos) AS ps
+  FROM grams g JOIN dup USING (gh)
+  GROUP BY g.doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, t.t,
+    list_filter(range(0, len(t.t)),
+      i -> s.ps IS NULL OR
+           len(list_filter(s.ps, p -> i >= p AND i < p + {_SPAN_K})) = 0)
+      AS kept
+  FROM tok t LEFT JOIN starts s USING (doc_id)
+)
+SELECT doc_id,
+  -- empty list -> NULL in DuckDB's array_to_string; Spark's concat_ws -> ''
+  coalesce(array_to_string(list_transform(kept, i -> t[i + 1]), ' '), '')
+    AS clean_text,
+  len(t) AS n_tokens,
+  len(t) - len(kept) AS n_removed
+FROM cleaned
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -3576,6 +3638,7 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "training_shards": q_training_shards,
     "embedding_drift": q_embedding_drift,
+    "trim_dup_spans": q_trim_dup_spans,
 }
 
 ORACLES = {
@@ -3659,4 +3722,5 @@ ORACLES = {
     "domain_mixture": _o_domain_mixture(),
     "training_shards": _o_training_shards(),
     "embedding_drift": O_EMBEDDING_DRIFT,
+    "trim_dup_spans": O_TRIM_DUP_SPANS,
 }

@@ -117,3 +117,64 @@ def duplicated_ngram_spans(
             ).alias("dup_token_fraction"),
         )
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a corpus-duplicated k-gram window
+    (the removal policy over :func:`duplicated_ngram_spans`' stats —
+    the Lee et al. 2022 exact-substring cleanup at fixed gram length,
+    with the C4-style "all occurrences go" policy: boilerplate is
+    removed from every copy, including the first. Text is rebuilt from
+    the NORMALIZED token stream — lowercased, whitespace-collapsed —
+    the same canon the gram hashes use).
+
+    Returns (id, clean_text, n_tokens, n_removed).
+
+    Scale shape: gram hashing and counting as in the stats operator
+    (narrow + one partial-agg shuffle + hits-only join back); the
+    removal itself ships each affected document ONE array of duplicated
+    window starts (collect_list over the doc's dup positions — dup-
+    sized, not corpus-sized) and rebuilds the text in a single array
+    expression; unaffected documents pass through a left join with no
+    per-token explode anywhere."""
+    toks = df.select(F.col(id_col).alias("id"), _toks(text_col).alias("t"))
+    grams = (
+        toks.where(F.size("t") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}),"
+                    f" i -> substring(md5(concat_ws(' ', slice(t, i + 1, {k}))), 1, 16))"
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    starts = (
+        grams.join(counts.where(F.col("cnt") >= min_count).select("gh"), "gh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+    )
+    kept = (
+        f"filter(sequence(0, size(t) - 1),"
+        f" i -> ps IS NULL OR NOT exists(ps, p -> i >= p AND i < p + {k}))"
+    )
+    return (
+        toks.join(starts, "id", "left")
+        .withColumn("__kept", F.expr(kept))
+        .select(
+            F.col("id").alias(id_col),
+            F.expr(
+                "concat_ws(' ', transform(__kept, i -> element_at(t, i + 1)))"
+            ).alias("clean_text"),
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.size("__kept")).alias("n_removed"),
+        )
+    )

@@ -2111,3 +2111,24 @@ def test_embedding_drift_detects_population_and_semantic_shift(spark):
     assert abs(out[0]["centroid_shift"]) < 0.01
     assert out[1]["centroid_shift"] > 0.01
     assert out[1]["pop_shift"] > 0.1 and out[0]["pop_shift"] < 0.0
+
+
+def test_trim_duplicated_spans_removes_boilerplate_everywhere(spark):
+    """A k-gram run shared by two docs is removed from BOTH copies
+    (all-occurrences policy); unique text survives; doc-internal
+    repeats of the same window also go."""
+    from panoptes_spark.pipeline.substrings import trim_duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, " ".join(f"x{i}" for i in range(10)) + " " + boiler),
+        (2, boiler + " " + " ".join(f"y{i}" for i in range(10))),
+        (3, " ".join(f"z{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           trim_duplicated_spans(df, k=8).collect()}
+    assert "b0" not in out[1]["clean_text"] and "b0" not in out[2]["clean_text"]
+    assert out[1]["clean_text"].startswith("x0") and out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"].startswith("z0")
