@@ -3720,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the r7 verdict found had NEVER received a driver CORRECTNESS row (the
 #: fixed interleave kept them outside every round's 50-gate prefix)
 _DRIVER_PRIORITY = [
+    "ngram_novelty",
     "trim_dup_spans",
     "embedding_drift",
     "training_shards",

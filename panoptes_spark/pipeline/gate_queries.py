@@ -3558,6 +3558,46 @@ FROM cleaned
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty of the eval slice (doc_id % 3 == 0) vs the
+    rest of the corpus as reference: fraction of distinct word 3-grams
+    unseen anywhere in the reference."""
+    from panoptes_spark.pipeline.substrings import ngram_novelty
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 3 == 0)
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    return ngram_novelty(ev, ref, k=_K).orderBy("doc_id")
+
+
+O_NGRAM_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text, ' ')) < {_K}
+      THEN [array_to_string(string_split(text, ' '), ' ')]
+      ELSE list_transform(range(1, len(string_split(text, ' ')) - {_K} + 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+{_K - 1}], ' '))
+      END) AS shingles
+  FROM documents
+),
+gh AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS gh
+  FROM sh
+),
+ref AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 3 <> 0),
+ev AS (SELECT doc_id, gh FROM gh WHERE doc_id % 3 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+seen AS (
+  SELECT e.doc_id, count(*) AS n_seen FROM ev e JOIN ref USING (gh)
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+  CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen,
+  round(1.0 - coalesce(s.n_seen, 0) / t.n_grams, 6) AS novelty
+FROM tot t LEFT JOIN seen s USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -3639,6 +3679,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "embedding_drift": q_embedding_drift,
     "trim_dup_spans": q_trim_dup_spans,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -3723,4 +3764,5 @@ ORACLES = {
     "training_shards": _o_training_shards(),
     "embedding_drift": O_EMBEDDING_DRIFT,
     "trim_dup_spans": O_TRIM_DUP_SPANS,
+    "ngram_novelty": O_NGRAM_NOVELTY,
 }

@@ -178,3 +178,52 @@ def trim_duplicated_spans(
             (F.size("t") - F.size("__kept")).alias("n_removed"),
         )
     )
+
+
+def ngram_novelty(
+    eval_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_seen, novelty) — per eval-document fraction of
+    distinct word k-grams NOT present anywhere in the reference corpus:
+    the "how much new information does this shard add" curation metric
+    (the scoring complement to the bloom incremental-dedup FILTER).
+
+    Scale shape: both sides hash grams to 64-bit (16-byte keys ship,
+    never text); the reference collapses to its DISTINCT gram-hash set
+    via a partial-agg groupBy; membership is one equi-join of eval gram
+    hashes against it (hits only survive), then one per-doc partial-agg
+    count. Nothing quadratic, no broadcast of corpus-sized state."""
+    from .dedup import shingles_col, spark_hash64
+
+    h = spark_hash64("s")
+
+    def grams(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform({shingles_col(text_col, k)}, s -> {h})"
+                )
+            ).alias("gh"),
+        )
+
+    ref_set = grams(ref_df).select("gh").distinct()
+    ev = grams(eval_df)
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    seen = (
+        ev.join(ref_set, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    return (
+        totals.join(seen, id_col, "left")
+        .na.fill({"n_seen": 0})
+        .withColumn(
+            "novelty",
+            F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6),
+        )
+    )

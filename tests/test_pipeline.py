@@ -2132,3 +2132,21 @@ def test_trim_duplicated_spans_removes_boilerplate_everywhere(spark):
     assert out[1]["clean_text"].startswith("x0") and out[1]["n_removed"] == 8
     assert out[2]["n_removed"] == 8
     assert out[3]["n_removed"] == 0 and out[3]["clean_text"].startswith("z0")
+
+
+def test_ngram_novelty_bounds_and_detection(spark):
+    """A doc copied from the reference scores ~0 novelty; a doc with a
+    disjoint vocabulary scores 1; a half-and-half doc lands between."""
+    from panoptes_spark.pipeline.substrings import ngram_novelty
+
+    ref_text = " ".join(f"r{i}" for i in range(30))
+    ref = spark.createDataFrame([(100, ref_text)], ["doc_id", "text"])
+    half = ref_text + " " + " ".join(f"n{i}" for i in range(30))
+    ev = spark.createDataFrame(
+        [(1, ref_text), (2, " ".join(f"q{i}" for i in range(30))), (3, half)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(ev, ref).collect()}
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    assert 0.3 < out[3]["novelty"] < 0.7
