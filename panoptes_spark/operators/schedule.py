@@ -211,17 +211,24 @@ def mmh3_sql_expr(name_sql: str, dialect: str, seed: int = 0) -> str:
     return expr
 
 
-def mmh3_cte_chain(base_rel: str, name_sql: str, dialect: str = "duckdb") -> str:
+def mmh3_cte_chain(
+    base_rel: str, name_sql: str, dialect: str = "duckdb", prefix: str = ""
+) -> str:
     """CTE bodies chaining the murmur3 steps over relation ``base_rel``.
 
     Returns ``"s0 AS (...), s1 AS (...), ... , mmh3 AS (SELECT ...)"`` —
-    splice after a WITH clause; the final relation ``mmh3`` carries every
-    base column plus ``__mm_hash``.
+    splice after a WITH clause; the final relation ``{prefix}mmh3``
+    carries every base column plus ``__mm_hash``. ``prefix`` namespaces
+    the generated relation names so two chains can share one WITH clause
+    (relation names are GENERATED here, never patched by string replace
+    at the call site).
     """
     steps = mmh3_sql_steps(name_sql, dialect)
     ctes, prev = [], base_rel
     for i, (alias, expr) in enumerate(steps):
-        rel = "mmh3" if i == len(steps) - 1 else f"__mm_s{i}"
+        rel = (
+            f"{prefix}mmh3" if i == len(steps) - 1 else f"{prefix}__mm_s{i}"
+        )
         ctes.append(f"{rel} AS (SELECT *, {expr} AS {alias} FROM {prev})")
         prev = rel
     return ", ".join(ctes)

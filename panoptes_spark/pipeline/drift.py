@@ -125,11 +125,13 @@ def embedding_drift(
     (the ``kmeans_refine`` recipe), so the cosine of two mean vectors
     is a sum of 64 reproducible doubles, rounded at 6 dp.
 
-    Scale: two narrow assignment passes + one (cell, pos)-keyed
-    partial-agg shuffle per side (the MapReduce-mean shape, ~corpus
-    sized once) + cell-count-sized joins after. Count frames
-    materialize before fanning into the total/fraction subtrees (the
-    crossJoin-broadcast recompute rule)."""
+    Scale: ONE assignment pass per side (materialized — counts and
+    per-(cell, pos) means both derive from it, so the broadcast-matmul
+    scan never repeats; r8 ADVICE) + one (cell, pos)-keyed partial-agg
+    shuffle per side (the MapReduce-mean shape, ~corpus sized once) +
+    cell-count-sized joins after. Count frames also materialize before
+    fanning into the total/fraction subtrees (the crossJoin-broadcast
+    recompute rule)."""
     from pyspark.sql import functions as F
 
     from .dedup import materialize_once
@@ -137,17 +139,23 @@ def embedding_drift(
 
     cents = seed_centroids(old, n_cells, id_col, vec_col)
 
-    def _counts(df):
+    def _assigned(df):
         return materialize_once(
-            ivf_assign(df, cents, id_col, vec_col, nprobe=1)
-            .groupBy("cell_id")
-            .agg(F.count(F.lit(1)).alias("n"))
+            ivf_assign(df, cents, id_col, vec_col, nprobe=1).select(
+                "cell_id", vec_col
+            )
         )
 
-    def _means(df, mcol):
+    a_old, a_new = _assigned(old), _assigned(new)
+
+    def _counts(asg):
+        return materialize_once(
+            asg.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _means(asg, mcol):
         return (
-            ivf_assign(df, cents, id_col, vec_col, nprobe=1)
-            .select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
+            asg.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
             .groupBy("cell_id", "pos")
             .agg(
                 F.round(
@@ -160,12 +168,12 @@ def embedding_drift(
             )
         )
 
-    c_old, c_new = _counts(old), _counts(new)
+    c_old, c_new = _counts(a_old), _counts(a_new)
     t_old = c_old.agg(F.sum("n").alias("t_old"))
     t_new = c_new.agg(F.sum("n").alias("t_new"))
     shift = (
-        _means(old, "ma")
-        .join(_means(new, "mb"), ["cell_id", "pos"])
+        _means(a_old, "ma")
+        .join(_means(a_new, "mb"), ["cell_id", "pos"])
         .groupBy("cell_id")
         .agg(
             F.round(

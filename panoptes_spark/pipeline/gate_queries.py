@@ -324,15 +324,15 @@ def _o_training_shards() -> str:
     shard_chain = mmh3_cte_chain(
         "base", "'shard' || ':' || cast(doc_id as varchar)", "duckdb"
     )
-    # second chain in the same WITH clause: relation names must not
-    # collide (`__mm_s*`/`mmh3` are already taken by the shard chain);
-    # COLUMN aliases need no rename — `sharded` projects them away
-    pos_chain = (
-        mmh3_cte_chain(
-            "sharded", "'pos' || ':' || cast(doc_id as varchar)", "duckdb"
-        )
-        .replace("__mm_s", "__pos_s")
-        .replace("mmh3 AS", "mmh3pos AS")
+    # second chain in the same WITH clause: the `pos_` prefix keeps its
+    # generated relation names (`pos___mm_s*`/`pos_mmh3`) disjoint from
+    # the shard chain's; COLUMN aliases need no rename — `sharded`
+    # projects them away
+    pos_chain = mmh3_cte_chain(
+        "sharded",
+        "'pos' || ':' || cast(doc_id as varchar)",
+        "duckdb",
+        prefix="pos_",
     )
     return f"""
 WITH base AS (SELECT doc_id FROM documents),
@@ -344,7 +344,7 @@ sharded AS (
 SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard
        ORDER BY __mm_hash ASC, doc_id ASC) AS INT) AS shard_pos
-FROM mmh3pos
+FROM pos_mmh3
 """
 
 

@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["duplicated_ngram_spans"]
+__all__ = [
+    "duplicated_ngram_spans",
+    "trim_duplicated_spans",
+    "ngram_novelty",
+]
 
 
 def _toks(text_col: str) -> F.Column:
@@ -142,7 +146,12 @@ def trim_duplicated_spans(
     window starts (collect_list over the doc's dup positions — dup-
     sized, not corpus-sized) and rebuilds the text in a single array
     expression; unaffected documents pass through a left join with no
-    per-token explode anywhere."""
+    per-token explode anywhere. The kept-token set is built LINEARLY
+    (r9): the sorted window starts merge into disjoint intervals in one
+    ``aggregate`` pass, and kept indices are the flattened gaps between
+    them — O(n_tokens + n_intervals) per document, where the previous
+    per-token ``exists`` scan over every duplicated window went
+    quadratic on boilerplate-heavy docs (most windows duplicated)."""
     toks = df.select(F.col(id_col).alias("id"), _toks(text_col).alias("t"))
     grams = (
         toks.where(F.size("t") >= k)
@@ -162,12 +171,30 @@ def trim_duplicated_spans(
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
     )
+    # merge the sorted starts into disjoint covered intervals [s, e):
+    # consecutive windows overlap iff next start <= current end, and the
+    # merged end is always next_start + k (starts ascend, so next end
+    # >= current end) — one linear fold over the dup-window starts
+    iv = (
+        f"aggregate(ps, cast(array() as array<struct<s:int,e:int>>),"
+        f" (acc, p) -> if(size(acc) > 0 AND p <= element_at(acc, -1).e,"
+        f" concat(slice(acc, 1, size(acc) - 1),"
+        f" array(named_struct('s', element_at(acc, -1).s, 'e', p + {k}))),"
+        f" concat(acc, array(named_struct('s', p, 'e', p + {k})))))"
+    )
+    # kept tokens = the GAPS between merged intervals (gap starts are
+    # 0 + each interval end; gap ends are each interval start + n) —
+    # no per-token membership scan
     kept = (
-        f"filter(sequence(0, size(t) - 1),"
-        f" i -> ps IS NULL OR NOT exists(ps, p -> i >= p AND i < p + {k}))"
+        "CASE WHEN ps IS NULL THEN sequence(0, size(t) - 1)"
+        " ELSE flatten(zip_with("
+        "concat(array(0), transform(__iv, v -> v.e)),"
+        " concat(transform(__iv, v -> v.s), array(size(t))),"
+        " (gs, ge) -> if(gs < ge, sequence(gs, ge - 1), array()))) END"
     )
     return (
         toks.join(starts, "id", "left")
+        .withColumn("__iv", F.expr(iv))
         .withColumn("__kept", F.expr(kept))
         .select(
             F.col("id").alias(id_col),
@@ -196,7 +223,10 @@ def ngram_novelty(
     never text); the reference collapses to its DISTINCT gram-hash set
     via a partial-agg groupBy; membership is one equi-join of eval gram
     hashes against it (hits only survive), then one per-doc partial-agg
-    count. Nothing quadratic, no broadcast of corpus-sized state."""
+    count. The eval side explodes ONCE (r9): per-doc totals are the
+    shingle-array size, a narrow pre-explode expression — no second
+    evaluation of the gram subtree. Nothing quadratic, no broadcast of
+    corpus-sized state."""
     from .dedup import shingles_col, spark_hash64
 
     h = spark_hash64("s")
@@ -213,7 +243,15 @@ def ngram_novelty(
 
     ref_set = grams(ref_df).select("gh").distinct()
     ev = grams(eval_df)
-    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # shingles_col is array_distinct'd and never empty (short docs get
+    # the whole-text shingle), so size(...) == the exploded per-doc
+    # count the previous two-pass formulation aggregated
+    totals = eval_df.select(
+        F.col(id_col),
+        F.expr(f"size({shingles_col(text_col, k)})")
+        .cast("long")
+        .alias("n_grams"),
+    )
     seen = (
         ev.join(ref_set, "gh")
         .groupBy(id_col)
