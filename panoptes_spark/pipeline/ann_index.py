@@ -7,14 +7,23 @@ batch). This module is that artifact, parquet-native and engine-free:
 
 Layout under ``path``::
 
-    MANIFEST.json            {"k_default", "nprobe_default", "m",
-                              "n_codes", "n_cells", "dim", ...}
+    MANIFEST.json            {"m", "n_codes", "n_cells", "dim",
+                              "segments": [...], ...}
     centroids.parquet        (cell_id int, centroid array<double>)
     codebooks.parquet        (subspace int, code_id int, codevec array<double>)
     index.parquet            (nbr_id long, cell_id int, codes array<int>)
-                             — written partitioned by cell_id, so a
-                             probe batch's nprobe cells prune at the
-                             SCAN (partition pruning), not in memory.
+                             — the build segment, partitioned by
+                             cell_id, so a probe batch's nprobe cells
+                             prune at the SCAN (partition pruning), not
+                             in memory.
+    seg-<n>/                 one additional cell-partitioned segment per
+                             committed ``append``.
+
+    Readers union ONLY the segments the manifest references (format v3):
+    a crash mid-append leaves an orphan segment directory that no read
+    ever includes — the torn-write discipline the reconcile/TTL stores
+    use, applied to index appends. The next append garbage-collects
+    unreferenced ``seg-*`` dirs before staging its own.
 
 Build cost: the two narrow Arrow passes + one keyed join ``ivfpq_topk``
 already pays, once. Query cost: partition-pruned scan of the probed
@@ -44,8 +53,10 @@ from .similarity import ivf_assign, ivf_auto_cells, kmeans_refine, seed_centroid
 
 __all__ = ["build_ivfpq_index", "IvfPqIndex"]
 
-#: bump when the on-disk layout changes; handles refuse unknown versions
-_FORMAT_VERSION = 2
+#: bump when the on-disk layout changes; handles refuse unknown versions.
+#: v3 (r9): manifest carries ``segments`` — the list of data directories a
+#: read may include — so torn appends can never be silently read back.
+_FORMAT_VERSION = 3
 
 
 def build_ivfpq_index(
@@ -130,6 +141,7 @@ def build_ivfpq_index(
         "train_iters": int(train_iters),
         "id_col": id_col,
         "vec_col": vec_col,
+        "segments": ["index.parquet"],
     }
     tmp = os.path.join(path, "MANIFEST.json.tmp")
     with open(tmp, "w") as f:
@@ -163,13 +175,51 @@ class IvfPqIndex:
             os.path.join(self.path, "codebooks.parquet")
         )
 
+    def segments(self) -> list[str]:
+        """Data directories a read may include — ONLY what the manifest
+        references (v2 manifests predate segments and mean the single
+        build directory). Orphan ``seg-*`` dirs from torn appends are
+        invisible here by construction."""
+        return list(self.meta.get("segments", ["index.parquet"]))
+
+    def _index_df(self) -> DataFrame:
+        parts = [
+            self.spark.read.parquet(os.path.join(self.path, seg))
+            for seg in self.segments()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _gc_orphan_segments(self) -> list[str]:
+        """Delete ``seg-*`` dirs the manifest does not reference — the
+        leavings of appends that crashed between segment write and
+        manifest commit. Returns the removed names."""
+        import shutil
+
+        live = set(self.segments())
+        removed = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("seg-") and name not in live:
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
+                removed.append(name)
+        return removed
+
     def append(self, new_corpus: DataFrame) -> "IvfPqIndex":
         """Append vectors to the index WITHOUT retraining: new rows are
         assigned to the EXISTING coarse cells and encoded with the
-        EXISTING codebooks, then written into the cell partitions
-        (append mode — parquet partition dirs gain files, nothing is
-        rewritten). Result ranks identically to an index built over the
-        combined corpus with these same centroids/codebooks
+        EXISTING codebooks, then written as a NEW cell-partitioned
+        segment that becomes visible only when the manifest commit
+        (write-tmp + atomic ``os.replace``) references it. A crash
+        mid-append leaves an orphan segment no read includes — the next
+        append GCs it (``test_ann_index_torn_append_invisible``); the
+        previous unmanifested append-mode write was silently read back
+        after a crash, duplicate/partial vectors included (r8 verdict).
+        Result ranks identically to an index built over the combined
+        corpus with these same centroids/codebooks
         (``test_ann_index_append_matches_combined``).
 
         The production growth path at 100 TB: write volume is the new
@@ -177,11 +227,26 @@ class IvfPqIndex:
         standard one (FAISS ``add`` semantics) — retrain+rebuild when
         the data distribution drifts, which the manifest's n_rows growth
         makes observable."""
-        id_col = self.meta["id_col"]
-        vec_col = self.meta["vec_col"]
         n_new = new_corpus.count()
         if n_new == 0:
             return self
+        self._gc_orphan_segments()
+        seg = f"seg-{len(self.segments())}"
+        self._write_segment(new_corpus, seg)
+        self.meta["n_rows"] = int(self.meta["n_rows"]) + int(n_new)
+        self.meta["segments"] = self.segments() + [seg]
+        self.meta["format_version"] = _FORMAT_VERSION
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+        return self
+
+    def _write_segment(self, new_corpus: DataFrame, seg: str) -> None:
+        """Stage one append segment (no manifest commit — callers commit;
+        the torn-append chaos test calls this alone to forge a crash)."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
         enc = _pq.pq_encode(new_corpus, self.codebooks(), id_col, vec_col)
         idx = (
             ivf_assign(
@@ -191,15 +256,9 @@ class IvfPqIndex:
             .join(enc, id_col)
             .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
         )
-        idx.write.mode("append").partitionBy("cell_id").parquet(
-            os.path.join(self.path, "index.parquet")
+        idx.write.mode("overwrite").partitionBy("cell_id").parquet(
+            os.path.join(self.path, seg)
         )
-        self.meta["n_rows"] = int(self.meta["n_rows"]) + int(n_new)
-        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.meta, f, sort_keys=True)
-        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
-        return self
 
     def topk(
         self,
@@ -285,13 +344,14 @@ class IvfPqIndex:
         tab_of = {int(q): i for i, q in enumerate(q_ids)}
         bc = self.spark.sparkContext.broadcast((tab_of, tabs))
 
-        # partition pruning: only the probed cells' directories scan
+        # partition pruning: only the probed cells' directories scan —
+        # the isin filter pushes through the segment union to each
+        # cell-partitioned parquet root, and only manifest-referenced
+        # segments are read (torn appends invisible)
         probed = sorted(
             {int(r.cell_id) for r in q_assigned.select("cell_id").distinct().collect()}
         )
-        c_idx = self.spark.read.parquet(
-            os.path.join(self.path, "index.parquet")
-        ).where(F.col("cell_id").isin(probed))
+        c_idx = self._index_df().where(F.col("cell_id").isin(probed))
 
         def cell_adc(left, right):
             import pandas as pd

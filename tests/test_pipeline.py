@@ -1859,6 +1859,54 @@ def test_ann_index_append_matches_combined(spark, tmp_path, sf_dir):
     assert idx.meta["n_rows"] == n_before + new.count()
 
 
+def test_ann_index_torn_append_invisible(spark, tmp_path, sf_dir):
+    """Torn-append chaos (r9, the `test_retired_files_never_orphaned`
+    discipline applied to index appends): a crash between segment write
+    and manifest commit leaves the index EXACTLY as before — the orphan
+    segment is never read back (the r8 append-mode write was silently
+    included after a crash), and the replayed append GCs it before
+    committing cleanly."""
+    import os
+
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where("vec_id % 4 > 0")
+    new = emb.where("vec_id % 4 = 0")
+    queries = emb.where("vec_id % 25 = 0")
+    path = str(tmp_path / "torn")
+    idx = build_ivfpq_index(
+        old, path, m=8, n_codes=16, n_cells=16, train_iters=0
+    )
+    before = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
+    n_before = idx.meta["n_rows"]
+
+    # forge the crash: segment fully staged, manifest never committed
+    idx._write_segment(new, "seg-1")
+    assert os.path.isdir(os.path.join(path, "seg-1"))
+
+    fresh = IvfPqIndex(spark, path)
+    assert fresh.meta["n_rows"] == n_before
+    assert fresh.segments() == ["index.parquet"]
+    assert (
+        sorted(map(tuple, fresh.topk(queries, k=10, nprobe=4).collect()))
+        == before
+    )
+
+    # the replayed append GCs the orphan, stages anew, commits atomically
+    fresh.append(new)
+    assert fresh.segments() == ["index.parquet", "seg-1"]
+    combined = IvfPqIndex(spark, path)
+    assert combined.meta["n_rows"] == n_before + new.count()
+    got = sorted(
+        map(tuple, combined.topk(queries, k=10, nprobe=4).collect())
+    )
+    assert got != before  # appended vectors now rank
+
+
 def test_winnow_substring_guarantee(spark):
     """Winnowing's local guarantee: any shared word run of
     window + k - 1 words yields >= 1 common fingerprint; fully
