@@ -14,7 +14,7 @@ any later batch pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from panoptes_spark.pipeline.text import add_fingerprint
@@ -44,35 +44,143 @@ def dedup_exact_stream(
 # ---------------------------------------------------------------------------
 
 
-class NearDedupIndexSink:
-    """foreachBatch sink that maintains a persisted near-dup index
-    (``pipeline/dedup_index``) over an unbounded document stream.
+class DedupIndexLog:
+    """Read API over the append-only batch log :class:`NearDedupIndexSink`
+    maintains. Every relation resolves through STATE.json's COMMITTED
+    batch list — files a torn commit left behind are invisible until the
+    replay overwrites them.
 
-    Each micro-batch appends to the index via ``update_dedup_index`` —
-    new docs are signed and banded, the existing corpus bands from the
-    artifact's stored signatures, so per-batch work is proportional to
-    the BATCH, never the accumulated corpus (the property an unbounded
-    stream needs; the exactness-vs-full-rebuild proof is the batch
-    operator's, reused unchanged).
+    - ``signatures()`` — union of the per-batch signature files
+      (append-only; a doc signs exactly once, in its arrival batch);
+    - ``pairs()`` — union of per-batch new-pair files, minus the
+      tombstoned set. Tombstones are MONOTONE: a pair is retracted only
+      when every generating LSH bucket crossed the size cap, bucket
+      sizes only grow under appends, and retracted old-old pairs can
+      never re-enter candidacy (candidates need a new-batch member) —
+      so one anti-join resolves the live set exactly;
+    - ``components()`` — per-node latest-batch-wins over the per-batch
+      label files (``max_by`` partial agg, no window): a batch writes
+      labels ONLY for nodes in components its pairs/tombstones touched,
+      so untouched clusters keep their earlier labels.
+    """
+
+    def __init__(self, spark, base_path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.base = base_path
+        with open(os.path.join(base_path, "STATE.json")) as f:
+            self.state = json.load(f)
+
+    def _paths(self, rel: str) -> list[str]:
+        import os
+
+        return [
+            os.path.join(self.base, rel, f"batch={b}")
+            for b in self.state["batches"]
+        ]
+
+    def _read(self, rel: str, schema: str) -> DataFrame:
+        # explicit schema: a batch with no new pairs/tombstones writes
+        # zero part files, which schema inference cannot read back
+        return self.spark.read.schema(schema).parquet(*self._paths(rel))
+
+    @property
+    def _idt(self) -> str:
+        return self.state["id_type"]
+
+    def signatures(self) -> DataFrame:
+        idc = self.state["id_col"]
+        return self._read("sigs", f"{idc} {self._idt}, minhash array<bigint>")
+
+    def docs(self) -> DataFrame:
+        idc, txt = self.state["id_col"], self.state["text_col"]
+        return self._read("docs", f"{idc} {self._idt}, {txt} string")
+
+    def tombstones(self) -> DataFrame:
+        return self._read("tombs", f"a {self._idt}, b {self._idt}")
+
+    def pairs(self) -> DataFrame:
+        raw = self._read(
+            "pairs", f"a {self._idt}, b {self._idt}, jaccard double"
+        )
+        return raw.join(self.tombstones(), ["a", "b"], "left_anti")
+
+    def components(self) -> DataFrame:
+        import os
+
+        parts = []
+        for b in self.state["batches"]:
+            parts.append(
+                self.spark.read.schema(
+                    f"node {self._idt}, component {self._idt}"
+                )
+                .parquet(os.path.join(self.base, "comps", f"batch={b}"))
+                .withColumn("__b", F.lit(int(b)))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("node").agg(
+            F.max_by("component", "__b").alias("component")
+        )
+
+
+class NearDedupIndexSink:
+    """foreachBatch sink that maintains a persisted near-dup index over
+    an unbounded document stream as an APPEND-ONLY batch log.
+
+    Per-batch work is proportional to the batch on BOTH axes that
+    matter at 100 TB (r9 — the previous design rewrote pairs +
+    signatures in full and re-propagated components over the whole pair
+    graph every commit, index-sized I/O per micro-batch):
+
+    - TEXT work: only new docs shingle/sign; the existing corpus bands
+      from its stored signatures, and old text is re-read only for the
+      semi-join-pruned candidate members (``update_dedup_index``'s
+      exactness argument, reused unchanged — bucket-cap eligibility is
+      monotone under appends, so old pairs need revalidation, never
+      re-verification);
+    - WRITE volume: each commit adds per-batch files only — the batch's
+      signatures, its newly verified pairs, tombstones for pairs whose
+      every generating bucket crossed the cap this batch, and new
+      component labels for TOUCHED components only. Nothing already
+      committed is ever rewritten (asserted by
+      ``test_near_dedup_stream_appends_only``);
+    - COMPONENT relabeling: new/tombstoned pairs mark their endpoints'
+      components; the subgraph re-propagated is those components' nodes
+      plus the batch (an edge with one endpoint inside a touched
+      component has BOTH endpoints in the subgraph — components are
+      closed under live edges, new docs' edges touch their old
+      endpoint's component), so label writes are churn-sized. A
+      tombstone can SPLIT a component; including the whole touched
+      component makes the split exact.
 
     Exactly-once across restarts, same discipline as the reconcile /
-    TTL store sinks:
+    TTL store sinks: replayed batch ids (``batch_id <= last_batch_id``)
+    are skipped; per-batch files write with overwrite, so a torn commit
+    is replaced by the replay; ``STATE.json`` swaps atomically
+    (write-tmp + ``os.replace``) and is the ONLY mutable file. A query
+    lineage id (the streaming checkpoint's metadata id) is persisted in
+    STATE: if the base_path is later driven from a DIFFERENT checkpoint
+    lineage — whose batch ids restart at 0 and would silently be
+    dropped as replays — the sink fails loudly instead.
 
-    - replayed batch ids (``batch_id <= last_batch_id``) are skipped;
-    - per-batch doc retention writes to ``docs/batch=<id>/`` with
-      overwrite, so a torn write is replaced by the replay;
-    - each commit builds index generation ``gen-<n+1>`` (overwrite —
-      a torn generation is rebuilt by the replay) and then atomically
-      swaps ``STATE.json`` (write-tmp + ``os.replace``);
-    - generations older than the previous one are deleted AFTER the
-      swap by diffing the directory against the state — a crash between
-      swap and GC leaks nothing permanently (next commit re-diffs).
+    Read amplification grows with the number of committed batches (one
+    parquet dir per batch per relation); long-running deployments
+    compact by rebuilding offline (``pipeline.dedup_index
+    .build_dedup_index`` over ``DedupIndexLog.docs()``) and starting a
+    fresh base_path, the standard LSM discipline.
 
     Layout under ``base_path``::
 
-        STATE.json            {last_batch_id, generation, batches}
-        docs/batch=<id>/      retained (id, text) per committed batch
-        index/gen-<n>/        dedup-index generations (MANIFEST + parquet)
+        STATE.json           {last_batch_id, batches, lineage, schema/params}
+        docs/batch=<id>/     retained (id, text) per committed batch
+        sigs/batch=<id>/     (id, minhash) — the batch's signatures
+        pairs/batch=<id>/    (a, b, jaccard) new verified pairs
+        tombs/batch=<id>/    (a, b) pairs cap-retracted at this batch
+        comps/batch=<id>/    (node, component) labels for touched nodes
     """
 
     def __init__(
@@ -84,10 +192,20 @@ class NearDedupIndexSink:
         num_hashes: int = 32,
         bands: int = 8,
         threshold: float = 0.7,
+        max_bucket_size: int | None = None,
+        max_iter: int = 10,
+        checkpoint: str | None = None,
     ):
+        from panoptes_spark.pipeline import dedup as _dedup
+
         self.base = base_path
         self.id_col, self.text_col = id_col, text_col
+        if max_bucket_size is None:
+            max_bucket_size = _dedup.DEFAULT_MAX_BUCKET_SIZE
         self.params = (k_shingle, num_hashes, bands, threshold)
+        self.max_bucket_size = max_bucket_size
+        self.max_iter = max_iter
+        self.checkpoint = checkpoint
 
     # -- state ------------------------------------------------------------
     def _state_path(self):
@@ -97,13 +215,12 @@ class NearDedupIndexSink:
 
     def _read_state(self):
         import json
-        import os
 
         try:
             with open(self._state_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"last_batch_id": -1, "generation": -1, "batches": []}
+            return {"last_batch_id": -1, "batches": [], "lineage": None}
         except json.JSONDecodeError:
             # torn state write never happens (os.replace is atomic) but a
             # clear error beats silent reset if the file is hand-damaged
@@ -118,29 +235,52 @@ class NearDedupIndexSink:
             json.dump(state, f, sort_keys=True)
         os.replace(tmp, self._state_path())
 
-    def index_path(self):
-        """Path of the current committed generation (None before the
-        first commit) — read it back with ``DedupIndex``."""
+    def _lineage(self):
+        """The driving streaming query's durable identity: the
+        checkpoint metadata id (written by Spark at query start, stable
+        across restarts on the SAME checkpoint, fresh when the
+        checkpoint is recreated). None when the sink is driven directly
+        (batch callers / tests) or before the metadata exists."""
+        import json
         import os
 
-        st = self._read_state()
-        if st["generation"] < 0:
+        if not self.checkpoint:
             return None
-        return os.path.join(self.base, "index", f"gen-{st['generation']}")
+        try:
+            with open(os.path.join(self.checkpoint, "metadata")) as f:
+                return json.load(f).get("id")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def index(self, spark: SparkSession | None = None) -> DedupIndexLog | None:
+        """Read handle over the committed log (None before the first
+        commit) — ``pairs()`` / ``components()`` / ``signatures()``."""
+        import os
+
+        if not os.path.exists(self._state_path()):
+            return None
+        spark = spark or SparkSession.getActiveSession()
+        log = DedupIndexLog(spark, self.base)
+        return log if log.state["batches"] else None
 
     # -- sink -------------------------------------------------------------
     def __call__(self, batch_df, batch_id: int):
         import os
-        import shutil
 
-        from panoptes_spark.pipeline.dedup_index import (
-            DedupIndex,
-            build_dedup_index,
-            update_dedup_index,
-        )
+        from panoptes_spark.pipeline import dedup
+        from panoptes_spark.pipeline.components import connected_components
 
         spark = batch_df.sparkSession
         st = self._read_state()
+        lineage = self._lineage()
+        if st.get("lineage") and lineage and st["lineage"] != lineage:
+            raise ValueError(
+                f"dedup index at {self.base} was committed by streaming "
+                f"query lineage {st['lineage']}, but this query is "
+                f"{lineage} (checkpoint deleted/recreated?). Its batch "
+                "ids restart at 0 and would be dropped as replays - "
+                "use a fresh base_path or restore the original checkpoint."
+            )
         if batch_id <= st["last_batch_id"]:
             return  # replay of a committed batch after restart
         batch = batch_df.select(self.id_col, self.text_col)
@@ -149,56 +289,193 @@ class NearDedupIndexSink:
             self._swap_state(st)
             return
 
-        doc_dir = os.path.join(self.base, "docs", f"batch={batch_id}")
-        batch.write.mode("overwrite").parquet(doc_dir)
-
         k, nh, bands, thr = self.params
-        gen = st["generation"] + 1
-        new_idx_path = os.path.join(self.base, "index", f"gen-{gen}")
-        if st["generation"] < 0:
-            build_dedup_index(
-                spark.read.parquet(doc_dir),
-                new_idx_path,
-                self.id_col,
-                self.text_col,
-                k,
-                nh,
-                bands,
-                thr,
+        idc = self.id_col
+        first = not st["batches"]
+        own_persists = []
+
+        def _m(df):
+            own_persists.append(dedup.materialize_once(df))
+            return own_persists[-1]
+
+        def _w(rel, df):
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.base, rel, f"batch={batch_id}")
             )
-        else:
-            old_idx = DedupIndex(
-                spark,
-                os.path.join(self.base, "index", f"gen-{st['generation']}"),
+
+        _w("docs", batch)
+        sig_new = _m(dedup.minhash_signature(batch, self.text_col, k, nh))
+        try:
+            b_new = dedup.banded_buckets(sig_new, idc, nh, bands).withColumn(
+                "__new", F.lit(True)
             )
-            old_docs = spark.read.parquet(
-                *[
-                    os.path.join(self.base, "docs", f"batch={b}")
-                    for b in st["batches"]
-                ]
+            if first:
+                banded = b_new
+                old_pairs = None
+            else:
+                log = DedupIndexLog(spark, self.base)
+                b_old = dedup.banded_buckets(
+                    log.signatures(), idc, nh, bands
+                ).withColumn("__new", F.lit(False))
+                banded = b_old.unionByName(b_new)
+                old_pairs = log.pairs()
+            sizes = banded.groupBy("band", "bucket").agg(
+                F.count("*").alias("__bn")
             )
-            update_dedup_index(
-                old_idx,
-                old_docs,
-                spark.read.parquet(doc_dir),
-                new_idx_path,
+            eligible = _m(
+                banded.join(
+                    sizes.where(F.col("__bn") <= self.max_bucket_size),
+                    ["band", "bucket"],
+                ).drop("__bn")
             )
+
+            # candidate pairs with >= 1 member from THIS batch (old-old
+            # candidacy is settled by earlier commits + the monotone
+            # cap revalidation below)
+            l, r = eligible.alias("l"), eligible.alias("r")
+            cand = (
+                l.join(
+                    r,
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bucket") == F.col("r.bucket"))
+                    & (F.col(f"l.{idc}") < F.col(f"r.{idc}"))
+                    & (F.col("l.__new") | F.col("r.__new")),
+                )
+                .select(
+                    F.col(f"l.{idc}").alias("a"),
+                    F.col(f"r.{idc}").alias("b"),
+                )
+                .distinct()
+            )
+            # shingle sets for verification: new docs carry theirs in
+            # sig_new; older docs re-shingle ON DEMAND for candidate
+            # members only (semi-join prunes the retained-doc scan)
+            sh_all = sig_new.select(idc, "shingles")
+            if not first:
+                cand_ids = (
+                    cand.select(F.col("a").alias(idc))
+                    .unionByName(cand.select(F.col("b").alias(idc)))
+                    .distinct()
+                )
+                old_cand_docs = log.docs().join(cand_ids, idc, "left_semi")
+                sh_old = old_cand_docs.select(
+                    F.col(idc),
+                    F.expr(dedup.shingles_col(self.text_col, k)).alias(
+                        "shingles"
+                    ),
+                )
+                sh_all = sh_all.unionByName(sh_old)
+            new_pairs = dedup.jaccard_verify(cand, sh_all, idc, thr)
+            _w("sigs", sig_new.select(idc, "minhash"))
+            _w("pairs", new_pairs)
+            # read the committed file back: everything downstream
+            # (tombstone diff, touched-component marking, propagation)
+            # gets a parquet-backed lineage instead of re-evaluating
+            # the banding/verify DAG per reference
+            idt = batch.schema[idc].dataType.simpleString()
+            new_pairs = spark.read.schema(
+                f"a {idt}, b {idt}, jaccard double"
+            ).parquet(os.path.join(self.base, "pairs", f"batch={batch_id}"))
+
+            # tombstones: previously-live pairs whose EVERY generating
+            # bucket crossed the cap once this batch joined (sizes only
+            # grow, so retraction is monotone and final)
+            if first:
+                tombs = batch.select(
+                    F.col(idc).alias("a"), F.col(idc).alias("b")
+                ).where(F.lit(False))
+            else:
+                ea = eligible.select(F.col(idc).alias("a"), "band", "bucket")
+                eb = eligible.select(F.col(idc).alias("b"), "band", "bucket")
+                still = (
+                    ea.join(eb, ["band", "bucket"])
+                    .select("a", "b")
+                    .distinct()
+                )
+                tombs = old_pairs.select("a", "b").join(
+                    still, ["a", "b"], "left_anti"
+                )
+            _w("tombs", tombs)
+            tombs = spark.read.schema(f"a {idt}, b {idt}").parquet(
+                os.path.join(self.base, "tombs", f"batch={batch_id}")
+            )
+
+            # component relabeling over TOUCHED components only: the
+            # endpoints of new/tombstoned pairs mark components; those
+            # components' nodes + the batch form the subgraph (closed
+            # under live edges — see class docstring), re-propagated
+            # with the same capped min-label rounds as a full build
+            new_ids = batch.select(idc)
+            if first:
+                relabeled = connected_components(
+                    new_pairs, nodes=new_ids, max_iter=self.max_iter
+                )
+            else:
+                touched = (
+                    new_pairs.select(F.col("a").alias("node"))
+                    .unionByName(new_pairs.select(F.col("b").alias("node")))
+                    .unionByName(tombs.select(F.col("a").alias("node")))
+                    .unionByName(tombs.select(F.col("b").alias("node")))
+                    .distinct()
+                )
+                # the comps resolution (max_by over the label files) and
+                # the subgraph feed the propagation LOOP: materialize so
+                # rounds iterate over cached frames, not the resolution
+                # DAG (measured 22 s -> 1 s per commit at sf0.01)
+                old_comps = _m(log.components())
+                touched_comps = (
+                    old_comps.join(touched, "node", "left_semi")
+                    .select("component")
+                    .distinct()
+                )
+                sub_old = old_comps.join(
+                    touched_comps, "component", "left_semi"
+                ).select("node")
+                sub_nodes = _m(
+                    sub_old.unionByName(
+                        new_ids.withColumnRenamed(idc, "node")
+                    ).distinct()
+                )
+                live = (
+                    old_pairs.select("a", "b")
+                    .join(tombs, ["a", "b"], "left_anti")
+                    .unionByName(new_pairs.select("a", "b"))
+                )
+                sub_edges = _m(
+                    live.join(
+                        sub_nodes.withColumnRenamed("node", "a"),
+                        "a",
+                        "left_semi",
+                    )
+                )
+                relabeled = connected_components(
+                    sub_edges, nodes=sub_nodes, max_iter=self.max_iter
+                )
+            _w("comps", relabeled)
+        finally:
+            # release only THIS commit's persists (a global release could
+            # drop frames a concurrent consumer registered)
+            for df in own_persists:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
         st = {
             "last_batch_id": int(batch_id),
-            "generation": gen,
             "batches": st["batches"] + [int(batch_id)],
+            "lineage": st.get("lineage") or lineage,
+            "id_col": idc,
+            "text_col": self.text_col,
+            "id_type": batch.schema[idc].dataType.simpleString(),
+            "k_shingle": k,
+            "num_hashes": nh,
+            "bands": bands,
+            "threshold": thr,
+            "max_bucket_size": self.max_bucket_size,
+            "max_iter": self.max_iter,
         }
         self._swap_state(st)
-
-        # GC: delete every generation the state no longer references
-        # except the immediately previous one (one-generation grace for
-        # concurrent readers); directory-diff GC cannot leak on crash
-        idx_root = os.path.join(self.base, "index")
-        keep = {f"gen-{gen}", f"gen-{gen - 1}"}
-        for name in os.listdir(idx_root):
-            if name.startswith("gen-") and name not in keep:
-                shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
 
 
 def near_dedup_index_stream(
@@ -207,17 +484,22 @@ def near_dedup_index_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    trigger: dict | None = None,
     **params,
 ):
     """Wire a streaming document source into a :class:`NearDedupIndexSink`
-    and return (query, sink). ``sink.index_path()`` always points at the
-    last COMMITTED generation; query the pairs/components through
-    ``DedupIndex`` at any time."""
-    sink = NearDedupIndexSink(base_path, id_col, text_col, **params)
+    and return (query, sink). ``sink.index()`` reads the last COMMITTED
+    state — query pairs/components through :class:`DedupIndexLog` at any
+    time. ``trigger`` passes through to ``writeStream.trigger`` (default
+    ``{"availableNow": True}`` — drain-and-stop; pass e.g.
+    ``{"processingTime": "1 minute"}`` for continuous maintenance)."""
+    sink = NearDedupIndexSink(
+        base_path, id_col, text_col, checkpoint=checkpoint, **params
+    )
     q = (
         docs.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
     return q, sink

@@ -2076,7 +2076,7 @@ def test_near_dedup_stream_matches_rebuild(spark, tmp_path, sf_dir):
     q2, sink2 = near_dedup_index_stream(stream2, base, ckpt)
     q2.awaitTermination(300)
 
-    idx = DedupIndex(spark, sink2.index_path())
+    idx = sink2.index(spark)
     full = build_dedup_index(docs, str(tmp_path / "full"))
     got_pairs = sorted(
         (r["a"], r["b"], r["jaccard"]) for r in idx.pairs().collect()
@@ -2096,25 +2096,107 @@ def test_near_dedup_stream_matches_rebuild(spark, tmp_path, sf_dir):
     sink2(last_batch, 2)
     assert open(f"{base}/STATE.json").read() == st_before
 
-    # torn-commit chaos: crash BETWEEN the generation write and the
-    # state swap — restore the pre-commit state, leave the orphan
-    # generation dir, replay the batch; result must still equal rebuild
+    # torn-commit chaos: crash BETWEEN the per-batch file writes and the
+    # state swap — restore the pre-commit state (the orphan batch files
+    # stay on disk, unreferenced), replay the batch; the replay
+    # overwrites them and the result must still equal rebuild
     import json
 
     st = json.loads(st_before)
     pre = dict(st)
     pre["last_batch_id"] = 1
-    pre["generation"] = st["generation"] - 1
     pre["batches"] = st["batches"][:-1]
     with open(f"{base}/STATE.json", "w") as f:
         json.dump(pre, f)
     sink2(last_batch, 2)
-    idx2 = DedupIndex(spark, sink2.index_path())
+    idx2 = sink2.index(spark)
     got2 = sorted(
         (r["a"], r["b"], r["jaccard"]) for r in idx2.pairs().collect()
     )
     assert got2 == want_pairs
     shutil.rmtree(src, ignore_errors=True)
+
+
+def _tree_sizes(base):
+    """{relpath: bytes} for every data file under base (STATE.json and
+    checksum sidecars excluded — STATE is the one mutable file)."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.startswith("STATE.json") or f.endswith(".crc"):
+                continue
+            p = os.path.join(root, f)
+            out[os.path.relpath(p, base)] = os.path.getsize(p)
+    return out
+
+
+def test_near_dedup_stream_appends_only(spark, tmp_path, sf_dir):
+    """Write volume per commit is O(batch), not O(index): committed
+    files are NEVER rewritten (append-only log — the r8 design rewrote
+    signatures/pairs/components in full every micro-batch), and a later
+    batch's new bytes stay well under the accumulated index size."""
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "ao")
+    sink = NearDedupIndexSink(base)
+    snaps = []
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == i), i)
+        snaps.append(_tree_sizes(base))
+
+    for earlier, later in zip(snaps, snaps[1:]):
+        for path, size in earlier.items():
+            assert later.get(path) == size, (
+                f"committed file rewritten or deleted: {path}"
+            )
+    new_bytes = sum(
+        s for p, s in snaps[2].items() if p not in snaps[1]
+    )
+    index_bytes_before = sum(snaps[1].values())
+    assert new_bytes < index_bytes_before, (
+        f"batch-2 wrote {new_bytes}B >= index size {index_bytes_before}B"
+    )
+
+
+def test_near_dedup_stream_lineage_guard(spark, tmp_path, sf_dir):
+    """A base_path driven from a DIFFERENT checkpoint lineage (deleted/
+    recreated checkpoint — batch ids restart at 0 and would silently be
+    dropped as replays) fails loudly instead."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "lin")
+
+    def ckpt_with_id(name, qid):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "metadata"), "w") as f:
+            json.dump({"id": qid}, f)
+        return d
+
+    s1 = NearDedupIndexSink(base, checkpoint=ckpt_with_id("ck1", "q-one"))
+    s1(docs.where("doc_id % 3 = 0"), 0)
+    s1(docs.where("doc_id % 3 = 1"), 1)
+
+    # same lineage: replayed ids are skipped silently (normal restart)
+    s1(docs.where("doc_id % 3 = 1"), 1)
+
+    # different lineage, regressed batch id: loud failure, not a drop
+    s2 = NearDedupIndexSink(base, checkpoint=ckpt_with_id("ck2", "q-two"))
+    with _pytest.raises(ValueError, match="lineage"):
+        s2(docs.where("doc_id % 3 = 2"), 0)
 
 
 def test_domain_mixture_upweights_hard_domains(spark):
