@@ -3716,35 +3716,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _tuned(fn) for name, fn in out.items()}
 
 
-#: r8 driver-sample priority: this round's new gates, then the 14 gates
-#: the r7 verdict found had NEVER received a driver CORRECTNESS row (the
-#: fixed interleave kept them outside every round's 50-gate prefix)
+#: driver-sample priority: THIS round's new gates lead the dict so the
+#: driver's prefix sample always covers the code most likely to be
+#: wrong. Every older gate has at least one CORRECTNESS row (the r1-r8
+#: union covers all 142) and cycles through the prefix via the
+#: round-offset rotation below (~3-round period).
 _DRIVER_PRIORITY = [
-    "ngram_novelty",
+    # r9 gates
+    "dedup_stream_pairs",
+    "ivf_recall_trained",
+    # r9 touched existing surfaces: re-sample their gates this round
     "trim_dup_spans",
+    "ngram_novelty",
     "embedding_drift",
     "training_shards",
-    "domain_mixture",
-    "cluster_topics",
-    "dsir_weights",
     "dsir_select",
-    "dedup_winnow_pairs",
     "ann_index_topk",
     "dedup_incremental_pairs",
-    "binned_quantiles",
-    "bm25_search",
-    "corpus_divergence",
-    "curation_e2e",
-    "global_quantiles",
-    "incremental_dedup",
-    "ks_drift",
-    "lm_perplexity",
-    "skew_report",
-    "source_overlap",
-    "split_leakage",
-    "text_pii_scrub",
-    "text_repetition",
-    "zorder_codes",
 ]
 
 

@@ -67,6 +67,9 @@ _DEDUP_IDX_CACHE: dict = {}
 #: visible, not silently amortized out of the battery total
 LAST_DEDUP_BUILD_SEC: float = 0.0
 
+#: same discipline for the streaming gate's one-time three-batch fold
+LAST_STREAM_FOLD_SEC: float = 0.0
+
 
 def _dedup_artifact(spark: SparkSession, sf_dir: str):
     import hashlib
@@ -138,6 +141,46 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx = update_dedup_index(old_idx, old_docs, new_docs, upd_path)
         _DEDUP_IDX_CACHE[key] = idx
     return idx.pairs().orderBy("a", "b")
+
+
+def q_dedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup index sink's ACTUAL multi-append chain as
+    a driver gate (r9): fold the corpus through
+    ``NearDedupIndexSink.__call__`` in three deterministic micro-batches
+    (build → append → append; doc_id % 3 slices) and return the final
+    live pair set resolved from the append-only log (per-batch pair
+    files minus tombstones). Must equal the FULL-corpus oracle — the
+    equality a one-shot rebuild satisfies; the monotone bucket-cap
+    argument is what makes the fold exact (see NearDedupIndexSink)."""
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    global LAST_STREAM_FOLD_SEC
+    app = spark.sparkContext.applicationId
+    real = os.path.realpath(sf_dir)
+    key = (app, real, "stream")
+    log = _DEDUP_IDX_CACHE.get(key)
+    if log is None:
+        tag = hashlib.md5(f"{app}|{real}|stream".encode()).hexdigest()[:16]
+        base = os.path.join(
+            tempfile.gettempdir(), f"panoptes_dedup_stream_{tag}"
+        )
+        sink = NearDedupIndexSink(
+            base, "doc_id", "text", _K, _NH, _BANDS, _THRESH
+        )
+        if not os.path.exists(os.path.join(base, "STATE.json")):
+            t0 = time.time()
+            docs = fx.read_table(spark, sf_dir, "documents")
+            for i in range(3):
+                sink(docs.where(F.col("doc_id") % 3 == i), i)
+            LAST_STREAM_FOLD_SEC = round(time.time() - t0, 3)
+        log = sink.index(spark)
+        _DEDUP_IDX_CACHE[key] = log
+    return log.pairs().orderBy("a", "b")
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,8 +391,11 @@ FROM pos_mmh3
 """
 
 
-O_DEDUP_MINHASH = f"""
-WITH sh AS (
+#: shared WITH-body of the minhash chain replay (shingles -> signatures
+#: -> bands -> cap -> candidates -> verified pairs) — composed by the
+#: pair oracle AND the estimator-calibration oracle below
+_MINHASH_CTES = f"""
+sh AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(string_split(text, ' ')) < {_K}
       THEN [array_to_string(string_split(text, ' '), ' ')]
@@ -393,7 +439,10 @@ ver AS (
   FROM cand c
   JOIN sig sa ON c.a = sa.doc_id
   JOIN sig sb ON c.b = sb.doc_id
-)
+)"""
+
+O_DEDUP_MINHASH = f"""
+WITH {_MINHASH_CTES.strip()}
 SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}
 """
 
@@ -890,6 +939,132 @@ m AS (
 SELECT query_id, count(*) AS n_match,
        round(count(*) / CAST({_TOPK} AS DOUBLE), 6) AS recall
 FROM m GROUP BY query_id
+"""
+
+
+def q_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-vs-TRAINED coarse-cell recall side by side at equal geometry
+    (r9 — the lift `test_trained_index_improves_recall` proves at
+    sf0.001 promoted to an oracle-recorded driver gate): the SAME Lloyd
+    rounds ``build_ivfpq_index(train_iters>0)`` uses for its cells
+    (``kmeans_refine``), both variants' IVF recall@k vs brute force in
+    one canon. The DuckDB oracle replays the full training (decimal-
+    exact per-(cell,pos) means, the ``kmeans_refine`` gate's recipe)
+    and both IVF rankings."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    bf = (
+        similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
+        .select("query_id", "nbr_id")
+        .persist()
+    )
+    seeds = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
+    counts = []
+    for label, cents in (
+        ("seed", seeds),
+        ("trained", similarity.kmeans_refine(emb, seeds, iters=_KM_ITERS)),
+    ):
+        iv = similarity.ivf_topk(
+            emb, queries, cents, k=_TOPK, nprobe=_IVF_NPROBE
+        ).select("query_id", "nbr_id")
+        counts.append(
+            bf.join(iv, ["query_id", "nbr_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(f"__n_{label}"))
+        )
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(counts[0], "query_id", "left")
+        .join(counts[1], "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__n_seed", F.lit(0)).alias("n_match_seed"),
+            F.round(
+                F.coalesce("__n_seed", F.lit(0)) / F.lit(float(_TOPK)), 6
+            ).alias("recall_seed"),
+            F.coalesce("__n_trained", F.lit(0)).alias("n_match_trained"),
+            F.round(
+                F.coalesce("__n_trained", F.lit(0)) / F.lit(float(_TOPK)), 6
+            ).alias("recall_trained"),
+        )
+    )
+
+
+def _ivf_topk_ctes(cents: str, p: str) -> str:
+    """The O_IVF_TOPK body parameterized on the centroid relation and a
+    relation-name prefix, so two IVF rankings (seed vs trained cells)
+    can share one WITH clause. ``{p}final`` is the top-k relation."""
+    cos = _COS_CELL.replace("v::", "e.embedding::")
+    return f"""
+{p}c_assign AS (
+  SELECT nbr_id, cv, cell_id FROM (
+    SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rk <= 1
+),
+{p}q_assign AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos} DESC, c.cell_id ASC) AS rk
+    FROM embeddings e CROSS JOIN {cents} c
+    WHERE e.vec_id % 25 = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+{p}scored AS (
+  SELECT q.query_id, c.nbr_id,
+    round(list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[])
+      / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+         * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6) AS cosine
+  FROM {p}q_assign q JOIN {p}c_assign c USING (cell_id)
+  WHERE q.query_id <> c.nbr_id
+),
+{p}ranked AS (
+  SELECT DISTINCT query_id, nbr_id, cosine FROM {p}scored
+),
+{p}final AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+    FROM {p}ranked
+  ) WHERE rank <= {_TOPK}
+)"""
+
+
+def _o_ivf_recall_trained() -> str:
+    return f"""
+WITH cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+{_km_round_sql('cents0', 'ta1', 'tm1', 'tn1', 'cents1')},
+{_km_round_sql('cents1', 'ta2', 'tm2', 'tn2', 'cents2')},
+{_ivf_topk_ctes('cents0', 's_').strip()},
+{_ivf_topk_ctes('cents2', 't_').strip()},
+bf AS ({O_ANN_TOPK}),
+ms AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN s_final ON bf.query_id = s_final.query_id
+                   AND bf.nbr_id = s_final.nbr_id
+),
+mt AS (
+  SELECT bf.query_id, bf.nbr_id FROM bf
+  SEMI JOIN t_final ON bf.query_id = t_final.query_id
+                   AND bf.nbr_id = t_final.nbr_id
+),
+cs AS (SELECT query_id, count(*) AS n FROM ms GROUP BY query_id),
+ct AS (SELECT query_id, count(*) AS n FROM mt GROUP BY query_id)
+SELECT q.query_id,
+  CAST(COALESCE(cs.n, 0) AS BIGINT) AS n_match_seed,
+  round(COALESCE(cs.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_seed,
+  CAST(COALESCE(ct.n, 0) AS BIGINT) AS n_match_trained,
+  round(COALESCE(ct.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_trained
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 25 = 0) q
+LEFT JOIN cs USING (query_id) LEFT JOIN ct USING (query_id)
 """
 
 
@@ -3680,6 +3855,8 @@ QUERIES = {
     "embedding_drift": q_embedding_drift,
     "trim_dup_spans": q_trim_dup_spans,
     "ngram_novelty": q_ngram_novelty,
+    "dedup_stream_pairs": q_dedup_stream_pairs,
+    "ivf_recall_trained": q_ivf_recall_trained,
 }
 
 ORACLES = {
@@ -3765,4 +3942,8 @@ ORACLES = {
     "embedding_drift": O_EMBEDDING_DRIFT,
     "trim_dup_spans": O_TRIM_DUP_SPANS,
     "ngram_novelty": O_NGRAM_NOVELTY,
+    # the streamed multi-append fold must equal the one-shot rebuild,
+    # so its oracle IS the full-corpus pair replay
+    "dedup_stream_pairs": O_DEDUP_MINHASH,
+    "ivf_recall_trained": _o_ivf_recall_trained(),
 }
