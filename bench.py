@@ -86,6 +86,29 @@ def main():
     names = [n for n in HEADLINE if n in qs] + [
         n for n in qs if n not in HEADLINE
     ]
+
+    # r9 (VERDICT r8 #5): a one-query count() does NOT absorb the
+    # first-compile cost of ~140 distinct plans — battery 1 of the r8
+    # window ran 41% hot. Policy: one THROWAWAY battery at a tiny SF
+    # (default sf0.001) compiles every gate's codegen/classloaders
+    # before the timed batteries; its wall time is recorded in the
+    # artifact, never in the battery totals. SPARK_GRAFT_BENCH_WARM=0
+    # disables (or point it at another warm dir).
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_WARM", "/root/testdata/sf0.001"
+    )
+    warm_sec = None
+    if warm_dir not in ("", "0") and os.path.isdir(warm_dir):
+        t0 = time.time()
+        print(f"## warm battery @ {warm_dir} (untimed)", file=sys.stderr)
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as e:  # a warm failure must not kill the bench
+                print(f"# warm {name} failed: {e}", file=sys.stderr)
+            _release_between_queries(spark)
+        warm_sec = round(time.time() - t0, 3)
+
     batteries = []
     run_totals = []
     for b in range(repeats):
@@ -106,6 +129,7 @@ def main():
     from panoptes_spark.pipeline import gate_queries
 
     build_sec = gate_queries.LAST_DEDUP_BUILD_SEC
+    fold_sec = gate_queries.LAST_STREAM_FOLD_SEC
 
     # the plain BENCH_DETAIL.json name is reserved for the driver's
     # default SF so off-SF runs (e.g. the sf1 soak) never clobber the
@@ -132,6 +156,13 @@ def main():
                 "sf": sf_val,
                 "run_totals": run_totals,
                 "dedup_index_build_sec": build_sec,
+                "dedup_stream_fold_sec": fold_sec,
+                "warmup": {
+                    "policy": f"full-battery@{warm_dir}"
+                    if warm_sec is not None
+                    else "disabled",
+                    "sec": warm_sec,
+                },
             },
             f,
             indent=1,
@@ -152,6 +183,8 @@ def main():
                 "sf": sf_val,
                 "run_totals": run_totals,
                 "dedup_index_build_sec": build_sec,
+                "dedup_stream_fold_sec": fold_sec,
+                "warm_sec": warm_sec,
                 "detail": detail_name,
             }
         ),
