@@ -865,3 +865,46 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def minhash_estimate(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Signature-estimated vs verified Jaccard for every surviving pair
+    — the estimator-calibration report a minhash deployment publishes
+    before trusting bands alone. Broder's guarantee (1997):
+    ``P[min-hash coordinates agree] = J``, so the fraction of agreeing
+    coordinates is an unbiased estimate of the exact Jaccard; the gap
+    to the verified value is what the verify join buys at each
+    ``num_hashes``.
+
+    Inputs are the dedup artifact's relations (pairs + stored
+    signatures), so this is a pair-sized join of two dims — the corpus
+    text is never touched. Returns (a, b, jaccard, est_jaccard,
+    abs_err), all 6 dp."""
+    sa = sigs.select(
+        F.col(id_col).alias("a"), F.col("minhash").alias("__ma")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b"), F.col("minhash").alias("__mb")
+    )
+    est = F.expr(
+        "round(size(filter(zip_with(__ma, __mb, (x, y) -> x = y),"
+        f" t -> t)) / {num_hashes}, 6)"
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "jaccard",
+            est.alias("est_jaccard"),
+            F.round(
+                F.abs(F.col("jaccard") - est), 6
+            ).alias("abs_err"),
+        )
+    )

@@ -3773,6 +3773,183 @@ FROM tot t LEFT JOIN seen s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 additions: CCNet perplexity buckets, robust length outliers,
+# minhash estimator calibration, token-budget allocation
+# ---------------------------------------------------------------------------
+
+_PPLX_FRACS = (1 / 3, 2 / 3)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail curation buckets (Wenzek et al., LREC
+    2020): per-source rank cut over the gate-proven bigram-LM score.
+    Rank-based cuts (score, doc_id total order) are engine-exact where
+    float tercile boundaries are not; the window partitions by source."""
+    from panoptes_spark.pipeline.lm import (
+        perplexity_buckets,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    uni, bi, vocab = train_bigram_lm(docs)
+    scored = score_documents(docs, uni, bi, vocab)
+    return perplexity_buckets(scored, docs, fracs=_PPLX_FRACS).orderBy(
+        "doc_id"
+    )
+
+
+def _o_perplexity_buckets() -> str:
+    from panoptes_spark.pipeline.lm import lm_oracle_sql
+
+    lo, hi = _PPLX_FRACS
+    return f"""
+WITH scored AS ({lm_oracle_sql()}),
+j AS (
+  SELECT s.doc_id, d.source, s.avg_neg_logp
+  FROM scored s JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY avg_neg_logp ASC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, avg_neg_logp,
+  CASE WHEN rn <= ceil({lo!r} * n) THEN 'head'
+       WHEN rn <= ceil({hi!r} * n) THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier screen: modified z-score over document
+    lengths with EXACT per-group median and MAD (grouped histogram
+    folds — no sort, no sampling; Iglewicz & Hoaglin 1993). The screen
+    that catches truncated/concatenated docs without the mean/stddev's
+    own sensitivity to the outliers it hunts."""
+    from panoptes_spark.pipeline.stats import length_outliers
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    return length_outliers(docs, ["source"], "n_chars").orderBy("doc_id")
+
+
+O_LENGTH_OUTLIERS = """
+WITH h AS (
+  SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+  FROM h
+),
+tot AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+med AS (
+  SELECT source, min(v) AS med
+  FROM cum JOIN tot USING (source)
+  WHERE cm >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY source
+),
+d AS (
+  SELECT doc_id, d.source, n_chars, med,
+         abs(n_chars - med) AS dev
+  FROM documents d JOIN med USING (source)
+),
+h2 AS (SELECT source, dev AS v, count(*) AS c FROM d GROUP BY 1, 2),
+cum2 AS (
+  SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v) AS cm
+  FROM h2
+),
+tot2 AS (SELECT source, sum(c) AS n FROM h2 GROUP BY 1),
+mad AS (
+  SELECT source, min(v) AS mad
+  FROM cum2 JOIN tot2 USING (source)
+  WHERE cm >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY source
+),
+z AS (
+  SELECT doc_id, d.source, n_chars,
+    CASE WHEN mad > 0
+         THEN round(0.6745 * (n_chars - med) / mad, 6) END AS mod_z
+  FROM d JOIN mad USING (source)
+)
+SELECT doc_id, source, n_chars, mod_z,
+  CASE WHEN mod_z IS NULL THEN FALSE ELSE abs(mod_z) > 3.5 END AS is_outlier
+FROM z
+"""
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the minhash signatures (Broder 1997:
+    agreeing-coordinate fraction is an unbiased Jaccard estimate):
+    estimated vs verified Jaccard for every pair in the dedup artifact
+    — pair-sized joins of stored relations, text never rescanned."""
+    idx = _dedup_artifact(spark, sf_dir)
+    return dedup.minhash_estimate(
+        idx.pairs(), idx.signatures(), "doc_id", _NH
+    ).orderBy("a", "b")
+
+
+O_MINHASH_CALIBRATION = f"""
+WITH {_MINHASH_CTES.strip()},
+p AS (SELECT a, b, jaccard FROM ver WHERE jaccard >= {_THRESH}),
+e AS (
+  SELECT p.a, p.b, p.jaccard,
+    round(len(list_filter(range(1, {_NH + 1}),
+          i -> sa.minhash[i] = sb.minhash[i])) / {_NH}, 6) AS est_jaccard
+  FROM p
+  JOIN sig sa ON p.a = sa.doc_id
+  JOIN sig sb ON p.b = sb.doc_id
+)
+SELECT a, b, jaccard, est_jaccard,
+  round(abs(jaccard - est_jaccard), 6) AS abs_err
+FROM e
+"""
+
+
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_CAP = 4.0
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token allocation under a fixed training budget with
+    the data-constrained-scaling epoch cap (Muennighoff et al.,
+    NeurIPS 2023) — saturated sources report their unspent remainder
+    instead of silently absorbing it."""
+    from panoptes_spark.pipeline.selection import token_budget_allocation
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    return token_budget_allocation(
+        docs, _BUDGET_TOKENS, max_epochs=_BUDGET_CAP
+    ).orderBy("source")
+
+
+O_TOKEN_BUDGET = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY 1
+),
+k AS (SELECT count(*) AS k FROM per),
+a AS (
+  SELECT source, n_docs, n_tokens,
+    round(1.0 / k, 6) AS weight,
+    round(least({_BUDGET_CAP!r},
+          {float(_BUDGET_TOKENS)!r} * round(1.0 / k, 6) / n_tokens), 6)
+      AS epochs
+  FROM per CROSS JOIN k
+),
+b AS (
+  SELECT *, CAST(floor(epochs * n_tokens) AS BIGINT) AS alloc_tokens
+  FROM a
+),
+t AS (SELECT sum(alloc_tokens) AS ta FROM b)
+SELECT source, n_docs, n_tokens, weight, epochs, alloc_tokens,
+  CAST({_BUDGET_TOKENS} - ta AS BIGINT) AS unallocated
+FROM b CROSS JOIN t
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -3857,6 +4034,10 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "dedup_stream_pairs": q_dedup_stream_pairs,
     "ivf_recall_trained": q_ivf_recall_trained,
+    "perplexity_buckets": q_perplexity_buckets,
+    "length_outliers": q_length_outliers,
+    "minhash_calibration": q_minhash_calibration,
+    "token_budget": q_token_budget,
 }
 
 ORACLES = {
@@ -3946,4 +4127,8 @@ ORACLES = {
     # so its oracle IS the full-corpus pair replay
     "dedup_stream_pairs": O_DEDUP_MINHASH,
     "ivf_recall_trained": _o_ivf_recall_trained(),
+    "perplexity_buckets": _o_perplexity_buckets(),
+    "length_outliers": O_LENGTH_OUTLIERS,
+    "minhash_calibration": O_MINHASH_CALIBRATION,
+    "token_budget": O_TOKEN_BUDGET,
 }

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_lm", "score_documents"]
+__all__ = ["train_bigram_lm", "score_documents", "perplexity_buckets"]
 
 START = "<s>"
 
@@ -126,3 +126,52 @@ LEFT JOIN unigrams USING (prev)
 CROSS JOIN vocab
 GROUP BY doc_id
 """
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    fracs: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al., LREC 2020):
+    within each source, rank documents by LM score ascending (fluent
+    first) and cut at the ``fracs`` rank fractions — CCNet trains only
+    on the head/middle of each language, dropping the tail.
+
+    Buckets are RANK-based, not threshold-based: cutting at exact score
+    terciles would compare floating-point boundaries, which no two
+    engines binary-agree on; ranking by the (6 dp-quantized score,
+    doc id) total order is deterministic everywhere, per-source sizes
+    stay within one doc of the requested fractions, and the window is
+    partitioned by source — no global sort at any scale.
+
+    Returns (id, source, avg_neg_logp, bucket ∈ head|middle|tail).
+    """
+    from pyspark.sql import Window
+
+    lo, hi = fracs
+    src = docs.select(F.col(id_col), F.col(source_col))
+    joined = scored.select(id_col, "avg_neg_logp").join(src, id_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("avg_neg_logp").asc(), F.col(id_col).asc()
+    )
+    n = Window.partitionBy(source_col)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .select(
+            id_col,
+            source_col,
+            "avg_neg_logp",
+            F.when(
+                F.col("__rn") <= F.ceil(F.lit(lo) * F.col("__n")), "head"
+            )
+            .when(
+                F.col("__rn") <= F.ceil(F.lit(hi) * F.col("__n")), "middle"
+            )
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

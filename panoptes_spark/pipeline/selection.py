@@ -275,3 +275,66 @@ def domain_mixture_weights(
         .withColumn("weight", F.round(F.col("__e") / F.col("__z"), 6))
         .select(group_col, "n_docs", "avg_loss", "weight")
     )
+
+
+def token_budget_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token allocation under a total training budget with an
+    epoch cap: target share is uniform across sources (pass reweighted
+    docs for anything else); ``epochs_d = min(cap, budget·w_d /
+    tokens_d)`` and ``alloc_d = floor(epochs_d · tokens_d)``. The cap is
+    the data-constrained-scaling rule of thumb (Muennighoff et al.,
+    NeurIPS 2023: repeating data beyond ~4 epochs returns almost
+    nothing), so a small source saturates at ``cap × its size`` and the
+    unspent remainder is reported rather than silently vanishing
+    (``unallocated`` on every row; no silent caps).
+
+    One partial-agg groupBy collapses the corpus to source-count rows;
+    everything after is arithmetic on that dim. Returns (source,
+    n_docs, n_tokens, weight, epochs, alloc_tokens, unallocated)."""
+    toks = f"size(split(trim({text_col}), '\\\\s+'))"
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(toks)).alias("n_tokens"),
+    )
+    n_src = per.agg(F.count(F.lit(1)).alias("__k"))
+    alloc = (
+        per.crossJoin(F.broadcast(n_src))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("__k"), 6))
+        .withColumn(
+            "epochs",
+            F.round(
+                F.least(
+                    F.lit(float(max_epochs)),
+                    F.lit(float(budget_tokens))
+                    * F.col("weight")
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.col("epochs") * F.col("n_tokens")).cast("bigint"),
+        )
+    )
+    tot = alloc.agg(F.sum("alloc_tokens").alias("__a"))
+    return (
+        alloc.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "epochs",
+            "alloc_tokens",
+            (F.lit(int(budget_tokens)) - F.col("__a"))
+            .cast("bigint")
+            .alias("unallocated"),
+        )
+    )

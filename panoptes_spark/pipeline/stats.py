@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["global_quantiles", "skew_report", "filter_by_quantile_range"]
+__all__ = [
+    "global_quantiles",
+    "skew_report",
+    "filter_by_quantile_range",
+    "grouped_quantile",
+    "length_outliers",
+]
 
 
 def global_quantiles(
@@ -135,4 +141,91 @@ def filter_by_quantile_range(
             & (F.col(value_col) <= F.col("__hi"))
         )
         .drop("__lo", "__hi")
+    )
+
+
+def grouped_quantile(
+    df: DataFrame, key_cols: list[str], value_col: str, p: float = 0.5
+) -> DataFrame:
+    """Exact per-group type-1 quantile of an integer-valued column —
+    ``global_quantiles``' histogram-fold recipe, grouped: one keyed
+    partial-agg shuffle collapses each group to its |distinct values|
+    histogram, a second collapses that to one sorted array per group,
+    and the quantile is a JVM ``aggregate`` scan. Bounded value domains
+    only (lengths, counts) — same contract as ``global_quantiles``.
+
+    Returns key cols + (q bigint, n bigint)."""
+    if not key_cols:
+        raise ValueError("grouped_quantile requires key columns")
+    if not 0 < p <= 1:
+        raise ValueError(f"quantile must lie in (0, 1]: {p}")
+    hist = df.groupBy(
+        *key_cols, F.col(value_col).cast("bigint").alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    one = hist.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(F.struct("__v", "__c"))).alias("__h"),
+        F.sum("__c").alias("n"),
+    )
+    tgt = f"cast(ceil({p!r} * n) as bigint)"
+    fold = (
+        "aggregate(__h,"
+        " struct(cast(0 as bigint) as cum, cast(null as bigint) as ans),"
+        " (a, x) -> struct(a.cum + x.__c,"
+        f"   coalesce(a.ans, if(a.cum + x.__c >= {tgt}, x.__v,"
+        "     cast(null as bigint)))),"
+        " a -> a.ans)"
+    )
+    return one.select(*key_cols, F.expr(fold).alias("q"), "n")
+
+
+def length_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags by the MODIFIED z-score
+    (Iglewicz & Hoaglin 1993): ``M = 0.6745 * (x - median) / MAD`` with
+    MAD = median absolute deviation — the curation screen for
+    truncated/concatenated documents that mean/stddev misses, because
+    median and MAD don't move when the outliers themselves do.
+
+    Both medians are EXACT (``grouped_quantile`` histogram folds, two
+    keyed shuffles each — no sort, no sampling, group-count-sized dims
+    broadcast back). ``MAD = 0`` groups (constant values) emit NULL
+    ``mod_z`` and are never flagged. Returns
+    (id, keys..., value, mod_z 6 dp, is_outlier)."""
+    med = grouped_quantile(df, key_cols, value_col, 0.5).select(
+        *key_cols, F.col("q").alias("__med")
+    )
+    with_med = df.select(id_col, *key_cols, value_col).join(
+        F.broadcast(med), key_cols
+    )
+    dev = with_med.select(
+        *key_cols,
+        F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+    )
+    mad = grouped_quantile(dev, key_cols, "__dev", 0.5).select(
+        *key_cols, F.col("q").alias("__mad")
+    )
+    mz = F.round(
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad"),
+        6,
+    )
+    return (
+        with_med.join(F.broadcast(mad), key_cols)
+        .select(
+            id_col,
+            *key_cols,
+            F.col(value_col),
+            F.when(F.col("__mad") > 0, mz).alias("mod_z"),
+            F.when(
+                F.col("__mad") > 0, F.abs(mz) > threshold
+            )
+            .otherwise(F.lit(False))
+            .alias("is_outlier"),
+        )
     )

@@ -2280,3 +2280,95 @@ def test_ngram_novelty_bounds_and_detection(spark):
     assert out[1]["novelty"] == 0.0
     assert out[2]["novelty"] == 1.0
     assert 0.3 < out[3]["novelty"] < 0.7
+
+
+def test_perplexity_buckets_rank_cuts(spark):
+    """Per-source bucket sizes follow the ceil-rank cuts, gibberish
+    lands in the tail of its source, and every scored doc is bucketed."""
+    from panoptes_spark.pipeline.lm import (
+        perplexity_buckets,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    rows = [(i, "the cat sat on the mat and the dog sat too", "a")
+            for i in range(8)]
+    rows += [(100, "zq xv qq zk vx jq zz qv kx vz jx qz", "a")]
+    rows += [(200 + i, "a plain sentence about cats and dogs", "b")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    uni, bi, vocab = train_bigram_lm(docs)
+    scored = score_documents(docs, uni, bi, vocab)
+    out = perplexity_buckets(scored, docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    a = by_src["a"]  # 9 docs: head=3, middle=3, tail=3
+    import collections
+
+    ca = collections.Counter(r["bucket"] for r in a)
+    assert ca == {"head": 3, "middle": 3, "tail": 3}
+    gib = next(r for r in a if r["doc_id"] == 100)
+    assert gib["bucket"] == "tail"
+    cb = collections.Counter(r["bucket"] for r in by_src["b"])
+    assert cb == {"head": 1, "middle": 1, "tail": 1}
+    assert len(out) == scored.count()
+
+
+def test_length_outliers_flags_extremes_only(spark):
+    """An injected extreme length is flagged; the bulk is not; a
+    constant-valued group (MAD=0) emits NULL mod_z and no flags."""
+    from panoptes_spark.pipeline.stats import length_outliers
+
+    rows = [(i, "s", 100 + (i % 5)) for i in range(20)]
+    rows += [(99, "s", 10000)]
+    rows += [(200 + i, "const", 50) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n"])
+    out = {r["doc_id"]: r for r in
+           length_outliers(df, ["source"], "n").collect()}
+    assert out[99]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(20))
+    assert out[200]["mod_z"] is None and out[200]["is_outlier"] is False
+
+
+def test_minhash_estimate_identical_and_disjoint(spark):
+    """Identical docs estimate 1.0; the estimate column stays within
+    [0, 1] and pairs carry their verified jaccard through."""
+    from panoptes_spark.pipeline import dedup as dd
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "alpha beta gamma delta epsilon zeta eta iota",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    sig = dd.minhash_signature(docs)
+    pairs = dd.minhash_dedup(docs, threshold=0.5)
+    out = {(r["a"], r["b"]): r for r in
+           dd.minhash_estimate(pairs, sig).collect()}
+    assert out[(1, 2)]["est_jaccard"] == 1.0
+    assert out[(1, 2)]["jaccard"] == 1.0 and out[(1, 2)]["abs_err"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+    dd.release_materialized()
+
+
+def test_token_budget_caps_and_remainder(spark):
+    """A small source saturates at the epoch cap; a huge one gets a
+    fractional epoch; allocations never exceed the budget and the
+    remainder is reported on every row."""
+    from panoptes_spark.pipeline.selection import token_budget_allocation
+
+    rows = [(i, "w " * 10, "small") for i in range(2)]          # ~22 tokens
+    rows += [(100 + i, "w " * 1000, "big") for i in range(50)]  # ~50k tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in
+           token_budget_allocation(docs, 10_000, max_epochs=4.0).collect()}
+    assert out["small"]["epochs"] == 4.0  # capped: budget share >> size
+    assert 0 < out["big"]["epochs"] < 1
+    total_alloc = sum(r["alloc_tokens"] for r in out.values())
+    assert total_alloc <= 10_000
+    assert all(r["unallocated"] == 10_000 - total_alloc
+               for r in out.values())
