@@ -3725,6 +3725,13 @@ _DRIVER_PRIORITY = [
     # r9 gates
     "dedup_stream_pairs",
     "ivf_recall_trained",
+    "perplexity_buckets",
+    "length_outliers",
+    "minhash_calibration",
+    "token_budget",
+    "boilerplate_ngrams",
+    "label_balance",
+    "dedup_cluster_stats",
     # r9 touched existing surfaces: re-sample their gates this round
     "trim_dup_spans",
     "ngram_novelty",

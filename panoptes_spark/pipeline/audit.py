@@ -41,6 +41,7 @@ __all__ = [
     "referential",
     "run_checks",
     "profile_columns",
+    "label_balance",
 ]
 
 
@@ -209,4 +210,62 @@ def profile_columns(
     return wide.selectExpr(
         f"stack({len(columns)}, {stacked}) AS "
         "(col_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )
+
+
+#: the Wilson score interval, written ONCE as expression text shared by
+#: the Spark operator and the DuckDB oracle so every floating-point op
+#: evaluates in the same order on both engines (identical doubles in,
+#: identical doubles out; z = 1.96 for the 95% interval)
+WILSON_CENTER = (
+    "(({x} / {n}) + {z} * {z} / (2 * {n})) / (1 + {z} * {z} / {n})"
+)
+WILSON_HALF = (
+    "({z} * sqrt(({x} / {n}) * (1 - ({x} / {n})) / {n}"
+    " + {z} * {z} / (4 * {n} * {n}))) / (1 + {z} * {z} / {n})"
+)
+
+
+def label_balance(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group class balance with Wilson score intervals (Wilson 1927)
+    — the label-audit a training set publishes before anyone trusts its
+    class priors: the observed share of each label within each group
+    plus a CI that stays inside [0, 1] and behaves at small n (where
+    the normal approximation does not).
+
+    One (group, label) partial-agg count + a broadcast of the
+    group-count dim — nothing data-sized after the first shuffle.
+    Returns (group, label, n_class, n_total, share, ci_lo, ci_hi),
+    shares and bounds at 6 dp."""
+    counts = df.groupBy(group_col, label_col).agg(
+        F.count(F.lit(1)).alias("n_class")
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("n_class").alias("n_total")
+    )
+    args = dict(
+        x="cast(n_class as double)", n="cast(n_total as double)", z=repr(z)
+    )
+    center = WILSON_CENTER.format(**args)
+    half = WILSON_HALF.format(**args)
+    return (
+        counts.join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            label_col,
+            "n_class",
+            "n_total",
+            F.round(F.col("n_class") / F.col("n_total"), 6).alias("share"),
+            F.expr(f"round(greatest(0.0, {center} - {half}), 6)").alias(
+                "ci_lo"
+            ),
+            F.expr(f"round(least(1.0, {center} + {half}), 6)").alias(
+                "ci_hi"
+            ),
+        )
     )

@@ -83,3 +83,31 @@ def dedup_exact_components(
         F.col("node").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def cluster_size_stats(components: DataFrame) -> DataFrame:
+    """Cluster-size histogram + survivorship over a (node, component)
+    labeling: how much of the corpus near-duplicate mass sits in pairs
+    vs deep clusters, and how many docs dedup would remove at one
+    representative per cluster. The report read before choosing
+    representative policy or LSH thresholds.
+
+    Two partial-agg groupBys (component -> size, size -> histogram);
+    nothing bigger than the label relation ever shuffles. Returns
+    (cluster_size, n_clusters, n_docs, n_removed) ordered by size."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            (
+                (F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")
+            ).alias("n_removed"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -3950,6 +3950,100 @@ SELECT source, n_docs, n_tokens, weight, epochs, alloc_tokens,
 FROM b CROSS JOIN t
 """
 
+_BOILER_TOP = 5
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate report: top word k-grams by document
+    frequency — the diagnostic read before tuning dedup caps or
+    trimming policies (headers/templates surface as grams present in a
+    large share of a source's docs)."""
+    from panoptes_spark.pipeline.substrings import frequent_ngrams
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    return frequent_ngrams(docs, k=_K, top_n=_BOILER_TOP).orderBy(
+        "source", "rank"
+    )
+
+
+O_BOILERPLATE_NGRAMS = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+    list_distinct(CASE WHEN len(string_split(text, ' ')) < {_K}
+      THEN [array_to_string(string_split(text, ' '), ' ')]
+      ELSE list_transform(range(1, len(string_split(text, ' ')) - {_K} + 2),
+           i -> array_to_string(string_split(text, ' ')[i:i+{_K - 1}], ' '))
+      END) AS shingles
+  FROM documents
+),
+g AS (SELECT source, unnest(shingles) AS gram FROM sh),
+c AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2),
+r AS (
+  SELECT source, gram, df,
+    CAST(row_number() OVER (PARTITION BY source
+         ORDER BY df DESC, gram ASC) AS INT) AS rank
+  FROM c
+)
+SELECT source, gram, df, rank FROM r WHERE rank <= {_BOILER_TOP}
+"""
+
+
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language balance with Wilson 95% intervals — the
+    class-prior audit; the Wilson expression text is shared verbatim
+    with the oracle so both engines evaluate identical double ops."""
+    from panoptes_spark.pipeline.audit import label_balance
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    return label_balance(docs, "source", "lang").orderBy("source", "lang")
+
+
+def _o_label_balance() -> str:
+    from panoptes_spark.pipeline.audit import WILSON_CENTER, WILSON_HALF
+
+    args = dict(
+        x="cast(n_class as double)", n="cast(n_total as double)", z=repr(1.96)
+    )
+    center = WILSON_CENTER.format(**args)
+    half = WILSON_HALF.format(**args)
+    return f"""
+WITH c AS (
+  SELECT source, lang, count(*) AS n_class FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, CAST(sum(n_class) AS BIGINT) AS n_total FROM c GROUP BY 1
+)
+SELECT source, lang, n_class, n_total,
+  round(n_class / CAST(n_total AS DOUBLE), 6) AS share,
+  round(greatest(0.0, {center} - {half}), 6) AS ci_lo,
+  round(least(1.0, {center} + {half}), 6) AS ci_hi
+FROM c JOIN t USING (source)
+"""
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram + survivorship over the dedup artifact's
+    component labels — 'how deep do the near-dup clusters go, and how
+    many docs does one-representative-per-cluster remove'."""
+    from panoptes_spark.pipeline.components import cluster_size_stats
+
+    return cluster_size_stats(_dedup_artifact(spark, sf_dir).components())
+
+
+def _o_dedup_cluster_stats() -> str:
+    return f"""
+SELECT cluster_size, n_clusters,
+  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+  CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removed
+FROM (
+  SELECT cluster_size, count(*) AS n_clusters FROM (
+    SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM ({O_DEDUP_COMPONENTS}) comp GROUP BY component
+  ) s GROUP BY cluster_size
+) h
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -4038,6 +4132,9 @@ QUERIES = {
     "length_outliers": q_length_outliers,
     "minhash_calibration": q_minhash_calibration,
     "token_budget": q_token_budget,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "label_balance": q_label_balance,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
 }
 
 ORACLES = {
@@ -4131,4 +4228,7 @@ ORACLES = {
     "length_outliers": O_LENGTH_OUTLIERS,
     "minhash_calibration": O_MINHASH_CALIBRATION,
     "token_budget": O_TOKEN_BUDGET,
+    "boilerplate_ngrams": O_BOILERPLATE_NGRAMS,
+    "label_balance": _o_label_balance(),
+    "dedup_cluster_stats": _o_dedup_cluster_stats(),
 }

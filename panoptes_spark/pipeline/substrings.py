@@ -34,6 +34,7 @@ __all__ = [
     "duplicated_ngram_spans",
     "trim_duplicated_spans",
     "ngram_novelty",
+    "frequent_ngrams",
 ]
 
 
@@ -264,4 +265,43 @@ def ngram_novelty(
             "novelty",
             F.round(1.0 - F.col("n_seen") / F.col("n_grams"), 6),
         )
+    )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    top_n: int = 5,
+) -> DataFrame:
+    """Top-``top_n`` word k-grams per source by DOCUMENT frequency — the
+    boilerplate diagnostic read before tuning dedup caps (`max_df`,
+    winnowing) or trimming policies: headers/footers/templates surface
+    as grams present in a large share of a source's documents.
+
+    Scale shape: per-doc DISTINCT grams (the shingle expression — narrow,
+    no Python), one (source, gram) partial-agg count (map-side combine
+    collapses repeats), then a per-source top-n window over the
+    vocab-sized count relation. Gram strings ship only after the count
+    collapse. Returns (source, gram, df, rank)."""
+    from pyspark.sql import Window
+
+    from .dedup import shingles_col
+
+    grams = df.select(
+        F.col(source_col),
+        F.explode(F.expr(shingles_col(text_col, k))).alias("gram"),
+    )
+    counts = grams.groupBy(source_col, "gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("df").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
+        .select(source_col, "gram", "df", "rank")
     )

