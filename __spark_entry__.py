@@ -3732,6 +3732,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_ngrams",
     "label_balance",
     "dedup_cluster_stats",
+    "ann_index_append_topk",
     # r9 touched existing surfaces: re-sample their gates this round
     "trim_dup_spans",
     "ngram_novelty",

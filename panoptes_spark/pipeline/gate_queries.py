@@ -2192,10 +2192,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_cb_cte() -> str:
+def _pq_cb_cte(train_pred: str = "") -> str:
     """Shared CTE chain: seed codebooks + corpus encoding, ending in
-    enc(vec_id, subspace, code)."""
+    enc(vec_id, subspace, code). ``train_pred`` restricts the SEED rows
+    (codebook training) — the encoding always covers the full corpus,
+    which is exactly the frozen-codebook append semantics."""
     m, nc = _PQ_M, _PQ_CODES
+    wh = f" WHERE {train_pred}" if train_pred else ""
     ds = 64 // m
     sq = (
         "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
@@ -2207,7 +2210,7 @@ def _pq_cb_cte() -> str:
     )
     return f"""
 seeds AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{wh}
   ORDER BY vec_id LIMIT {nc}
 ),
 subs AS (SELECT CAST(unnest(range({m})) AS INT) AS subspace),
@@ -2528,8 +2531,9 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_ivfpq_topk() -> str:
+def _o_ivfpq_topk(train_pred: str = "") -> str:
     ds = 64 // _PQ_M
+    wh = f" WHERE {train_pred}" if train_pred else ""
     qsq = (
         "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
         "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
@@ -2542,7 +2546,7 @@ def _o_ivfpq_topk() -> str:
 WITH cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
          embedding AS centroid
-  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}
+  FROM embeddings{wh} ORDER BY vec_id LIMIT {_IVF_CELLS}
 ),
 c_assign AS (
   SELECT nbr_id, cell_id FROM (
@@ -2561,7 +2565,7 @@ q_assign AS (
     WHERE e.vec_id % 25 = 0
   ) WHERE rk <= {_IVF_NPROBE}
 ),
-{_pq_cb_cte().strip()},
+{_pq_cb_cte(train_pred).strip()},
 qt AS (
   SELECT q.vec_id AS query_id, c.subspace, c.code_id, {qdist} AS dint
   FROM embeddings q CROSS JOIN cb c
@@ -2627,6 +2631,49 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, path, m=_PQ_M, n_codes=_PQ_CODES,
                 n_cells=_IVF_CELLS, train_iters=0,
             )
+        _ANN_IDX_CACHE[key] = path
+    idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
+
+
+
+_ANN_APPEND_PRED = "vec_id % 4 > 0"
+
+
+def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-codebook append as a driver gate (r9): build the index
+    over 3/4 of the corpus (seed cells/codebooks, train_iters=0),
+    APPEND the rest through the manifest-committed segment path, reread
+    through a fresh handle, and query. The oracle is the ivfpq replay
+    with TRAINING restricted to the build subset while the encoding and
+    ranking cover the full corpus — exactly FAISS `add` semantics, now
+    oracle-recorded instead of pytest-only."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from .ann_index import IvfPqIndex, build_ivfpq_index
+
+    app = spark.sparkContext.applicationId
+    real = _os.path.realpath(sf_dir)
+    key = (app, real, "append")
+    path = _ANN_IDX_CACHE.get(key)
+    if path is None:
+        tag = _hashlib.md5(
+            f"{app}|{real}|append|{_PQ_M}|{_PQ_CODES}|{_IVF_CELLS}".encode()
+        ).hexdigest()[:16]
+        path = _os.path.join(
+            _tempfile.gettempdir(), f"panoptes_ann_app_{tag}"
+        )
+        if not _os.path.exists(_os.path.join(path, "MANIFEST.json")):
+            emb = fx.read_table(spark, sf_dir, "embeddings")
+            idx = build_ivfpq_index(
+                emb.where(_ANN_APPEND_PRED), path, m=_PQ_M,
+                n_codes=_PQ_CODES, n_cells=_IVF_CELLS, train_iters=0,
+            )
+            idx.append(emb.where(f"NOT ({_ANN_APPEND_PRED})"))
         _ANN_IDX_CACHE[key] = path
     idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
     emb = fx.read_table(spark, sf_dir, "embeddings")
@@ -4135,6 +4182,7 @@ QUERIES = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "label_balance": q_label_balance,
     "dedup_cluster_stats": q_dedup_cluster_stats,
+    "ann_index_append_topk": q_ann_index_append_topk,
 }
 
 ORACLES = {
@@ -4231,4 +4279,5 @@ ORACLES = {
     "boilerplate_ngrams": O_BOILERPLATE_NGRAMS,
     "label_balance": _o_label_balance(),
     "dedup_cluster_stats": _o_dedup_cluster_stats(),
+    "ann_index_append_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
 }
