@@ -157,10 +157,11 @@ def perplexity_buckets(
     w = Window.partitionBy(source_col).orderBy(
         F.col("avg_neg_logp").asc(), F.col(id_col).asc()
     )
-    n = Window.partitionBy(source_col)
+    # per-source sizes as a broadcast dim, not a second window pass
+    totals = joined.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .join(F.broadcast(totals), source_col)
         .select(
             id_col,
             source_col,
