@@ -3865,8 +3865,8 @@ r AS (
   FROM j
 )
 SELECT doc_id, source, avg_neg_logp,
-  CASE WHEN rn <= ceil({lo!r} * n) THEN 'head'
-       WHEN rn <= ceil({hi!r} * n) THEN 'middle'
+  CASE WHEN rn <= ceil(CAST({lo!r} AS DOUBLE) * n) THEN 'head'
+       WHEN rn <= ceil(CAST({hi!r} AS DOUBLE) * n) THEN 'middle'
        ELSE 'tail' END AS bucket
 FROM r
 """
@@ -3915,9 +3915,16 @@ mad AS (
   WHERE cm >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY source
 ),
 z AS (
+  -- floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): these small-integer
+  -- rational products land exactly on .5 boundaries where the two
+  -- engines' round() disagree; floor on the identical IEEE double is
+  -- engine-exact. cast(0.6745 as double): a bare literal parses as
+  -- DECIMAL in DuckDB (both caught by the r9 sf1 sweep)
   SELECT doc_id, d.source, n_chars,
     CASE WHEN mad > 0
-         THEN round(0.6745 * (n_chars - med) / mad, 6) END AS mod_z
+         THEN floor(cast(0.6745 as double) * (n_chars - med)
+              / mad * 1e6 + 0.5) / 1e6
+    END AS mod_z
   FROM d JOIN mad USING (source)
 )
 SELECT doc_id, source, n_chars, mod_z,
@@ -3981,9 +3988,10 @@ WITH per AS (
 k AS (SELECT count(*) AS k FROM per),
 a AS (
   SELECT source, n_docs, n_tokens,
-    round(1.0 / k, 6) AS weight,
-    round(least({_BUDGET_CAP!r},
-          {float(_BUDGET_TOKENS)!r} * round(1.0 / k, 6) / n_tokens), 6)
+    round(CAST(1.0 AS DOUBLE) / k, 6) AS weight,
+    round(least(CAST({_BUDGET_CAP!r} AS DOUBLE),
+          CAST({float(_BUDGET_TOKENS)!r} AS DOUBLE)
+          * round(CAST(1.0 AS DOUBLE) / k, 6) / n_tokens), 6)
       AS epochs
   FROM per CROSS JOIN k
 ),

@@ -209,11 +209,15 @@ def length_outliers(
     mad = grouped_quantile(dev, key_cols, "__dev", 0.5).select(
         *key_cols, F.col("q").alias("__mad")
     )
-    mz = F.round(
-        F.lit(0.6745)
-        * (F.col(value_col) - F.col("__med"))
-        / F.col("__mad"),
-        6,
+    # quantize via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): the products
+    # here are small-integer rationals that land exactly on .5 rounding
+    # boundaries, where Spark's round (shortest-decimal-repr HALF_UP)
+    # and DuckDB's round (exact binary value) disagree by 1e-6; floor
+    # on the identical IEEE double is engine-exact (the integer-ADC
+    # discipline from pq.py, caught by the r9 sf1 sweep)
+    mz = F.expr(
+        f"floor(cast(0.6745 as double) * ({value_col} - __med)"
+        " / __mad * 1e6 + 0.5) / 1e6"
     )
     return (
         with_med.join(F.broadcast(mad), key_cols)
