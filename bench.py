@@ -45,10 +45,18 @@ def _release_between_queries(spark):
     clearCache drops the blocks, release_materialized clears the persist
     markers materialize_once registered (otherwise re-running a gate
     logs 'already cached' and re-fills against cold storage)."""
+    import gc
+
     from panoptes_spark.pipeline import dedup
 
     dedup.release_materialized()
     spark.catalog.clearCache()
+    # localCheckpoint blocks (the sharded ANN top-k paths) are freed by
+    # the ContextCleaner only after the Python-side frames are GC'd —
+    # without this, a long battery accumulates checkpoint RDD blocks
+    # and late gates pay the memory pressure (r9: pq_encode 13.2 s
+    # in-battery at sf1 vs 1.5 s isolated, same plan)
+    gc.collect()
 
 
 def run_battery(spark, qs, names, sf_dir):
