@@ -3733,6 +3733,7 @@ _DRIVER_PRIORITY = [
     "label_balance",
     "dedup_cluster_stats",
     "ann_index_append_topk",
+    "dedup_best_representatives",
     # r9 touched existing surfaces: re-sample their gates this round
     "trim_dup_spans",
     "ngram_novelty",

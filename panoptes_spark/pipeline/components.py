@@ -111,3 +111,35 @@ def cluster_size_stats(components: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def keep_best_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One document per near-dup cluster chosen by QUALITY (ties break
+    to the lowest id) — the curation policy real pipelines use instead
+    of min-id: among near-duplicates, keep the longest / highest-scored
+    copy and drop the truncated or boilerplate-padded ones (the
+    keep-one-representative step of Lee et al. 2022, generalized to an
+    arbitrary quality column).
+
+    One id equi-join against the label relation + a cluster-partitioned
+    window (clusters are bounded by construction, so no unpartitioned
+    sort at any corpus size). Returns the surviving docs' rows plus
+    their ``component`` label."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    joined = docs.join(
+        components.withColumnRenamed("node", id_col), id_col
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -4099,6 +4099,31 @@ FROM (
 """
 
 
+def q_dedup_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based representative selection over the dedup artifact's
+    clusters: keep the LONGEST member of each near-dup cluster (ties ->
+    lowest id) — the policy that drops truncated copies instead of
+    whichever id happens to be smallest."""
+    from panoptes_spark.pipeline.components import keep_best_representatives
+
+    docs = fx.read_table(spark, sf_dir, "documents")
+    comps = _dedup_artifact(spark, sf_dir).components()
+    return keep_best_representatives(docs, comps, "n_chars").select(
+        "doc_id", "component", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _o_dedup_best_representatives() -> str:
+    return f"""
+SELECT doc_id, component, n_chars FROM (
+  SELECT d.doc_id, c.component, d.n_chars,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN ({O_DEDUP_COMPONENTS}) c ON d.doc_id = c.node
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
@@ -4191,6 +4216,7 @@ QUERIES = {
     "label_balance": q_label_balance,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "ann_index_append_topk": q_ann_index_append_topk,
+    "dedup_best_representatives": q_dedup_best_representatives,
 }
 
 ORACLES = {
@@ -4288,4 +4314,5 @@ ORACLES = {
     "label_balance": _o_label_balance(),
     "dedup_cluster_stats": _o_dedup_cluster_stats(),
     "ann_index_append_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
+    "dedup_best_representatives": _o_dedup_best_representatives(),
 }

@@ -2421,3 +2421,19 @@ def test_cluster_size_stats_histogram(spark):
     assert out[3]["n_clusters"] == 1 and out[3]["n_removed"] == 2
     assert out[2]["n_clusters"] == 1 and out[2]["n_removed"] == 1
     assert out[1]["n_clusters"] == 2 and out[1]["n_removed"] == 0
+
+
+def test_keep_best_representatives_prefers_quality(spark):
+    """Within a cluster the highest-quality member survives (ties break
+    to the lowest id); isolated docs always survive."""
+    from panoptes_spark.pipeline.components import keep_best_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (9, 5)], ["doc_id", "q"]
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["node", "component"]
+    )
+    out = {r["doc_id"]: r for r in
+           keep_best_representatives(docs, comps, "q").collect()}
+    assert set(out) == {2, 9}  # 2 beats 3 on the id tiebreak, 9 isolated
