@@ -225,6 +225,14 @@ WILSON_HALF = (
     " + {z} * {z} / (4 * {n} * {n}))) / (1 + {z} * {z} / {n})"
 )
 
+#: 6 dp quantization as floor(x*1e6 + 0.5), NOT round(x, 6): round()
+#: resolves exact .5 ties differently across engines (Spark HALF_UP vs
+#: DuckDB binary) — n_class/n_total is a small-integer rational that CAN
+#: land exactly on a tie (e.g. n_total = 128), and sqrt makes ties in
+#: the bounds unlikely but not impossible. floor on the identical IEEE
+#: double is engine-exact (the length_outliers recipe, stats.py).
+WILSON_Q6 = "floor(({v}) * 1e6 + 0.5) / 1e6"
+
 
 def label_balance(
     df: DataFrame,
@@ -253,6 +261,9 @@ def label_balance(
     )
     center = WILSON_CENTER.format(**args)
     half = WILSON_HALF.format(**args)
+    share = WILSON_Q6.format(v="cast(n_class as double) / n_total")
+    lo = WILSON_Q6.format(v=f"greatest(0.0, {center} - {half})")
+    hi = WILSON_Q6.format(v=f"least(1.0, {center} + {half})")
     return (
         counts.join(F.broadcast(totals), group_col)
         .select(
@@ -260,12 +271,8 @@ def label_balance(
             label_col,
             "n_class",
             "n_total",
-            F.round(F.col("n_class") / F.col("n_total"), 6).alias("share"),
-            F.expr(f"round(greatest(0.0, {center} - {half}), 6)").alias(
-                "ci_lo"
-            ),
-            F.expr(f"round(least(1.0, {center} + {half}), 6)").alias(
-                "ci_hi"
-            ),
+            F.expr(share).alias("share"),
+            F.expr(lo).alias("ci_lo"),
+            F.expr(hi).alias("ci_hi"),
         )
     )

@@ -25,10 +25,20 @@ def connected_components(
     id_col_a: str = "a",
     id_col_b: str = "b",
     max_iter: int = 10,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for every node; component = min node id in its
     cluster. ``pairs``: undirected edges (a, b). ``nodes``: optional
-    universe (isolated nodes get their own component)."""
+    universe (isolated nodes get their own component).
+
+    Convergence is DETECTED (the label-sum signature stabilizing), not
+    assumed: if ``max_iter`` rounds exhaust without it, the labels are
+    not exact component ids. ``strict=True`` raises in that case —
+    required by callers whose correctness depends on exact labels
+    (``NearDedupIndexSink``'s touched-component closure builds every
+    later commit's subgraph selection on previously committed labels,
+    so one silently non-converged commit corrupts the log forever);
+    ``strict=False`` warns and returns the partial labels."""
     edges = (
         pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
         .union(
@@ -47,6 +57,7 @@ def connected_components(
     # monotone until convergence: an unchanged sum means NO node changed —
     # a single aggregate instead of a change-detection join per round
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; every node takes the min of
         # its own and its neighbors' labels
@@ -66,9 +77,22 @@ def connected_components(
             F.count("*").alias("n"),
         ).collect()[0]
         if prev_sig == (sig.s, sig.n):
+            converged = True
             break
         prev_sig = (sig.s, sig.n)
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge in max_iter="
+            f"{max_iter} rounds (label-sum signature still changing); "
+            "labels are NOT exact component ids — raise max_iter "
+            "(rounds needed = graph diameter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

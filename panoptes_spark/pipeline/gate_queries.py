@@ -953,10 +953,13 @@ def q_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both IVF rankings."""
     emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
-    bf = (
+    # materialize_once, not a bare .persist(): registered persists are
+    # released by dedup.release_materialized() between driver/bench
+    # queries; a bare persist leaks cached blocks for the whole
+    # correctness-driver session (r9 ADVICE)
+    bf = dedup.materialize_once(
         similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
         .select("query_id", "nbr_id")
-        .persist()
     )
     seeds = similarity.seed_centroids(emb, n_cells=_IVF_CELLS)
     counts = []
@@ -2323,10 +2326,13 @@ def q_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encodes, and re-ranks."""
     emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
-    bf = (
+    # materialize_once, not a bare .persist(): registered persists are
+    # released by dedup.release_materialized() between driver/bench
+    # queries; a bare persist leaks cached blocks for the whole
+    # correctness-driver session (r9 ADVICE)
+    bf = dedup.materialize_once(
         similarity.cosine_topk_bruteforce(emb, queries, k=_TOPK)
         .select("query_id", "nbr_id")
-        .persist()
     )
     counts = []
     for label, cbs in (
@@ -2480,9 +2486,9 @@ def q_hybrid_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw = dict(k=_HYBRID_K, leg_k=_HYBRID_LEG_K, c=_HYBRID_C)
     # the lexical leg is identical in both fused variants: compute its
     # corpus scans once, persist the leg-k-sized result
-    lex = bm25_multi_query(
-        docs, _HYBRID_QUERIES, leg_k=_HYBRID_LEG_K
-    ).persist()
+    lex = dedup.materialize_once(
+        bm25_multi_query(docs, _HYBRID_QUERIES, leg_k=_HYBRID_LEG_K)
+    )
     brute = hybrid_search_rrf(
         docs, embs, _HYBRID_QUERIES, lex_leg=lex, **kw
     ).select("query_id", "doc_id")
@@ -4054,13 +4060,23 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_label_balance() -> str:
-    from panoptes_spark.pipeline.audit import WILSON_CENTER, WILSON_HALF
+    from panoptes_spark.pipeline.audit import (
+        WILSON_CENTER,
+        WILSON_HALF,
+        WILSON_Q6,
+    )
 
     args = dict(
         x="cast(n_class as double)", n="cast(n_total as double)", z=repr(1.96)
     )
     center = WILSON_CENTER.format(**args)
     half = WILSON_HALF.format(**args)
+    # identical quantization TEXT as the Spark operator (WILSON_Q6):
+    # floor(x*1e6 + 0.5) on the same doubles is engine-exact where
+    # round(x, 6) tie-breaks differently per engine (r9 ADVICE)
+    share = WILSON_Q6.format(v="cast(n_class as double) / n_total")
+    lo = WILSON_Q6.format(v=f"greatest(0.0, {center} - {half})")
+    hi = WILSON_Q6.format(v=f"least(1.0, {center} + {half})")
     return f"""
 WITH c AS (
   SELECT source, lang, count(*) AS n_class FROM documents GROUP BY 1, 2
@@ -4069,9 +4085,9 @@ t AS (
   SELECT source, CAST(sum(n_class) AS BIGINT) AS n_total FROM c GROUP BY 1
 )
 SELECT source, lang, n_class, n_total,
-  round(n_class / CAST(n_total AS DOUBLE), 6) AS share,
-  round(greatest(0.0, {center} - {half}), 6) AS ci_lo,
-  round(least(1.0, {center} + {half}), 6) AS ci_hi
+  {share} AS share,
+  {lo} AS ci_lo,
+  {hi} AS ci_hi
 FROM c JOIN t USING (source)
 """
 

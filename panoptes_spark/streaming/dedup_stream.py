@@ -282,6 +282,22 @@ class NearDedupIndexSink:
                 "use a fresh base_path or restore the original checkpoint."
             )
         if batch_id <= st["last_batch_id"]:
+            if lineage and not st.get("lineage") and st["batches"]:
+                # base_path first populated by DIRECT batch calls (no
+                # lineage recorded) now driven by a streaming query whose
+                # fresh checkpoint restarts batch ids at 0: silently
+                # treating 0..last_batch_id as replays would drop real
+                # data — the same failure mode the lineage guard above
+                # catches for checkpoint recreation
+                raise ValueError(
+                    f"dedup index at {self.base} holds "
+                    f"{len(st['batches'])} batch-call commits with no "
+                    f"recorded lineage, and streaming query {lineage} is "
+                    f"presenting batch_id={batch_id} <= last_batch_id="
+                    f"{st['last_batch_id']} — these are NOT replays and "
+                    "would be dropped. Use a fresh base_path for the "
+                    "streaming query (or continue with batch calls)."
+                )
             return  # replay of a committed batch after restart
         batch = batch_df.select(self.id_col, self.text_col)
         if batch.isEmpty():
@@ -407,8 +423,12 @@ class NearDedupIndexSink:
             # with the same capped min-label rounds as a full build
             new_ids = batch.select(idc)
             if first:
+                # strict: a silently non-converged labeling here would be
+                # trusted as exact by every later commit's touched-component
+                # closure and persist in the log (see connected_components)
                 relabeled = connected_components(
-                    new_pairs, nodes=new_ids, max_iter=self.max_iter
+                    new_pairs, nodes=new_ids, max_iter=self.max_iter,
+                    strict=True,
                 )
             else:
                 touched = (
@@ -449,7 +469,8 @@ class NearDedupIndexSink:
                     )
                 )
                 relabeled = connected_components(
-                    sub_edges, nodes=sub_nodes, max_iter=self.max_iter
+                    sub_edges, nodes=sub_nodes, max_iter=self.max_iter,
+                    strict=True,
                 )
             _w("comps", relabeled)
         finally:

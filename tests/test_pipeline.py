@@ -2385,9 +2385,10 @@ def test_frequent_ngrams_surfaces_boilerplate(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = frequent_ngrams(docs, k=3, top_n=2).collect()
     a = [r for r in out if r["source"] == "a"]
-    assert a[0]["gram"] == footer if False else True  # rank order below
     top_a = next(r for r in a if r["rank"] == 1)
-    assert top_a["df"] == 6 and footer.split()[0] in top_a["gram"]
+    # the footer 3-gram sorts first among the df=6 boilerplate grams
+    assert top_a["gram"] == footer
+    assert top_a["df"] == 6
     assert {r["rank"] for r in a} == {1, 2}
 
 
