@@ -165,7 +165,9 @@ def q_dedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, real, "stream")
     log = _DEDUP_IDX_CACHE.get(key)
     if log is None:
-        tag = hashlib.md5(f"{app}|{real}|stream".encode()).hexdigest()[:16]
+        # v2 in the tag: the r10 log layout added bucket membership/count
+        # relations; a stale v1 dir under /tmp must not be reused
+        tag = hashlib.md5(f"{app}|{real}|stream-v2".encode()).hexdigest()[:16]
         base = os.path.join(
             tempfile.gettempdir(), f"panoptes_dedup_stream_{tag}"
         )

@@ -52,6 +52,15 @@ class DedupIndexLog:
 
     - ``signatures()`` — union of the per-batch signature files
       (append-only; a doc signs exactly once, in its arrival batch);
+    - ``bucket_membership()`` — union of the per-batch banded-LSH
+      membership files (id, band, bucket): a doc bands exactly once, in
+      its arrival batch — the inverted-index relation that makes
+      per-commit compute batch-proportional (r10: the previous sink
+      re-banded the ENTIRE accumulated signature set every commit);
+    - ``bucket_counts()`` — union of the per-batch (band, bucket, n)
+      count files, NOT pre-aggregated: callers join/filter to the
+      buckets they care about first, so the merge shuffle is
+      touched-bucket-sized, never bucket-vocabulary-sized;
     - ``pairs()`` — union of per-batch new-pair files, minus the
       tombstoned set. Tombstones are MONOTONE: a pair is retracted only
       when every generating LSH bucket crossed the size cap, bucket
@@ -72,6 +81,13 @@ class DedupIndexLog:
         self.base = base_path
         with open(os.path.join(base_path, "STATE.json")) as f:
             self.state = json.load(f)
+        if int(self.state.get("format", 1)) < 2:
+            raise ValueError(
+                f"dedup index log at {base_path} predates the v2 layout "
+                "(per-batch bucket membership/count relations, r10) — "
+                "rebuild it by re-folding the source batches through "
+                "NearDedupIndexSink at a fresh base_path"
+            )
 
     def _paths(self, rel: str) -> list[str]:
         import os
@@ -94,6 +110,17 @@ class DedupIndexLog:
         idc = self.state["id_col"]
         return self._read("sigs", f"{idc} {self._idt}, minhash array<bigint>")
 
+    def bucket_membership(self) -> DataFrame:
+        idc = self.state["id_col"]
+        return self._read(
+            "buckets", f"{idc} {self._idt}, band int, bucket string"
+        )
+
+    def bucket_counts(self) -> DataFrame:
+        """Per-batch (band, bucket, n) member counts, UN-merged — sum
+        over ``n`` after filtering to the buckets of interest."""
+        return self._read("bcounts", "band int, bucket string, n bigint")
+
     def docs(self) -> DataFrame:
         idc, txt = self.state["id_col"], self.state["text_col"]
         return self._read("docs", f"{idc} {self._idt}, {txt} string")
@@ -111,13 +138,16 @@ class DedupIndexLog:
         import os
 
         parts = []
-        for b in self.state["batches"]:
+        # resolution key = POSITION in the committed-batches list, not
+        # the id itself: commit order is what latest-wins means, and a
+        # compacted generation's id is a string tag (r10)
+        for pos, b in enumerate(self.state["batches"]):
             parts.append(
                 self.spark.read.schema(
                     f"node {self._idt}, component {self._idt}"
                 )
                 .parquet(os.path.join(self.base, "comps", f"batch={b}"))
-                .withColumn("__b", F.lit(int(b)))
+                .withColumn("__b", F.lit(pos))
             )
         out = parts[0]
         for p in parts[1:]:
@@ -136,12 +166,24 @@ class NearDedupIndexSink:
     signatures in full and re-propagated components over the whole pair
     graph every commit, index-sized I/O per micro-batch):
 
-    - TEXT work: only new docs shingle/sign; the existing corpus bands
-      from its stored signatures, and old text is re-read only for the
-      semi-join-pruned candidate members (``update_dedup_index``'s
+    - TEXT work: only new docs shingle/sign; old text is re-read only
+      for the semi-join-pruned candidate members (``update_dedup_index``'s
       exactness argument, reused unchanged — bucket-cap eligibility is
       monotone under appends, so old pairs need revalidation, never
       re-verification);
+    - BANDING work (r10): only the new batch bands; the accumulated
+      corpus's banded membership and per-bucket counts are themselves
+      append-only log relations (``buckets/``, ``bcounts/``), read back
+      with batch-proportional joins — stored membership joins only the
+      TOUCHED buckets (buckets with a new member are the only ones that
+      can yield candidates or change size), and stored counts sum-merge
+      only for touched / at-risk buckets. The r9 sink made WRITE volume
+      O(batch) but still re-banded the entire signature corpus and
+      recomputed all bucket sizes per commit — a full-corpus scan +
+      (band,bucket) shuffle per micro-batch
+      (``tools/spotbench_dedup_stream.py`` now measures per-commit
+      seconds flat as the index grows; the membership relation is the
+      standard inverted-index price, ~bands rows/doc, written once);
     - WRITE volume: each commit adds per-batch files only — the batch's
       signatures, its newly verified pairs, tombstones for pairs whose
       every generating bucket crossed the cap this batch, and new
@@ -175,9 +217,14 @@ class NearDedupIndexSink:
 
     Layout under ``base_path``::
 
-        STATE.json           {last_batch_id, batches, lineage, schema/params}
+        STATE.json           {last_batch_id, batches, lineage, format,
+                              schema/params}
         docs/batch=<id>/     retained (id, text) per committed batch
         sigs/batch=<id>/     (id, minhash) — the batch's signatures
+        buckets/batch=<id>/  (id, band, bucket) — the batch's banded
+                             LSH membership (each doc bands ONCE)
+        bcounts/batch=<id>/  (band, bucket, n) — the batch's per-bucket
+                             member counts (sum-merged at read)
         pairs/batch=<id>/    (a, b, jaccard) new verified pairs
         tombs/batch=<id>/    (a, b) pairs cap-retracted at this batch
         comps/batch=<id>/    (node, component) labels for touched nodes
@@ -320,35 +367,91 @@ class NearDedupIndexSink:
             )
 
         _w("docs", batch)
+        idt = batch.schema[idc].dataType.simpleString()
+
+        def _r(rel, schema):
+            return spark.read.schema(schema).parquet(
+                os.path.join(self.base, rel, f"batch={batch_id}")
+            )
+
         sig_new = _m(dedup.minhash_signature(batch, self.text_col, k, nh))
         try:
-            b_new = dedup.banded_buckets(sig_new, idc, nh, bands).withColumn(
+            # band ONLY the new batch; its membership and per-bucket
+            # counts join the append-only log, so no later commit ever
+            # re-bands it (r10 — the previous sink re-banded the ENTIRE
+            # accumulated signature set and recomputed every bucket
+            # size per commit: full-corpus scan + (band,bucket) shuffle
+            # per micro-batch even for a 1 KB batch)
+            _w("buckets", dedup.banded_buckets(sig_new, idc, nh, bands))
+            b_new = _r("buckets", f"{idc} {idt}, band int, bucket string")
+            _w(
+                "bcounts",
+                b_new.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+            )
+            new_counts = _r("bcounts", "band int, bucket string, n bigint")
+
+            log = None if first else DedupIndexLog(spark, self.base)
+            old_pairs = None if first else log.pairs()
+
+            # only buckets TOUCHED by this batch can yield new candidate
+            # pairs (candidates need a new-batch member) or change any
+            # bucket's size (sizes only grow, only via new members) —
+            # merge stored counts for exactly those buckets: join the
+            # un-aggregated per-batch count files against the
+            # batch-proportional touched set FIRST, so the sum shuffle
+            # is touched-sized, never bucket-vocabulary-sized
+            if first:
+                merged = _m(
+                    new_counts.select(
+                        "band",
+                        "bucket",
+                        F.lit(0).cast("bigint").alias("__old_n"),
+                        F.col("n").alias("__new_n"),
+                    )
+                )
+            else:
+                touched = new_counts.select("band", "bucket")
+                old_n = (
+                    log.bucket_counts()
+                    .join(touched, ["band", "bucket"], "left_semi")
+                    .groupBy("band", "bucket")
+                    .agg(F.sum("n").alias("__old_n"))
+                )
+                merged = _m(
+                    new_counts.join(old_n, ["band", "bucket"], "left")
+                    .select(
+                        "band",
+                        "bucket",
+                        F.coalesce("__old_n", F.lit(0))
+                        .cast("bigint")
+                        .alias("__old_n"),
+                        F.col("n").alias("__new_n"),
+                    )
+                )
+            elig_b = merged.where(
+                F.col("__old_n") + F.col("__new_n") <= self.max_bucket_size
+            ).select("band", "bucket")
+
+            # members of the eligible touched buckets: the new batch's
+            # banded rows + stored membership joined on those buckets —
+            # old docs are never re-banded, their membership is read
+            new_mem = b_new.join(elig_b, ["band", "bucket"]).withColumn(
                 "__new", F.lit(True)
             )
             if first:
-                banded = b_new
-                old_pairs = None
+                members = _m(new_mem)
             else:
-                log = DedupIndexLog(spark, self.base)
-                b_old = dedup.banded_buckets(
-                    log.signatures(), idc, nh, bands
+                old_mem = log.bucket_membership().join(
+                    elig_b, ["band", "bucket"]
                 ).withColumn("__new", F.lit(False))
-                banded = b_old.unionByName(b_new)
-                old_pairs = log.pairs()
-            sizes = banded.groupBy("band", "bucket").agg(
-                F.count("*").alias("__bn")
-            )
-            eligible = _m(
-                banded.join(
-                    sizes.where(F.col("__bn") <= self.max_bucket_size),
-                    ["band", "bucket"],
-                ).drop("__bn")
-            )
+                members = _m(new_mem.unionByName(old_mem))
 
             # candidate pairs with >= 1 member from THIS batch (old-old
             # candidacy is settled by earlier commits + the monotone
             # cap revalidation below)
-            l, r = eligible.alias("l"), eligible.alias("r")
+            l, r = members.alias("l"), members.alias("r")
             cand = (
                 l.join(
                     r,
@@ -388,33 +491,97 @@ class NearDedupIndexSink:
             # (tombstone diff, touched-component marking, propagation)
             # gets a parquet-backed lineage instead of re-evaluating
             # the banding/verify DAG per reference
-            idt = batch.schema[idc].dataType.simpleString()
-            new_pairs = spark.read.schema(
-                f"a {idt}, b {idt}, jaccard double"
-            ).parquet(os.path.join(self.base, "pairs", f"batch={batch_id}"))
+            new_pairs = _r("pairs", f"a {idt}, b {idt}, jaccard double")
 
             # tombstones: previously-live pairs whose EVERY generating
             # bucket crossed the cap once this batch joined (sizes only
-            # grow, so retraction is monotone and final)
+            # grow, so retraction is monotone and final). Work is
+            # CROSSED-bucket-sized, not corpus-sized: a live pair had a
+            # witnessing shared bucket <= cap at the last commit; that
+            # witness can die this commit only by crossing the cap NOW,
+            # and only touched buckets change size — so every pair whose
+            # liveness could change has both endpoints in some bucket
+            # that crossed (old_n <= cap < old_n + new_n) this commit.
+            # Crossed buckets held <= cap old members by definition, so
+            # the at-risk pair set is O(#crossed * cap^2), batch-bounded.
             if first:
                 tombs = batch.select(
                     F.col(idc).alias("a"), F.col(idc).alias("b")
                 ).where(F.lit(False))
             else:
-                ea = eligible.select(F.col(idc).alias("a"), "band", "bucket")
-                eb = eligible.select(F.col(idc).alias("b"), "band", "bucket")
+                crossed = merged.where(
+                    (F.col("__old_n") <= self.max_bucket_size)
+                    & (
+                        F.col("__old_n") + F.col("__new_n")
+                        > self.max_bucket_size
+                    )
+                ).select("band", "bucket")
+                # old members of crossed buckets (pairs are old-old —
+                # committed pairs never include this batch's docs)
+                mem_x = log.bucket_membership().join(
+                    crossed, ["band", "bucket"]
+                )
+                xl, xr = mem_x.alias("xl"), mem_x.alias("xr")
+                risk_cand = (
+                    xl.join(
+                        xr,
+                        (F.col("xl.band") == F.col("xr.band"))
+                        & (F.col("xl.bucket") == F.col("xr.bucket"))
+                        & (F.col(f"xl.{idc}") < F.col(f"xr.{idc}")),
+                    )
+                    .select(
+                        F.col(f"xl.{idc}").alias("a"),
+                        F.col(f"xr.{idc}").alias("b"),
+                    )
+                    .distinct()
+                )
+                at_risk = _m(
+                    old_pairs.select("a", "b").join(
+                        risk_cand, ["a", "b"], "left_semi"
+                    )
+                )
+                # an at-risk pair stays live iff SOME shared bucket's
+                # merged size (old batches + this batch) is still under
+                # the cap — membership and counts are read only for the
+                # at-risk ids' buckets, all at-risk-sized relations
+                risk_ids = (
+                    at_risk.select(F.col("a").alias(idc))
+                    .unionByName(at_risk.select(F.col("b").alias(idc)))
+                    .distinct()
+                )
+                mem_risk = _m(
+                    log.bucket_membership().join(risk_ids, idc, "left_semi")
+                )
+                shared = (
+                    at_risk.join(
+                        mem_risk.withColumnsRenamed({idc: "a"}), "a"
+                    )
+                    .join(
+                        mem_risk.withColumnsRenamed({idc: "b"}),
+                        ["b", "band", "bucket"],
+                    )
+                    .select("a", "b", "band", "bucket")
+                )
+                shared_b = shared.select("band", "bucket").distinct()
+                totals = (
+                    log.bucket_counts()
+                    .unionByName(new_counts)
+                    .join(shared_b, ["band", "bucket"], "left_semi")
+                    .groupBy("band", "bucket")
+                    .agg(F.sum("n").alias("__n"))
+                )
                 still = (
-                    ea.join(eb, ["band", "bucket"])
+                    shared.join(
+                        totals.where(F.col("__n") <= self.max_bucket_size),
+                        ["band", "bucket"],
+                        "left_semi",
+                    )
                     .select("a", "b")
                     .distinct()
                 )
-                tombs = old_pairs.select("a", "b").join(
-                    still, ["a", "b"], "left_anti"
-                )
+                tombs = at_risk.join(still, ["a", "b"], "left_anti")
             _w("tombs", tombs)
-            tombs = spark.read.schema(f"a {idt}, b {idt}").parquet(
-                os.path.join(self.base, "tombs", f"batch={batch_id}")
-            )
+            tombs = _r("tombs", f"a {idt}, b {idt}")
 
             # component relabeling over TOUCHED components only: the
             # endpoints of new/tombstoned pairs mark components; those
@@ -483,6 +650,7 @@ class NearDedupIndexSink:
                     pass
 
         st = {
+            "format": 2,
             "last_batch_id": int(batch_id),
             "batches": st["batches"] + [int(batch_id)],
             "lineage": st.get("lineage") or lineage,

@@ -2163,6 +2163,68 @@ def test_near_dedup_stream_appends_only(spark, tmp_path, sf_dir):
     )
 
 
+def test_near_dedup_stream_commit_never_reads_signatures(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """STRUCTURAL lock on the r10 batch-proportional commit: the one
+    corpus-sized computation the old sink performed was re-banding
+    ``log.signatures()`` every commit — banding REQUIRES the signature
+    relation, so a commit path that never touches it cannot have
+    reintroduced corpus-sized re-banding. Poison the accessor and fold
+    batches through the real commit path."""
+    from panoptes_spark.streaming import dedup_stream as ds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "nosig")
+    sink = ds.NearDedupIndexSink(base)
+
+    def poisoned(self):
+        raise AssertionError(
+            "commit path read log.signatures() — corpus-sized "
+            "re-banding reintroduced (r9 regression)"
+        )
+
+    monkeypatch.setattr(ds.DedupIndexLog, "signatures", poisoned)
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 3 == i), i)
+    # the log itself still answers pair queries
+    assert sink.index(spark).pairs().count() > 0
+
+
+def test_near_dedup_stream_commit_time_bounded(spark, tmp_path, sf_dir):
+    """Coarse flat-seconds lock (r9 verdict directive 7, the
+    test-suite twin of tools/spotbench_dedup_stream.py): at fixed batch
+    size the LAST commits of an 8-batch fold must stay under 2x the
+    FIRST post-warmup commits even though the index behind them is ~4x
+    larger — fails on reintroduced per-commit corpus-sized work. The
+    sharp structural check is the poisoned-signatures test above; this
+    one bounds everything else (pair revalidation, component
+    relabeling, count merges)."""
+    import time as _time
+
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "flat")
+    sink = NearDedupIndexSink(base)
+    n = 8
+    secs = []
+    for i in range(n):
+        t0 = _time.time()
+        sink(docs.where(F.col("doc_id") % n == i), i)
+        secs.append(_time.time() - t0)
+    early = sum(secs[1:3]) / 2  # skip commit 0: JVM/codegen warmup
+    late = sum(secs[-2:]) / 2
+    assert late < 2.0 * early, (
+        f"per-commit seconds grew with index size: early={early:.2f}s "
+        f"late={late:.2f}s (all={['%.2f' % s for s in secs]})"
+    )
+
+
 def test_near_dedup_stream_lineage_guard(spark, tmp_path, sf_dir):
     """A base_path driven from a DIFFERENT checkpoint lineage (deleted/
     recreated checkpoint — batch ids restart at 0 and would silently be
