@@ -201,12 +201,27 @@ class IvfPqIndex:
         live = set(self.segments())
         removed = []
         for name in sorted(os.listdir(self.path)):
-            if name.startswith("seg-") and name not in live:
+            # index.parquet is a data dir too: after a compaction the
+            # manifest stops referencing it and it becomes an orphan
+            is_data = name.startswith("seg-") or name == "index.parquet"
+            if is_data and name not in live:
                 shutil.rmtree(
                     os.path.join(self.path, name), ignore_errors=True
                 )
                 removed.append(name)
         return removed
+
+    def _free_segment_name(self) -> str:
+        """Next ``seg-<n>`` not referenced by the manifest. Counting
+        alone collided after compaction (a compacted manifest holds one
+        segment whose number exceeds len(segments)); orphans were GC'd
+        by the caller, so manifest-referenced names are the only ones
+        on disk."""
+        live = set(self.segments())
+        n = len(live)
+        while f"seg-{n}" in live:
+            n += 1
+        return f"seg-{n}"
 
     def append(self, new_corpus: DataFrame) -> "IvfPqIndex":
         """Append vectors to the index WITHOUT retraining: new rows are
@@ -231,7 +246,7 @@ class IvfPqIndex:
         if n_new == 0:
             return self
         self._gc_orphan_segments()
-        seg = f"seg-{len(self.segments())}"
+        seg = self._free_segment_name()
         self._write_segment(new_corpus, seg)
         self.meta["n_rows"] = int(self.meta["n_rows"]) + int(n_new)
         self.meta["segments"] = self.segments() + [seg]
@@ -240,6 +255,38 @@ class IvfPqIndex:
         with open(tmp, "w") as f:
             json.dump(self.meta, f, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+        return self
+
+    def compact(self) -> "IvfPqIndex":
+        """Merge every manifest-referenced segment into ONE
+        cell-partitioned segment — the in-engine answer to append read
+        amplification (one parquet root per committed append; r9
+        prescribed offline rebuild). Rows, centroids, and codebooks are
+        untouched, so ``topk`` ranks identically before and after
+        (``test_ann_index_compaction_*``); probing IO drops back to one
+        partition-pruned scan.
+
+        Same torn-write discipline as ``append``: the merged segment
+        stages unreferenced, the manifest commit (write-tmp + atomic
+        ``os.replace``) flips all reads to it, and the old segments —
+        now orphans, including the original ``index.parquet`` build
+        dir — are GC'd afterwards. A crash before the commit leaves an
+        invisible orphan; after it, the old segments are the orphans."""
+        if len(self.segments()) == 1:
+            self._gc_orphan_segments()
+            return self
+        self._gc_orphan_segments()
+        seg = self._free_segment_name()
+        self._index_df().write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(os.path.join(self.path, seg))
+        self.meta["segments"] = [seg]
+        self.meta["format_version"] = _FORMAT_VERSION
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+        self._gc_orphan_segments()
         return self
 
     def _write_segment(self, new_corpus: DataFrame, seg: str) -> None:

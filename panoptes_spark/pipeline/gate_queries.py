@@ -185,6 +185,36 @@ def q_dedup_stream_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.pairs().orderBy("a", "b")
 
 
+def q_dedup_log_compacted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DedupIndexLog.compact() as a driver gate (r10): COPY the
+    committed 3-batch stream-fold log, fold it into one resolved
+    generation through the atomic-STATE compaction path, and answer the
+    SAME full-corpus pair oracle from the compacted log — compaction
+    must be invisible to every query answer while collapsing read
+    amplification to one dir per relation."""
+    import os
+    import shutil
+
+    from panoptes_spark.streaming.dedup_stream import DedupIndexLog
+
+    # ensure the stream-fold artifact exists (shared, build-once)
+    q_dedup_stream_pairs(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    real = os.path.realpath(sf_dir)
+    key = (app, real, "stream-compacted")
+    log = _DEDUP_IDX_CACHE.get(key)
+    if log is None:
+        src = _DEDUP_IDX_CACHE[(app, real, "stream")].base
+        dst = src + "_cmp"
+        if not os.path.exists(os.path.join(dst, "STATE.json")):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+        log = DedupIndexLog(spark, dst).compact()
+        assert len(log.state["batches"]) == 1, "compaction left batches"
+        _DEDUP_IDX_CACHE[key] = log
+    return log.pairs().orderBy("a", "b")
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing shared-substring pairs (r8): local fingerprinting per
     SIGMOD'03 winnowing — pairs sharing >= WINNOW_MIN_SHARED selected
@@ -2650,19 +2680,14 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_APPEND_PRED = "vec_id % 4 > 0"
 
 
-def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frozen-codebook append as a driver gate (r9): build the index
-    over 3/4 of the corpus (seed cells/codebooks, train_iters=0),
-    APPEND the rest through the manifest-committed segment path, reread
-    through a fresh handle, and query. The oracle is the ivfpq replay
-    with TRAINING restricted to the build subset while the encoding and
-    ranking cover the full corpus — exactly FAISS `add` semantics, now
-    oracle-recorded instead of pytest-only."""
+def _ann_append_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the build(3/4, train_iters=0)+append(1/4)
+    index — shared by the append gate and the compaction gate."""
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
-    from .ann_index import IvfPqIndex, build_ivfpq_index
+    from .ann_index import build_ivfpq_index
 
     app = spark.sparkContext.applicationId
     real = _os.path.realpath(sf_dir)
@@ -2683,7 +2708,51 @@ def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             idx.append(emb.where(f"NOT ({_ANN_APPEND_PRED})"))
         _ANN_IDX_CACHE[key] = path
+    return path
+
+
+def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-codebook append as a driver gate (r9): build the index
+    over 3/4 of the corpus (seed cells/codebooks, train_iters=0),
+    APPEND the rest through the manifest-committed segment path, reread
+    through a fresh handle, and query. The oracle is the ivfpq replay
+    with TRAINING restricted to the build subset while the encoding and
+    ranking cover the full corpus — exactly FAISS `add` semantics, now
+    oracle-recorded instead of pytest-only."""
+    from .ann_index import IvfPqIndex
+
+    path = _ann_append_artifact(spark, sf_dir)
     idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
+
+
+def q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IvfPqIndex.compact() as a driver gate (r10): COPY the committed
+    build+append artifact, merge its segments into one through the
+    atomic-manifest compaction path, reread through a fresh handle, and
+    rank the SAME probes against the SAME oracle as the append gate —
+    compaction must be invisible to every query answer."""
+    import os as _os
+    import shutil as _shutil
+
+    from .ann_index import IvfPqIndex
+
+    src = _ann_append_artifact(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    real = _os.path.realpath(sf_dir)
+    key = (app, real, "append-compacted")
+    path = _ANN_IDX_CACHE.get(key)
+    if path is None:
+        path = src + "_cmp"
+        if not _os.path.exists(_os.path.join(path, "MANIFEST.json")):
+            _shutil.rmtree(path, ignore_errors=True)
+            _shutil.copytree(src, path)
+        IvfPqIndex(spark, path).compact()
+        _ANN_IDX_CACHE[key] = path
+    idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
+    assert len(idx.segments()) == 1, "compaction left multiple segments"
     emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
@@ -4235,6 +4304,9 @@ QUERIES = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "ann_index_append_topk": q_ann_index_append_topk,
     "dedup_best_representatives": q_dedup_best_representatives,
+    # --- r10 additions ---
+    "dedup_log_compacted_pairs": q_dedup_log_compacted_pairs,
+    "ann_index_compacted_topk": q_ann_index_compacted_topk,
 }
 
 ORACLES = {
@@ -4332,5 +4404,9 @@ ORACLES = {
     "label_balance": _o_label_balance(),
     "dedup_cluster_stats": _o_dedup_cluster_stats(),
     "ann_index_append_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
+    # r10: compaction must be invisible to query answers — the compacted
+    # artifacts answer the SAME oracles as their uncompacted sources
+    "dedup_log_compacted_pairs": O_DEDUP_MINHASH,
+    "ann_index_compacted_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
     "dedup_best_representatives": _o_dedup_best_representatives(),
 }

@@ -43,6 +43,9 @@ def dedup_exact_stream(
 # streaming NEAR-dup: incremental minhash index maintenance per micro-batch
 # ---------------------------------------------------------------------------
 
+#: every per-batch relation in the log layout (compaction GC walks these)
+_RELATIONS = ("docs", "sigs", "buckets", "bcounts", "pairs", "tombs", "comps")
+
 
 class DedupIndexLog:
     """Read API over the append-only batch log :class:`NearDedupIndexSink`
@@ -155,6 +158,95 @@ class DedupIndexLog:
         return out.groupBy("node").agg(
             F.max_by("component", "__b").alias("component")
         )
+
+    # -- compaction ---------------------------------------------------------
+    def _gc_unreferenced(self) -> list[str]:
+        """Delete ``batch=*`` dirs STATE.json does not reference — the
+        leavings of compactions that crashed before the state swap, or
+        the pre-compaction batch dirs after a successful swap. Safe by
+        construction: every read resolves through the committed batch
+        list, so unreferenced dirs are invisible already."""
+        import os
+        import shutil
+
+        removed = []
+        live = {str(b) for b in self.state["batches"]}
+        for rel in _RELATIONS:
+            rel_dir = os.path.join(self.base, rel)
+            if not os.path.isdir(rel_dir):
+                continue
+            for name in sorted(os.listdir(rel_dir)):
+                if name.startswith("batch=") and name[6:] not in live:
+                    shutil.rmtree(
+                        os.path.join(rel_dir, name), ignore_errors=True
+                    )
+                    removed.append(f"{rel}/{name}")
+        return removed
+
+    def compact(self) -> "DedupIndexLog":
+        """Fold the whole batch log into ONE base generation — the
+        in-engine LSM compaction a thousand-batch deployment needs
+        instead of the offline-rebuild discipline (r9 verdict: read
+        amplification is one parquet dir per batch per relation).
+
+        The compacted generation is a single batch ``c<last_batch_id>``
+        holding the RESOLVED relations: live pairs (tombstones applied,
+        so the tombstone file empties), latest-wins component labels,
+        and the unioned docs/signatures/membership plus sum-merged
+        bucket counts. Query answers are identical by construction —
+        ``pairs()``/``components()``/counts compute exactly these
+        resolutions at read time (asserted by
+        ``test_dedup_log_compaction_*``) — and later sink commits see
+        the same monotone bucket sizes, so the append semantics are
+        unchanged.
+
+        Torn-write discipline, same as the sink: the new generation's
+        dirs are staged UNREFERENCED (no read includes them), then
+        STATE.json swaps atomically; ``last_batch_id`` and ``lineage``
+        are preserved, so replay protection and the lineage guard carry
+        over. A crash before the swap leaves invisible orphans that the
+        next compact() GCs; after the swap, the old batch dirs are the
+        orphans and are GC'd. Single-writer discipline: call between
+        commits (e.g. from the foreachBatch maintenance path), never
+        concurrently with one."""
+        import json
+        import os
+
+        tag = f"c{self.state['last_batch_id']}"
+        if [str(b) for b in self.state["batches"]] == [tag]:
+            self._gc_unreferenced()
+            return self  # already one compacted generation
+        self._gc_unreferenced()  # clear torn earlier compactions
+
+        def _w(rel, df):
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.base, rel, f"batch={tag}")
+            )
+
+        _w("docs", self.docs())
+        _w("sigs", self.signatures())
+        _w("buckets", self.bucket_membership())
+        _w(
+            "bcounts",
+            self.bucket_counts()
+            .groupBy("band", "bucket")
+            .agg(F.sum("n").alias("n")),
+        )
+        _w("pairs", self.pairs())  # tombstones applied: live set only
+        _w(
+            "tombs",
+            self.tombstones().where(F.lit(False)),
+        )
+        _w("comps", self.components())
+        new_state = dict(self.state)
+        new_state["batches"] = [tag]
+        tmp = os.path.join(self.base, "STATE.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_state, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.base, "STATE.json"))
+        self.state = new_state
+        self._gc_unreferenced()
+        return self
 
 
 class NearDedupIndexSink:

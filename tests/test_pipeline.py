@@ -1907,6 +1907,143 @@ def test_ann_index_torn_append_invisible(spark, tmp_path, sf_dir):
     assert got != before  # appended vectors now rank
 
 
+def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
+    """IvfPqIndex.compact() merges all segments into one: identical
+    topk before/after, single-segment manifest, appends keep working
+    afterwards (collision-safe segment naming), and a torn compaction
+    (merged segment staged, manifest never committed) is invisible."""
+    import os
+
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 25 = 0")
+    path = str(tmp_path / "cmp")
+    idx = build_ivfpq_index(
+        emb.where("vec_id % 4 > 1"), path, m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    idx.append(emb.where("vec_id % 4 = 1"))
+    idx.append(emb.where("vec_id % 4 = 0"))
+    assert len(idx.segments()) == 3
+    before = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
+
+    # torn compaction: merged segment staged, manifest never swapped
+    pre = IvfPqIndex(spark, path)
+    pre._index_df().write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, pre._free_segment_name())
+    )
+    fresh = IvfPqIndex(spark, path)
+    assert len(fresh.segments()) == 3  # orphan invisible
+    assert (
+        sorted(map(tuple, fresh.topk(queries, k=10, nprobe=4).collect()))
+        == before
+    )
+
+    fresh.compact()
+    assert len(fresh.segments()) == 1
+    reread = IvfPqIndex(spark, path)
+    assert reread.segments() == fresh.segments()
+    assert (
+        sorted(map(tuple, reread.topk(queries, k=10, nprobe=4).collect()))
+        == before
+    )
+    # old data dirs (including the original build dir) were GC'd
+    on_disk = {
+        n for n in os.listdir(path)
+        if n.startswith("seg-") or n == "index.parquet"
+    }
+    assert on_disk == set(fresh.segments())
+    # appends still work and never collide with the compacted segment
+    n_rows = reread.meta["n_rows"]
+    extra = emb.where("vec_id % 25 = 7")
+    reread.append(extra)
+    assert reread.meta["n_rows"] == n_rows + extra.count()
+    assert len(reread.segments()) == 2
+    assert len(set(reread.segments())) == 2
+    # compact again: back to one segment, ranks include the appended rows
+    want = sorted(
+        map(tuple, reread.topk(queries, k=10, nprobe=4).collect())
+    )
+    reread.compact()
+    assert len(reread.segments()) == 1
+    got = sorted(
+        map(
+            tuple,
+            IvfPqIndex(spark, path)
+            .topk(queries, k=10, nprobe=4)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_dedup_log_compaction_preserves_answers(spark, tmp_path, sf_dir):
+    """DedupIndexLog.compact() folds the batch log into one resolved
+    generation: pairs/components/signatures identical, tombstones
+    emptied, later sink commits behave as if uncompacted (same monotone
+    bucket sizes), and a torn compaction is invisible."""
+    import json
+    import os
+
+    from panoptes_spark.streaming.dedup_stream import (
+        DedupIndexLog,
+        NearDedupIndexSink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "clog")
+    sink = NearDedupIndexSink(base)
+    for i in range(3):
+        sink(docs.where(F.col("doc_id") % 4 == i), i)
+    log = sink.index(spark)
+    want_pairs = sorted(map(tuple, log.pairs().collect()))
+    want_comps = sorted(map(tuple, log.components().collect()))
+    want_sig_n = log.signatures().count()
+
+    # torn compaction: stage the generation dirs but never swap STATE
+    st_before = open(f"{base}/STATE.json").read()
+    tag = f"c{log.state['last_batch_id']}"
+    log.docs().write.mode("overwrite").parquet(
+        os.path.join(base, "docs", f"batch={tag}")
+    )
+    log2 = DedupIndexLog(spark, base)
+    assert sorted(map(tuple, log2.pairs().collect())) == want_pairs
+    assert open(f"{base}/STATE.json").read() == st_before
+
+    log2.compact()
+    assert log2.state["batches"] == [tag]
+    assert json.load(open(f"{base}/STATE.json"))["batches"] == [tag]
+    assert sorted(map(tuple, log2.pairs().collect())) == want_pairs
+    assert sorted(map(tuple, log2.components().collect())) == want_comps
+    assert log2.signatures().count() == want_sig_n
+    assert log2.tombstones().count() == 0
+    # pre-compaction batch dirs GC'd: one dir per relation remains
+    for rel in ("docs", "sigs", "buckets", "bcounts", "pairs", "comps"):
+        assert os.listdir(os.path.join(base, rel)) == [f"batch={tag}"]
+    # compacting an already-compacted log is a no-op
+    log2.compact()
+    assert log2.state["batches"] == [tag]
+
+    # post-compaction append == uncompacted fold over the same batches
+    sink(docs.where(F.col("doc_id") % 4 == 3), 3)
+    got = sorted(map(tuple, sink.index(spark).pairs().collect()))
+    base2 = str(tmp_path / "clog2")
+    sink2 = NearDedupIndexSink(base2)
+    for i in range(4):
+        sink2(docs.where(F.col("doc_id") % 4 == i), i)
+    want = sorted(map(tuple, sink2.index(spark).pairs().collect()))
+    assert got == want and len(got) > 0
+    got_c = sorted(map(tuple, sink.index(spark).components().collect()))
+    want_c = sorted(map(tuple, sink2.index(spark).components().collect()))
+    assert got_c == want_c
+
+
 def test_winnow_substring_guarantee(spark):
     """Winnowing's local guarantee: any shared word run of
     window + k - 1 words yields >= 1 common fingerprint; fully
