@@ -2728,6 +2728,61 @@ def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
 
 
+def q_ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN-index sink's ACTUAL multi-commit chain as a
+    driver gate (r10, the ``dedup_stream_pairs`` discipline applied to
+    the ANN side): build the index over 3/4 of the corpus, fold the
+    remaining quarter through ``AnnIndexSink.__call__`` in three
+    deterministic micro-batches (manifest watermark + segment-per-batch
+    commit path), reread through a fresh handle, and rank the SAME
+    probes against the SAME combined-corpus oracle as the append gate —
+    the equality FAISS ``add`` semantics guarantee."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from panoptes_spark.streaming.ann_stream import AnnIndexSink
+
+    from .ann_index import IvfPqIndex, build_ivfpq_index
+
+    app = spark.sparkContext.applicationId
+    real = _os.path.realpath(sf_dir)
+    key = (app, real, "ann-stream")
+    path = _ANN_IDX_CACHE.get(key)
+    if path is None:
+        tag = _hashlib.md5(
+            f"{app}|{real}|stream|{_PQ_M}|{_PQ_CODES}|{_IVF_CELLS}".encode()
+        ).hexdigest()[:16]
+        path = _os.path.join(
+            _tempfile.gettempdir(), f"panoptes_ann_stream_{tag}"
+        )
+        manifest = _os.path.join(path, "MANIFEST.json")
+        done = False
+        if _os.path.exists(manifest):
+            import json as _json
+
+            with open(manifest) as f:
+                done = int(_json.load(f).get("last_batch_id", -1)) >= 2
+        if not done:
+            emb = fx.read_table(spark, sf_dir, "embeddings")
+            build_ivfpq_index(
+                emb.where(_ANN_APPEND_PRED), path, m=_PQ_M,
+                n_codes=_PQ_CODES, n_cells=_IVF_CELLS, train_iters=0,
+            )
+            sink = AnnIndexSink(path)
+            rest = emb.where(f"NOT ({_ANN_APPEND_PRED})")
+            for i in range(3):
+                part = F.pmod(
+                    F.floor(F.col("vec_id") / 4).cast("bigint"), F.lit(3)
+                )
+                sink(rest.where(part == i), i)
+        _ANN_IDX_CACHE[key] = path
+    idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
+
+
 def q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IvfPqIndex.compact() as a driver gate (r10): COPY the committed
     build+append artifact, merge its segments into one through the
@@ -4307,6 +4362,7 @@ QUERIES = {
     # --- r10 additions ---
     "dedup_log_compacted_pairs": q_dedup_log_compacted_pairs,
     "ann_index_compacted_topk": q_ann_index_compacted_topk,
+    "ann_stream_topk": q_ann_stream_topk,
 }
 
 ORACLES = {
@@ -4408,5 +4464,6 @@ ORACLES = {
     # artifacts answer the SAME oracles as their uncompacted sources
     "dedup_log_compacted_pairs": O_DEDUP_MINHASH,
     "ann_index_compacted_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
+    "ann_stream_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
     "dedup_best_representatives": _o_dedup_best_representatives(),
 }

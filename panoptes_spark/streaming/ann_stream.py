@@ -1,0 +1,165 @@
+"""Streaming maintenance of a persisted IVF-PQ index.
+
+The dedup side has had its streaming twin since r9
+(``NearDedupIndexSink``); ANN appends were batch-only
+(``pipeline.ann_index.IvfPqIndex.append``). This module closes that gap
+(r9 verdict #5): a ``foreachBatch`` sink that folds an unbounded vector
+stream into a built index with the SAME exactly-once discipline the
+reconcile / TTL-store / dedup-index sinks use:
+
+- replayed batch ids (``batch_id <= last_batch_id``) are skipped;
+- each commit stages ONE cell-partitioned segment, visible only at the
+  atomic manifest swap (write-tmp + ``os.replace``) — a crash between
+  stage and swap leaves an orphan no read includes, GC'd on replay;
+- the driving query's lineage (checkpoint metadata id) is persisted in
+  the manifest: a recreated checkpoint (batch ids restart at 0) fails
+  loudly instead of silently dropping data as replays, including the
+  batch-calls-first / streaming-later case;
+- cells and codebooks stay FROZEN (FAISS ``add`` semantics): results
+  rank identically to an index built over the combined corpus with the
+  same centroids/codebooks — the ``ann_stream_topk`` driver gate folds
+  3 micro-batches through this exact commit path against the combined
+  oracle.
+
+At 100 TB: per-commit work is the new rows' assignment + encoding (two
+broadcast joins and an Arrow pass over the BATCH) plus one segment
+write — never index-sized. Read amplification grows one segment per
+commit; ``compact_every`` folds the segments back to one through
+``IvfPqIndex.compact()`` every N commits (atomic, answer-preserving),
+the in-engine LSM discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from panoptes_spark.pipeline.ann_index import IvfPqIndex
+
+__all__ = ["AnnIndexSink", "ann_index_stream"]
+
+
+def _query_lineage(checkpoint: str | None):
+    """The driving streaming query's durable identity: the checkpoint
+    metadata id (written by Spark at query start, stable across restarts
+    on the SAME checkpoint, fresh when the checkpoint is recreated).
+    None when driven directly (batch callers / tests) or before the
+    metadata exists."""
+    import json
+    import os
+
+    if not checkpoint:
+        return None
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return json.load(f).get("id")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+class AnnIndexSink:
+    """foreachBatch sink appending micro-batches to a BUILT IvfPqIndex.
+
+    The index must exist at ``path`` (``build_ivfpq_index``) — the build
+    fixes the coarse cells and PQ codebooks the stream encodes against;
+    retrain-and-rebuild when distribution drift (observable via the
+    manifest's ``n_rows`` growth and ``pipeline.drift``) demands it.
+
+    ``compact_every=N`` runs ``IvfPqIndex.compact()`` after every Nth
+    commit, bounding segment-count read amplification; compaction is
+    atomic and answer-preserving, so a crash during it is harmless
+    (reads stay on the old manifest until the swap).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        checkpoint: str | None = None,
+        compact_every: int | None = None,
+    ):
+        self.path = path
+        self.checkpoint = checkpoint
+        if compact_every is not None and compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1: {compact_every}")
+        self.compact_every = compact_every
+        self._commits = 0
+
+    def index(self, spark) -> IvfPqIndex:
+        """Fresh read handle over the last COMMITTED manifest."""
+        return IvfPqIndex(spark, self.path)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int):
+        import json
+        import os
+
+        spark = batch_df.sparkSession
+        idx = IvfPqIndex(spark, self.path)
+        last = int(idx.meta.get("last_batch_id", -1))
+        stored = idx.meta.get("lineage")
+        lineage = _query_lineage(self.checkpoint)
+        if stored and lineage and stored != lineage:
+            raise ValueError(
+                f"ANN index at {self.path} was committed by streaming "
+                f"query lineage {stored}, but this query is {lineage} "
+                "(checkpoint deleted/recreated?). Its batch ids restart "
+                "at 0 and would be dropped as replays - use a fresh "
+                "index or restore the original checkpoint."
+            )
+        if batch_id <= last:
+            if lineage and not stored:
+                raise ValueError(
+                    f"ANN index at {self.path} holds batch-call commits "
+                    f"with no recorded lineage, and streaming query "
+                    f"{lineage} is presenting batch_id={batch_id} <= "
+                    f"last_batch_id={last} - these are NOT replays and "
+                    "would be dropped. Use a freshly built index for "
+                    "the streaming query."
+                )
+            return  # replay of a committed batch after restart
+
+        batch = batch_df.select(idx.meta["id_col"], idx.meta["vec_col"])
+        n_new = batch.count()
+        seg = None
+        if n_new > 0:
+            idx._gc_orphan_segments()  # torn earlier commit, if any
+            seg = idx._free_segment_name()
+            idx._write_segment(batch, seg)
+
+        # manifest commit: segment reference + batch-id watermark +
+        # lineage adoption swap in ONE atomic replace (an empty batch
+        # still advances the watermark, like the dedup sink)
+        if seg is not None:
+            idx.meta["segments"] = idx.segments() + [seg]
+            idx.meta["n_rows"] = int(idx.meta["n_rows"]) + int(n_new)
+        idx.meta["last_batch_id"] = int(batch_id)
+        idx.meta["lineage"] = stored or lineage
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(idx.meta, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+
+        self._commits += 1
+        if self.compact_every and self._commits % self.compact_every == 0:
+            IvfPqIndex(spark, self.path).compact()
+
+
+def ann_index_stream(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Wire a streaming vector source into an :class:`AnnIndexSink`
+    over the built index at ``path`` and return (query, sink).
+    ``sink.index(spark)`` reads the last COMMITTED manifest at any
+    time. ``trigger`` passes through to ``writeStream.trigger``
+    (default ``{"availableNow": True}`` — drain-and-stop; pass e.g.
+    ``{"processingTime": "1 minute"}`` for continuous maintenance)."""
+    sink = AnnIndexSink(path, checkpoint=checkpoint, compact_every=compact_every)
+    q = (
+        vectors.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+    return q, sink

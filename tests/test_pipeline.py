@@ -1981,6 +1981,159 @@ def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_ann_stream_matches_combined_with_restart(spark, tmp_path, sf_dir):
+    """Streaming ANN maintenance == batch append == combined build:
+    vectors arrive in micro-batches across TWO queries (a restart
+    between), and the final index ranks identically to one built over
+    the build subset and batch-appended the rest. Then replay and
+    torn-commit chaos on the real commit path."""
+    import json
+    import os
+
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+    from panoptes_spark.streaming.ann_stream import ann_index_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where("vec_id % 4 > 0")
+    new = emb.where("vec_id % 4 = 0")
+    queries = emb.where("vec_id % 25 = 0")
+    path = str(tmp_path / "annstream")
+    build_ivfpq_index(old, path, m=8, n_codes=16, n_cells=16, train_iters=0)
+
+    src = str(tmp_path / "vecsrc")
+    ckpt = str(tmp_path / "vecckpt")
+    new.where("vec_id % 8 = 0").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, sink = ann_index_stream(stream, path, ckpt)
+    q.awaitTermination(300)
+
+    # restart: a NEW query on the same checkpoint picks up batch 1
+    new.where("vec_id % 8 = 4").coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2, sink2 = ann_index_stream(stream2, path, ckpt)
+    q2.awaitTermination(300)
+
+    got = sorted(
+        map(
+            tuple,
+            sink2.index(spark).topk(queries, k=10, nprobe=4).collect(),
+        )
+    )
+    ref_path = str(tmp_path / "annref")
+    ref = build_ivfpq_index(
+        old, ref_path, m=8, n_codes=16, n_cells=16, train_iters=0
+    ).append(new)
+    want = sorted(map(tuple, ref.topk(queries, k=10, nprobe=4).collect()))
+    assert got == want and len(got) > 0
+
+    # replay chaos: re-delivering the last committed batch is a no-op
+    manifest = os.path.join(path, "MANIFEST.json")
+    m_before = open(manifest).read()
+    last = json.loads(m_before)["last_batch_id"]
+    sink2(new.where("vec_id % 8 = 4"), last)
+    assert open(manifest).read() == m_before
+
+    # torn-commit chaos: segment staged, manifest never swapped — a
+    # fresh handle ranks as before; the replayed commit GCs and lands
+    idx = IvfPqIndex(spark, path)
+    idx._write_segment(
+        emb.where("vec_id % 25 = 7"), idx._free_segment_name()
+    )
+    fresh = IvfPqIndex(spark, path)
+    assert (
+        sorted(
+            map(tuple, fresh.topk(queries, k=10, nprobe=4).collect())
+        )
+        == want
+    )
+    sink2(emb.where("vec_id % 25 = 7"), last + 1)
+    grown = IvfPqIndex(spark, path)
+    assert grown.meta["last_batch_id"] == last + 1
+    assert grown.meta["n_rows"] == json.loads(m_before)["n_rows"] + int(
+        emb.where("vec_id % 25 = 7").count()
+    )
+
+
+def test_ann_stream_lineage_guard_and_compact_every(spark, tmp_path, sf_dir):
+    """Recreated-checkpoint lineages fail loudly (both the
+    stored-lineage mismatch and the batch-calls-first cases), and
+    compact_every folds segments back to one without changing answers."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from panoptes_spark.pipeline.ann_index import build_ivfpq_index
+    from panoptes_spark.streaming.ann_stream import AnnIndexSink
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where("vec_id % 4 > 0")
+    new = emb.where("vec_id % 4 = 0")
+    queries = emb.where("vec_id % 25 = 0")
+
+    def ckpt_with_id(name, qid):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "metadata"), "w") as f:
+            json.dump({"id": qid}, f)
+        return d
+
+    path = str(tmp_path / "lin")
+    build_ivfpq_index(old, path, m=8, n_codes=16, n_cells=16, train_iters=0)
+    s1 = AnnIndexSink(path, checkpoint=ckpt_with_id("ck1", "q-one"))
+    s1(new.where("vec_id % 8 = 0"), 0)
+    s1(new.where("vec_id % 8 = 4"), 1)
+    # same lineage: replayed ids are skipped silently (normal restart)
+    s1(new.where("vec_id % 8 = 4"), 1)
+    # different lineage, regressed batch id: loud failure, not a drop
+    s2 = AnnIndexSink(path, checkpoint=ckpt_with_id("ck2", "q-two"))
+    with _pytest.raises(ValueError, match="lineage"):
+        s2(new.where("vec_id % 8 = 0"), 0)
+
+    # batch-calls-first store + streaming query at a regressed id
+    path_b = str(tmp_path / "linb")
+    build_ivfpq_index(
+        old, path_b, m=8, n_codes=16, n_cells=16, train_iters=0
+    )
+    sb = AnnIndexSink(path_b)
+    sb(new.where("vec_id % 8 = 0"), 0)
+    sb(new.where("vec_id % 8 = 4"), 1)
+    sc = AnnIndexSink(path_b, checkpoint=ckpt_with_id("ck3", "q-three"))
+    with _pytest.raises(ValueError, match="NOT replays"):
+        sc(new.where("vec_id % 8 = 0"), 0)
+
+    # compact_every=2: after the 2nd commit the index is one segment
+    # and ranks exactly like the uncompacted twin at `path`
+    path_c = str(tmp_path / "cmpev")
+    build_ivfpq_index(
+        old, path_c, m=8, n_codes=16, n_cells=16, train_iters=0
+    )
+    s3 = AnnIndexSink(path_c, compact_every=2)
+    s3(new.where("vec_id % 8 = 0"), 0)
+    s3(new.where("vec_id % 8 = 4"), 1)
+    idx_c = s3.index(spark)
+    assert len(idx_c.segments()) == 1
+    want = sorted(
+        map(
+            tuple,
+            s1.index(spark).topk(queries, k=10, nprobe=4).collect(),
+        )
+    )
+    got = sorted(map(tuple, idx_c.topk(queries, k=10, nprobe=4).collect()))
+    assert got == want
+
+
 def test_dedup_log_compaction_preserves_answers(spark, tmp_path, sf_dir):
     """DedupIndexLog.compact() folds the batch log into one resolved
     generation: pairs/components/signatures identical, tombstones
