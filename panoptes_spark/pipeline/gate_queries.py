@@ -3962,9 +3962,11 @@ _PPLX_FRACS = (1 / 3, 2 / 3)
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail curation buckets (Wenzek et al., LREC
-    2020): per-source rank cut over the gate-proven bigram-LM score.
-    Rank-based cuts (score, doc_id total order) are engine-exact where
-    float tercile boundaries are not; the window partitions by source."""
+    2020): per-source exact grouped-quantile threshold cuts over the
+    gate-proven bigram-LM score (r10 — windowless; the previous
+    per-source rank window was a single-task sort of a whole source).
+    Thresholds compare MICRO-INTEGER scores, engine-exact where float
+    tercile boundaries are not."""
     from panoptes_spark.pipeline.lm import (
         perplexity_buckets,
         score_documents,
@@ -3980,27 +3982,42 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_perplexity_buckets() -> str:
+    """Replays the exact grouped-quantile threshold recipe: micro-int
+    scores (floor(x*1e6 + 0.5) on the 6 dp-rounded double is its exact
+    integer representation on both engines), per-source cum-sum
+    histograms, type-1 thresholds at ceil(frac * n) — the
+    O_LENGTH_OUTLIERS pattern applied to LM scores."""
     from panoptes_spark.pipeline.lm import lm_oracle_sql
 
     lo, hi = _PPLX_FRACS
     return f"""
 WITH scored AS ({lm_oracle_sql()}),
 j AS (
-  SELECT s.doc_id, d.source, s.avg_neg_logp
+  SELECT s.doc_id, d.source, s.avg_neg_logp,
+    CAST(floor(s.avg_neg_logp * 1e6 + 0.5) AS BIGINT) AS us
   FROM scored s JOIN documents d USING (doc_id)
 ),
-r AS (
-  SELECT *,
-    row_number() OVER (PARTITION BY source
-                       ORDER BY avg_neg_logp ASC, doc_id ASC) AS rn,
-    count(*) OVER (PARTITION BY source) AS n
-  FROM j
+h AS (SELECT source, us, count(*) AS c FROM j GROUP BY 1, 2),
+cum AS (
+  SELECT source, us, sum(c) OVER (PARTITION BY source ORDER BY us) AS cm
+  FROM h
+),
+tot AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+tlo AS (
+  SELECT source, min(us) AS t FROM cum JOIN tot USING (source)
+  WHERE cm >= CAST(ceil(CAST({lo!r} AS DOUBLE) * n) AS BIGINT)
+  GROUP BY source
+),
+thi AS (
+  SELECT source, min(us) AS t FROM cum JOIN tot USING (source)
+  WHERE cm >= CAST(ceil(CAST({hi!r} AS DOUBLE) * n) AS BIGINT)
+  GROUP BY source
 )
 SELECT doc_id, source, avg_neg_logp,
-  CASE WHEN rn <= ceil(CAST({lo!r} AS DOUBLE) * n) THEN 'head'
-       WHEN rn <= ceil(CAST({hi!r} AS DOUBLE) * n) THEN 'middle'
+  CASE WHEN us <= tlo.t THEN 'head'
+       WHEN us <= thi.t THEN 'middle'
        ELSE 'tail' END AS bucket
-FROM r
+FROM j JOIN tlo USING (source) JOIN thi USING (source)
 """
 
 

@@ -136,42 +136,56 @@ def perplexity_buckets(
     fracs: tuple[float, float] = (1 / 3, 2 / 3),
 ) -> DataFrame:
     """CCNet-style head/middle/tail bucketing (Wenzek et al., LREC 2020):
-    within each source, rank documents by LM score ascending (fluent
-    first) and cut at the ``fracs`` rank fractions — CCNet trains only
-    on the head/middle of each language, dropping the tail.
+    within each source, cut the LM-score distribution (fluent first) at
+    the ``fracs`` quantiles — CCNet trains only on the head/middle of
+    each language, dropping the tail.
 
-    Buckets are RANK-based, not threshold-based: cutting at exact score
-    terciles would compare floating-point boundaries, which no two
-    engines binary-agree on; ranking by the (6 dp-quantized score,
-    doc id) total order is deterministic everywhere, per-source sizes
-    stay within one doc of the requested fractions, and the window is
-    partitioned by source — no global sort at any scale.
+    Cuts are exact grouped-QUANTILE thresholds over the micro-integer
+    score (the 6 dp-rounded ``avg_neg_logp`` is an exact multiple of
+    1e-6, so ``floor(x*1e6 + 0.5)`` is its integer representation on
+    both engines): the per-source type-1 quantile — smallest score s
+    with cum_count(<= s) >= ceil(frac * n) — computed by
+    ``stats.grouped_quantile``'s histogram fold. No window anywhere
+    (r10: the previous ``row_number().over(partitionBy(source))``
+    sorted an entire source's documents in ONE task — the realistic
+    100 TB corpus has tens of sources, so that window is a
+    single-machine sort of ~corpus/n_sources rows). The boundary rule
+    is deterministic: every doc with score <= threshold joins the
+    lower bucket, so bucket sizes exceed the requested fraction only
+    by the threshold's tie group.
 
     Returns (id, source, avg_neg_logp, bucket ∈ head|middle|tail).
     """
-    from pyspark.sql import Window
+    from .stats import grouped_quantile
+
+    from .dedup import materialize_once
 
     lo, hi = fracs
     src = docs.select(F.col(id_col), F.col(source_col))
     joined = scored.select(id_col, "avg_neg_logp").join(src, id_col)
-    w = Window.partitionBy(source_col).orderBy(
-        F.col("avg_neg_logp").asc(), F.col(id_col).asc()
+    # exact micro-integer representation of the 6 dp-quantized score;
+    # materialized once — it feeds two quantile folds + the final map
+    us = materialize_once(
+        joined.withColumn(
+            "__us",
+            F.expr("cast(floor(avg_neg_logp * 1e6 + 0.5) as bigint)"),
+        )
     )
-    # per-source sizes as a broadcast dim, not a second window pass
-    totals = joined.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    t_lo = grouped_quantile(us, [source_col], "__us", p=lo).select(
+        source_col, F.col("q").alias("__t_lo")
+    )
+    t_hi = grouped_quantile(us, [source_col], "__us", p=hi).select(
+        source_col, F.col("q").alias("__t_hi")
+    )
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(totals), source_col)
+        us.join(F.broadcast(t_lo), source_col)
+        .join(F.broadcast(t_hi), source_col)
         .select(
             id_col,
             source_col,
             "avg_neg_logp",
-            F.when(
-                F.col("__rn") <= F.ceil(F.lit(lo) * F.col("__n")), "head"
-            )
-            .when(
-                F.col("__rn") <= F.ceil(F.lit(hi) * F.col("__n")), "middle"
-            )
+            F.when(F.col("__us") <= F.col("__t_lo"), "head")
+            .when(F.col("__us") <= F.col("__t_hi"), "middle")
             .otherwise("tail")
             .alias("bucket"),
         )

@@ -275,6 +275,7 @@ def frequent_ngrams(
     source_col: str = "source",
     k: int = 3,
     top_n: int = 5,
+    n_salt: int = 64,
 ) -> DataFrame:
     """Top-``top_n`` word k-grams per source by DOCUMENT frequency — the
     boilerplate diagnostic read before tuning dedup caps (`max_df`,
@@ -283,9 +284,16 @@ def frequent_ngrams(
 
     Scale shape: per-doc DISTINCT grams (the shingle expression — narrow,
     no Python), one (source, gram) partial-agg count (map-side combine
-    collapses repeats), then a per-source top-n window over the
-    vocab-sized count relation. Gram strings ship only after the count
-    collapse. Returns (source, gram, df, rank)."""
+    collapses repeats), then a TWO-PHASE top-n (r10): a partial top-n
+    per (source, gram-hash salt) — each of the ``n_salt`` salt slices
+    ranks ~1/n_salt of the source's gram vocabulary, so no task ever
+    sorts a whole source's vocabulary — followed by the final top-n
+    over the <= n_salt * top_n survivors per source (a bounded-input
+    window, like the per-cluster representative windows). EXACT: a
+    gram lives in exactly one salt slice, so every global top-n gram
+    is inside its slice's top-n by the same (df desc, gram asc) order.
+    Gram strings ship only after the count collapse.
+    Returns (source, gram, df, rank)."""
     from pyspark.sql import Window
 
     from .dedup import shingles_col
@@ -297,11 +305,22 @@ def frequent_ngrams(
     counts = grams.groupBy(source_col, "gram").agg(
         F.count(F.lit(1)).alias("df")
     )
-    w = Window.partitionBy(source_col).orderBy(
+    salted = counts.withColumn(
+        "__salt", F.pmod(F.xxhash64("gram"), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(source_col, "__salt").orderBy(
+        F.col("df").desc(), F.col("gram").asc()
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= top_n)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(
         F.col("df").desc(), F.col("gram").asc()
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("rank", F.row_number().over(w2).cast("int"))
         .where(F.col("rank") <= top_n)
         .select(source_col, "gram", "df", "rank")
     )

@@ -2634,40 +2634,96 @@ def test_ngram_novelty_bounds_and_detection(spark):
     assert 0.3 < out[3]["novelty"] < 0.7
 
 
-def test_perplexity_buckets_rank_cuts(spark):
-    """Per-source bucket sizes follow the ceil-rank cuts, gibberish
-    lands in the tail of its source, and every scored doc is bucketed."""
+def test_perplexity_buckets_quantile_cuts(spark):
+    """Per-source bucket sizes follow the exact quantile-threshold cuts
+    on distinct scores; a tie group shares ONE bucket (the documented
+    boundary rule — every doc at or under the threshold joins the lower
+    bucket); the worst score lands in the tail; every doc is bucketed;
+    and fluency still orders the real-LM scores (gibberish tails)."""
+    import collections
+
+    from panoptes_spark.pipeline import dedup as dd
     from panoptes_spark.pipeline.lm import (
         perplexity_buckets,
         score_documents,
         train_bigram_lm,
     )
 
-    rows = [(i, "the cat sat on the mat and the dog sat too", "a")
-            for i in range(8)]
-    rows += [(100, "zq xv qq zk vx jq zz qv kx vz jx qz", "a")]
-    rows += [(200 + i, "a plain sentence about cats and dogs", "b")
-             for i in range(3)]
-    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
-    uni, bi, vocab = train_bigram_lm(docs)
-    scored = score_documents(docs, uni, bi, vocab)
+    scored = spark.createDataFrame(
+        [(i, 0.1 * (i + 1)) for i in range(9)]        # a: 9 distinct
+        + [(200 + i, 0.5) for i in range(3)],         # b: one tie group
+        ["doc_id", "avg_neg_logp"],
+    )
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(9)] + [(200 + i, "b") for i in range(3)],
+        ["doc_id", "source"],
+    )
     out = perplexity_buckets(scored, docs).collect()
+    dd.release_materialized()
     by_src = {}
     for r in out:
         by_src.setdefault(r["source"], []).append(r)
-    a = by_src["a"]  # 9 docs: head=3, middle=3, tail=3
-    import collections
-
-    ca = collections.Counter(r["bucket"] for r in a)
+    ca = collections.Counter(r["bucket"] for r in by_src["a"])
     assert ca == {"head": 3, "middle": 3, "tail": 3}
-    gib = next(r for r in a if r["doc_id"] == 100)
-    assert gib["bucket"] == "tail"
+    worst = max(by_src["a"], key=lambda r: r["avg_neg_logp"])
+    assert worst["bucket"] == "tail"
+    # all-tied source: the threshold equals the tied score, so the
+    # whole tie group joins the lowest bucket
     cb = collections.Counter(r["bucket"] for r in by_src["b"])
-    assert cb == {"head": 1, "middle": 1, "tail": 1}
+    assert cb == {"head": 3}
     assert len(out) == scored.count()
 
+    # end-to-end with the real LM: gibberish tails within its source
+    rows = [(i, f"the cat number {i} sat on the mat and the dog sat too",
+             "a") for i in range(8)]
+    rows += [(100, "zq xv qq zk vx jq zz qv kx vz jx qz", "a")]
+    ldocs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    uni, bi, vocab = train_bigram_lm(ldocs)
+    lout = perplexity_buckets(
+        score_documents(ldocs, uni, bi, vocab), ldocs
+    ).collect()
+    dd.release_materialized()
+    gib = next(r for r in lout if r["doc_id"] == 100)
+    assert gib["bucket"] == "tail"
 
-def test_length_outliers_flags_extremes_only(spark):
+
+def test_per_source_rank_windows_deskewed(spark):
+    """Plan-shape lock for the r10 de-skew (the one anti-pattern the
+    no-unpartitioned-Window audit cannot see — a window partitioned by
+    a LOW-CARDINALITY column sorts ~corpus/n_sources rows in one task):
+    perplexity_buckets must plan WITHOUT any Window (quantile-threshold
+    cuts), and frequent_ngrams' vocabulary-sized rank must partition by
+    (source, salt) — only its bounded survivor rank (<= n_salt * top_n
+    rows per source) may partition by source alone."""
+    from panoptes_spark.pipeline import dedup as dd
+    from panoptes_spark.pipeline.lm import perplexity_buckets
+    from panoptes_spark.pipeline.substrings import frequent_ngrams
+
+    scored = spark.createDataFrame(
+        [(i, 0.1 * i) for i in range(30)], ["doc_id", "avg_neg_logp"]
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common words here", "s")
+         for i in range(30)],
+        ["doc_id", "text", "source"],
+    )
+    pb_plan = perplexity_buckets(scored, docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    dd.release_materialized()
+    assert "Window" not in pb_plan, "perplexity_buckets regrew a window"
+
+    fn_plan = frequent_ngrams(docs)._jdf.queryExecution().executedPlan(
+    ).toString()
+    win_lines = [
+        ln for ln in fn_plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    assert len(win_lines) == 2, fn_plan
+    # phase 1 (the vocab-sized rank) must carry the salt in its
+    # partition spec; exactly one window (the bounded survivor rank)
+    # may partition by source alone
+    salted = [ln for ln in win_lines if "__salt" in ln]
+    assert len(salted) == 1, win_lines
     """An injected extreme length is flagged; the bulk is not; a
     constant-valued group (MAD=0) emits NULL mod_z and no flags."""
     from panoptes_spark.pipeline.stats import length_outliers
