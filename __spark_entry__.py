@@ -3690,19 +3690,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # be wrong — the current round's additions).
     out = _interleave(_newest_first(_PIPE_QUERIES), _newest_first(out))
 
-    # r8 (VERDICT r7 #5): the fixed newest-first interleave kept the same
-    # mid-list gates permanently outside the driver's 50-entry prefix —
-    # 14 gates never received a CORRECTNESS row in 7 rounds. Two fixes:
-    # (a) gates that have never been driver-sampled lead the dict this
-    # round; (b) the remainder ROTATES by a round-derived offset so every
-    # gate cycles through the prefix within ~3 rounds regardless of list
-    # position.
+    # r10 (VERDICT r9 #1/directive 2): order the non-priority remainder
+    # by LAST-DRIVER-SAMPLED ROUND ASCENDING, computed from the committed
+    # CORRECTNESS_r*.json artifacts themselves — the r8 fixed-step offset
+    # rotation (17 slots/round over a ~135-entry list through a ~32-slot
+    # prefix window) needed ~8 rounds for a full cycle, leaving 65 gates
+    # >3 rounds without a CORRECTNESS row by round 9. With
+    # staleness-ascending ordering the driver's 50-entry prefix always
+    # holds the stalest gates, so every gate is re-sampled within
+    # ceil(n_gates / 50) rounds of its last row — the best achievable
+    # cadence at the driver's sample size. Never-sampled gates sort
+    # first (round 0); ties break by name for determinism.
     head = [n for n in _DRIVER_PRIORITY if n in out]
-    rest = [(k, v) for k, v in out.items() if k not in set(head)]
-    off = (17 * _round_index()) % max(1, len(rest))
+    last = _last_sampled_rounds()
+    rest = sorted(
+        ((k, v) for k, v in out.items() if k not in set(head)),
+        key=lambda kv: (last.get(kv[0], 0), kv[0]),
+    )
     out = {
         **{n: out[n] for n in head},
-        **dict(rest[off:] + rest[:off]),
+        **dict(rest),
     }
 
     from panoptes_spark.session import tune_runtime
@@ -3716,44 +3723,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _tuned(fn) for name, fn in out.items()}
 
 
-#: driver-sample priority: THIS round's new gates lead the dict so the
-#: driver's prefix sample always covers the code most likely to be
-#: wrong. Every older gate has at least one CORRECTNESS row (the r1-r8
-#: union covers all 142) and cycles through the prefix via the
-#: round-offset rotation below (~3-round period).
+#: driver-sample priority: THIS round's new gates and gates whose
+#: SEMANTICS changed this round lead the dict so the driver's prefix
+#: sample always covers the code most likely to be wrong. Kept SHORT on
+#: purpose: every head slot displaces one stale gate from the 50-entry
+#: prefix, and the staleness-ascending ordering above is what bounds
+#: every older gate's re-sample cadence. (Refactor-only surfaces whose
+#: gates produce byte-identical canon — materialize swaps, artifact
+#: sharing — are covered by the full local sweep and rotate normally.)
 _DRIVER_PRIORITY = [
-    # r9 gates
-    "dedup_stream_pairs",
-    "ivf_recall_trained",
+    # r10 gates (compaction twins + the streaming ANN sink chain)
+    "dedup_log_compacted_pairs",
+    "ann_index_compacted_topk",
+    "ann_stream_topk",
+    # r10 semantics changes: quantile-threshold buckets, salted top-n,
+    # floor-quantized Wilson bounds, rewritten sink commit path
     "perplexity_buckets",
-    "length_outliers",
-    "minhash_calibration",
-    "token_budget",
     "boilerplate_ngrams",
     "label_balance",
-    "dedup_cluster_stats",
-    "ann_index_append_topk",
-    "dedup_best_representatives",
-    # r9 touched existing surfaces: re-sample their gates this round
-    "trim_dup_spans",
-    "ngram_novelty",
-    "embedding_drift",
-    "training_shards",
-    "dsir_select",
-    "ann_index_topk",
-    "dedup_incremental_pairs",
+    "dedup_stream_pairs",
 ]
 
 
-def _round_index() -> int:
-    """Rounds completed so far = committed CORRECTNESS artifacts next to
-    this file — a deterministic, driver-visible rotation seed (the same
-    value everywhere in one round, different across rounds)."""
+def _last_sampled_rounds() -> dict[str, int]:
+    """gate -> highest round whose committed CORRECTNESS_r*.json holds a
+    row for it (0 = never driver-sampled). Parsed from the committed
+    artifacts next to this file, so the ordering is deterministic and
+    driver-visible (the same everywhere within one round, different
+    across rounds); unreadable artifacts are skipped rather than
+    failing the registry build."""
     import glob
+    import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(rows, dict):
+            for gate in rows:
+                out[gate] = max(out.get(gate, 0), rnd)
+    return out
 
 
 def _newest_first(d: dict) -> dict:
