@@ -138,6 +138,7 @@ def main():
 
     build_sec = gate_queries.LAST_DEDUP_BUILD_SEC
     fold_sec = gate_queries.LAST_STREAM_FOLD_SEC
+    ann_stream_sec = gate_queries.LAST_ANN_STREAM_BUILD_SEC
 
     # the plain BENCH_DETAIL.json name is reserved for the driver's
     # default SF so off-SF runs (e.g. the sf1 soak) never clobber the
@@ -165,6 +166,7 @@ def main():
                 "run_totals": run_totals,
                 "dedup_index_build_sec": build_sec,
                 "dedup_stream_fold_sec": fold_sec,
+                "ann_stream_build_sec": ann_stream_sec,
                 "warmup": {
                     "policy": f"full-battery@{warm_dir}"
                     if warm_sec is not None
@@ -192,6 +194,7 @@ def main():
                 "run_totals": run_totals,
                 "dedup_index_build_sec": build_sec,
                 "dedup_stream_fold_sec": fold_sec,
+                "ann_stream_build_sec": ann_stream_sec,
                 "warm_sec": warm_sec,
                 "detail": detail_name,
             }

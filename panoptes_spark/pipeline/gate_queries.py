@@ -70,6 +70,10 @@ LAST_DEDUP_BUILD_SEC: float = 0.0
 #: same discipline for the streaming gate's one-time three-batch fold
 LAST_STREAM_FOLD_SEC: float = 0.0
 
+#: one-time cost of the streaming-ANN gate's artifact (index build over
+#: 3/4 of the corpus + the 3-commit sink fold), surfaced by bench.py
+LAST_ANN_STREAM_BUILD_SEC: float = 0.0
+
 
 def _dedup_artifact(spark: SparkSession, sf_dir: str):
     import hashlib
@@ -2764,6 +2768,10 @@ def q_ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(manifest) as f:
                 done = int(_json.load(f).get("last_batch_id", -1)) >= 2
         if not done:
+            import time as _time
+
+            global LAST_ANN_STREAM_BUILD_SEC
+            t0 = _time.time()
             emb = fx.read_table(spark, sf_dir, "embeddings")
             build_ivfpq_index(
                 emb.where(_ANN_APPEND_PRED), path, m=_PQ_M,
@@ -2776,6 +2784,7 @@ def q_ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("vec_id") / 4).cast("bigint"), F.lit(3)
                 )
                 sink(rest.where(part == i), i)
+            LAST_ANN_STREAM_BUILD_SEC = round(_time.time() - t0, 3)
         _ANN_IDX_CACHE[key] = path
     idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk
     emb = fx.read_table(spark, sf_dir, "embeddings")
