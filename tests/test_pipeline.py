@@ -1981,6 +1981,28 @@ def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_dedup_log_refuses_v1_layout(spark, tmp_path):
+    """A pre-r10 STATE.json (no bucket membership/count relations) must
+    refuse with a rebuild message, not silently misread."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from panoptes_spark.streaming.dedup_stream import DedupIndexLog
+
+    base = str(tmp_path / "v1log")
+    os.makedirs(base)
+    with open(os.path.join(base, "STATE.json"), "w") as f:
+        json.dump(
+            {"last_batch_id": 1, "batches": [0, 1], "lineage": None,
+             "id_col": "doc_id", "text_col": "text", "id_type": "bigint"},
+            f,
+        )
+    with _pytest.raises(ValueError, match="v2 layout"):
+        DedupIndexLog(spark, base)
+
+
 def test_ann_stream_matches_combined_with_restart(spark, tmp_path, sf_dir):
     """Streaming ANN maintenance == batch append == combined build:
     vectors arrive in micro-batches across TWO queries (a restart
