@@ -334,6 +334,7 @@ class NearDedupIndexSink:
         max_bucket_size: int | None = None,
         max_iter: int = 10,
         checkpoint: str | None = None,
+        compact_every: int | None = None,
     ):
         from panoptes_spark.pipeline import dedup as _dedup
 
@@ -345,6 +346,14 @@ class NearDedupIndexSink:
         self.max_bucket_size = max_bucket_size
         self.max_iter = max_iter
         self.checkpoint = checkpoint
+        if compact_every is not None and compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1: {compact_every}")
+        # fold the batch log into one generation every N commits (the
+        # AnnIndexSink discipline): compaction is atomic and
+        # answer-preserving (DedupIndexLog.compact), so it bounds read
+        # amplification in-engine instead of by offline rebuild
+        self.compact_every = compact_every
+        self._commits = 0
 
     # -- state ------------------------------------------------------------
     def _state_path(self):
@@ -373,6 +382,16 @@ class NearDedupIndexSink:
         with open(tmp, "w") as f:
             json.dump(state, f, sort_keys=True)
         os.replace(tmp, self._state_path())
+
+    def _maybe_compact(self, spark):
+        """Fold the log into one generation every ``compact_every``
+        committed batches — called AFTER the state swap, so a crash
+        during compaction leaves a fully committed (merely uncompacted)
+        log; the staged generation dirs are invisible orphans the next
+        compaction GCs."""
+        self._commits += 1
+        if self.compact_every and self._commits % self.compact_every == 0:
+            DedupIndexLog(spark, self.base).compact()
 
     def _lineage(self):
         """The driving streaming query's durable identity: the
@@ -442,6 +461,7 @@ class NearDedupIndexSink:
         if batch.isEmpty():
             st["last_batch_id"] = int(batch_id)
             self._swap_state(st)
+            self._maybe_compact(spark)
             return
 
         k, nh, bands, thr = self.params
@@ -757,6 +777,7 @@ class NearDedupIndexSink:
             "max_iter": self.max_iter,
         }
         self._swap_state(st)
+        self._maybe_compact(spark)
 
 
 def near_dedup_index_stream(

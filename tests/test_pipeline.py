@@ -1981,6 +1981,34 @@ def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_dedup_sink_compact_every(spark, tmp_path, sf_dir):
+    """compact_every on the dedup sink (AnnIndexSink parity): the log
+    folds to one generation every N commits, later commits keep
+    appending against the compacted base, and the final pairs equal an
+    uncompacted fold over the same batches."""
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "ce")
+    sink = NearDedupIndexSink(base, compact_every=2)
+    for i in range(4):
+        sink(docs.where(F.col("doc_id") % 4 == i), i)
+    log = sink.index(spark)
+    assert log.state["batches"] == ["c3"]  # compacted after commits 2 and 4
+    base2 = str(tmp_path / "ce2")
+    sink2 = NearDedupIndexSink(base2)
+    for i in range(4):
+        sink2(docs.where(F.col("doc_id") % 4 == i), i)
+    got = sorted(map(tuple, log.pairs().collect()))
+    want = sorted(map(tuple, sink2.index(spark).pairs().collect()))
+    assert got == want and len(got) > 0
+    got_c = sorted(map(tuple, log.components().collect()))
+    want_c = sorted(map(tuple, sink2.index(spark).components().collect()))
+    assert got_c == want_c
+
+
 def test_dedup_log_refuses_v1_layout(spark, tmp_path):
     """A pre-r10 STATE.json (no bucket membership/count relations) must
     refuse with a rebuild message, not silently misread."""
