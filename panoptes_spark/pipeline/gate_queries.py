@@ -211,8 +211,16 @@ def q_dedup_log_compacted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _DEDUP_IDX_CACHE[(app, real, "stream")].base
         dst = src + "_cmp"
         if not os.path.exists(os.path.join(dst, "STATE.json")):
+            # copy to a temp name + os.rename: copytree can crash after
+            # STATE.json lands but before the relation dirs, and the
+            # next run would trust the torn copy as complete because it
+            # keys on STATE.json alone (r10 ADVICE) — the rename is the
+            # completion marker
             shutil.rmtree(dst, ignore_errors=True)
-            shutil.copytree(src, dst)
+            tmp = dst + ".staging"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(src, tmp)
+            os.rename(tmp, dst)
         log = DedupIndexLog(spark, dst).compact()
         assert len(log.state["batches"]) == 1, "compaction left batches"
         _DEDUP_IDX_CACHE[key] = log
@@ -2811,8 +2819,14 @@ def q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = src + "_cmp"
         if not _os.path.exists(_os.path.join(path, "MANIFEST.json")):
+            # temp-name + os.rename completion marker: a copytree crash
+            # after MANIFEST.json but before the segment dirs would
+            # otherwise be trusted as a complete copy (r10 ADVICE)
             _shutil.rmtree(path, ignore_errors=True)
-            _shutil.copytree(src, path)
+            tmp = path + ".staging"
+            _shutil.rmtree(tmp, ignore_errors=True)
+            _shutil.copytree(src, tmp)
+            _os.rename(tmp, path)
         IvfPqIndex(spark, path).compact()
         _ANN_IDX_CACHE[key] = path
     idx = IvfPqIndex(spark, path)  # fresh handle: reread from disk

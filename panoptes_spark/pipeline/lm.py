@@ -171,10 +171,16 @@ def perplexity_buckets(
             F.expr("cast(floor(avg_neg_logp * 1e6 + 0.5) as bigint)"),
         )
     )
-    t_lo = grouped_quantile(us, [source_col], "__us", p=lo).select(
+    # wide=True (r10 ADVICE): the micro-int score domain is ~1e7
+    # distinct values, so the one-phase fold's per-source collected
+    # array approaches min(n_docs, domain) structs on one executor for
+    # a dominant source — the two-phase coarse-bucket fold bounds both
+    # phases' arrays (|distinct|/65536, then <= 65536) with the same
+    # exact answer
+    t_lo = grouped_quantile(us, [source_col], "__us", p=lo, wide=True).select(
         source_col, F.col("q").alias("__t_lo")
     )
-    t_hi = grouped_quantile(us, [source_col], "__us", p=hi).select(
+    t_hi = grouped_quantile(us, [source_col], "__us", p=hi, wide=True).select(
         source_col, F.col("q").alias("__t_hi")
     )
     return (

@@ -145,18 +145,38 @@ def filter_by_quantile_range(
 
 
 def grouped_quantile(
-    df: DataFrame, key_cols: list[str], value_col: str, p: float = 0.5
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: float = 0.5,
+    wide: bool = False,
 ) -> DataFrame:
     """Exact per-group type-1 quantile of an integer-valued column —
     ``global_quantiles``' histogram-fold recipe, grouped: one keyed
     partial-agg shuffle collapses each group to its |distinct values|
     histogram, a second collapses that to one sorted array per group,
     and the quantile is a JVM ``aggregate`` scan. Bounded value domains
-    only (lengths, counts) — same contract as ``global_quantiles``.
+    only (lengths, counts) — same contract as ``global_quantiles``:
+    the per-group collected array holds one struct per DISTINCT value,
+    so a score-like domain (e.g. 6 dp micro-integer LM scores, ~1e7
+    distinct) can collect tens of millions of structs on one executor
+    for a dominant group (r10 ADVICE).
+
+    ``wide=True`` is the score-domain path: a TWO-PHASE fold with the
+    same exact answer. Phase 1 collapses values to 65536-wide coarse
+    buckets (``value >> 16``, arithmetic shift so negatives bucket
+    correctly) and folds the bucket histogram to find the bucket
+    containing the target rank plus the cumulative count below it;
+    phase 2 folds ONLY that bucket's values with the residual rank.
+    Per-group array sizes: |distinct|/65536 structs in phase 1 and at
+    most 65536 in phase 2 — both executor-bounded at any distinct
+    count, for one extra keyed shuffle and a broadcast join.
 
     Returns key cols + (q bigint, n bigint)."""
     if not key_cols:
         raise ValueError("grouped_quantile requires key columns")
+    if wide:
+        return _grouped_quantile_wide(df, key_cols, value_col, p)
     if not 0 < p <= 1:
         raise ValueError(f"quantile must lie in (0, 1]: {p}")
     hist = df.groupBy(
@@ -176,6 +196,75 @@ def grouped_quantile(
         " a -> a.ans)"
     )
     return one.select(*key_cols, F.expr(fold).alias("q"), "n")
+
+
+def _grouped_quantile_wide(
+    df: DataFrame, key_cols: list[str], value_col: str, p: float
+) -> DataFrame:
+    """Two-phase exact type-1 quantile for wide (score-like) integer
+    domains — see ``grouped_quantile(wide=True)``. Both folds use the
+    same cumulative-count rule as the one-phase path, so the answer is
+    identical; only the per-group array bounds change."""
+    if not 0 < p <= 1:
+        raise ValueError(f"quantile must lie in (0, 1]: {p}")
+    hist = df.groupBy(
+        *key_cols, F.col(value_col).cast("bigint").alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    # arithmetic right shift = floor division by 2^16 for negatives too
+    hist = hist.withColumn("__cb", F.shiftright(F.col("__v"), 16))
+    cb_one = (
+        hist.groupBy(*key_cols, "__cb")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__cb", "__c"))).alias(
+                "__h"
+            ),
+            F.sum("__c").alias("n"),
+        )
+    )
+    tgt = f"cast(ceil({p!r} * n) as bigint)"
+    # fold to (bucket containing the target rank, cumulative count
+    # strictly below that bucket)
+    fold1 = (
+        "aggregate(__h,"
+        " struct(cast(0 as bigint) as cum,"
+        "        cast(null as bigint) as cb,"
+        "        cast(0 as bigint) as before),"
+        " (a, x) -> struct(a.cum + x.__c,"
+        f"   coalesce(a.cb, if(a.cum + x.__c >= {tgt}, x.__cb,"
+        "     cast(null as bigint))),"
+        f"   if(a.cb is null and a.cum + x.__c >= {tgt}, a.cum,"
+        "     a.before)),"
+        " a -> struct(a.cb as cb, a.before as before))"
+    )
+    picked = cb_one.select(
+        *key_cols,
+        F.expr(fold1).alias("__pick"),
+        "n",
+    ).select(
+        *key_cols,
+        F.col("__pick.cb").alias("__cb"),
+        F.col("__pick.before").alias("__before"),
+        "n",
+    )
+    # group-count-sized dim: broadcast back onto the distinct-value
+    # histogram, keeping ONLY the chosen bucket's values per group
+    fine = hist.join(F.broadcast(picked), [*key_cols, "__cb"])
+    fine_one = fine.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(F.struct("__v", "__c"))).alias("__h"),
+        F.max("__before").alias("__before"),
+        F.max("n").alias("n"),
+    )
+    fold2 = (
+        "aggregate(__h,"
+        " struct(cast(0 as bigint) as cum, cast(null as bigint) as ans),"
+        " (a, x) -> struct(a.cum + x.__c,"
+        f"   coalesce(a.ans, if(a.cum + x.__c >= {tgt} - __before, x.__v,"
+        "     cast(null as bigint)))),"
+        " a -> a.ans)"
+    )
+    return fine_one.select(*key_cols, F.expr(fold2).alias("q"), "n")
 
 
 def length_outliers(

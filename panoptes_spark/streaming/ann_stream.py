@@ -64,10 +64,13 @@ class AnnIndexSink:
     retrain-and-rebuild when distribution drift (observable via the
     manifest's ``n_rows`` growth and ``pipeline.drift``) demands it.
 
-    ``compact_every=N`` runs ``IvfPqIndex.compact()`` after every Nth
-    commit, bounding segment-count read amplification; compaction is
-    atomic and answer-preserving, so a crash during it is harmless
-    (reads stay on the old manifest until the swap).
+    ``compact_every=N`` runs ``IvfPqIndex.compact()`` once MORE than N
+    manifest-referenced segments accumulate, bounding segment-count
+    read amplification; the cadence derives from the manifest itself,
+    not a process-local counter, so query restarts cannot defer it
+    forever (r10 ADVICE). Compaction is atomic and answer-preserving,
+    so a crash during it is harmless (reads stay on the old manifest
+    until the swap).
     """
 
     def __init__(
@@ -81,7 +84,6 @@ class AnnIndexSink:
         if compact_every is not None and compact_every < 1:
             raise ValueError(f"compact_every must be >= 1: {compact_every}")
         self.compact_every = compact_every
-        self._commits = 0
 
     def index(self, spark) -> IvfPqIndex:
         """Fresh read handle over the last COMMITTED manifest."""
@@ -137,9 +139,16 @@ class AnnIndexSink:
             json.dump(idx.meta, f, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
 
-        self._commits += 1
-        if self.compact_every and self._commits % self.compact_every == 0:
-            IvfPqIndex(spark, self.path).compact()
+        # compaction cadence from DURABLE state (r10 ADVICE): once more
+        # than compact_every manifest-referenced segments accumulate,
+        # fold — an in-process counter resets on every query restart, so
+        # a frequently-restarted deployment would never compact and read
+        # amplification would grow unbounded. Steady state: one compacted
+        # base + up to compact_every appended segments.
+        if self.compact_every:
+            idx = IvfPqIndex(spark, self.path)
+            if len(idx.segments()) > self.compact_every:
+                idx.compact()
 
 
 def ann_index_stream(

@@ -348,12 +348,13 @@ class NearDedupIndexSink:
         self.checkpoint = checkpoint
         if compact_every is not None and compact_every < 1:
             raise ValueError(f"compact_every must be >= 1: {compact_every}")
-        # fold the batch log into one generation every N commits (the
-        # AnnIndexSink discipline): compaction is atomic and
-        # answer-preserving (DedupIndexLog.compact), so it bounds read
-        # amplification in-engine instead of by offline rebuild
+        # fold the batch log into one generation once N uncompacted
+        # batches accumulate (the AnnIndexSink discipline): compaction
+        # is atomic and answer-preserving (DedupIndexLog.compact), so it
+        # bounds read amplification in-engine instead of by offline
+        # rebuild; the cadence is derived from the committed batch list
+        # so restarts cannot reset it (r10 ADVICE)
         self.compact_every = compact_every
-        self._commits = 0
 
     # -- state ------------------------------------------------------------
     def _state_path(self):
@@ -368,7 +369,18 @@ class NearDedupIndexSink:
             with open(self._state_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"last_batch_id": -1, "batches": [], "lineage": None}
+            # "format": 2 even in the FRESH default: an empty first
+            # micro-batch swaps this dict in verbatim, and any
+            # DedupIndexLog construction before the first non-empty
+            # commit (compact_every on that same commit, sink.index())
+            # would otherwise hit the v1-layout guard on a brand-new
+            # log (r10 ADVICE). Safe: no batch dirs exist yet.
+            return {
+                "format": 2,
+                "last_batch_id": -1,
+                "batches": [],
+                "lineage": None,
+            }
         except json.JSONDecodeError:
             # torn state write never happens (os.replace is atomic) but a
             # clear error beats silent reset if the file is hand-damaged
@@ -378,19 +390,35 @@ class NearDedupIndexSink:
         import json
         import os
 
+        # an empty FIRST batch swaps state before any parquet write has
+        # created the base dir
+        os.makedirs(self.base, exist_ok=True)
         tmp = self._state_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f, sort_keys=True)
         os.replace(tmp, self._state_path())
 
-    def _maybe_compact(self, spark):
-        """Fold the log into one generation every ``compact_every``
-        committed batches — called AFTER the state swap, so a crash
-        during compaction leaves a fully committed (merely uncompacted)
-        log; the staged generation dirs are invisible orphans the next
-        compaction GCs."""
-        self._commits += 1
-        if self.compact_every and self._commits % self.compact_every == 0:
+    def _maybe_compact(self, spark, state):
+        """Fold the log into one generation once ``compact_every``
+        UNCOMPACTED batches have accumulated — called AFTER the state
+        swap, so a crash during compaction leaves a fully committed
+        (merely uncompacted) log; the staged generation dirs are
+        invisible orphans the next compaction GCs.
+
+        The cadence derives from DURABLE state (the committed batch
+        list), not a process-local counter (r10 ADVICE): a deployment
+        that restarts more often than every ``compact_every`` commits
+        would reset an in-process counter and never compact, letting
+        read amplification grow unbounded — the property this knob
+        exists to bound. A compacted generation is the single
+        ``c<id>`` string entry; everything else is an uncompacted
+        batch id."""
+        if not self.compact_every or not state["batches"]:
+            return
+        uncompacted = sum(
+            1 for b in state["batches"] if not str(b).startswith("c")
+        )
+        if uncompacted >= self.compact_every:
             DedupIndexLog(spark, self.base).compact()
 
     def _lineage(self):
@@ -460,8 +488,9 @@ class NearDedupIndexSink:
         batch = batch_df.select(self.id_col, self.text_col)
         if batch.isEmpty():
             st["last_batch_id"] = int(batch_id)
+            st["format"] = 2
             self._swap_state(st)
-            self._maybe_compact(spark)
+            self._maybe_compact(spark, st)
             return
 
         k, nh, bands, thr = self.params
@@ -777,7 +806,7 @@ class NearDedupIndexSink:
             "max_iter": self.max_iter,
         }
         self._swap_state(st)
-        self._maybe_compact(spark)
+        self._maybe_compact(spark, st)
 
 
 def near_dedup_index_stream(

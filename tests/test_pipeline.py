@@ -2009,6 +2009,100 @@ def test_dedup_sink_compact_every(spark, tmp_path, sf_dir):
     assert got_c == want_c
 
 
+def test_dedup_sink_empty_first_batch_is_v2(spark, tmp_path, sf_dir):
+    """An EMPTY first micro-batch swaps in the fresh-state default; any
+    DedupIndexLog construction on that state (compact_every on the same
+    commit, sink.index() before the first non-empty commit) must NOT
+    hit the v1-layout guard on a brand-new log (r10 ADVICE)."""
+    from panoptes_spark.streaming.dedup_stream import NearDedupIndexSink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "ef")
+    sink = NearDedupIndexSink(base, compact_every=1)
+    sink(docs.where(F.lit(False)), 0)  # empty batch 0: no raise
+    assert sink.index(spark) is None  # committed, but no batches yet
+    sink(docs.where(F.col("doc_id") % 8 == 0), 1)
+    log = sink.index(spark)
+    assert log is not None and log.state["batches"] == ["c1"]
+    assert log.pairs().count() >= 0  # readable through the compacted gen
+
+
+def test_compaction_cadence_survives_restart(spark, tmp_path, sf_dir):
+    """compact_every derives from DURABLE state (batch list / manifest
+    segments), not a process-local counter: a fresh sink instance per
+    commit — the restart-heavy deployment — must still compact on
+    cadence for both the dedup log and the ANN index (r10 ADVICE)."""
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+    from panoptes_spark.streaming.ann_stream import AnnIndexSink
+    from panoptes_spark.streaming.dedup_stream import (
+        DedupIndexLog,
+        NearDedupIndexSink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = str(tmp_path / "rc")
+    # one sink INSTANCE per commit = the restart case
+    NearDedupIndexSink(base, compact_every=2)(
+        docs.where(F.col("doc_id") % 4 == 0), 0
+    )
+    NearDedupIndexSink(base, compact_every=2)(
+        docs.where(F.col("doc_id") % 4 == 1), 1
+    )
+    assert DedupIndexLog(spark, base).state["batches"] == ["c1"]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "rc_ann")
+    build_ivfpq_index(
+        emb.where("vec_id % 4 > 0"), path, m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    new = emb.where("vec_id % 4 = 0")
+    AnnIndexSink(path, compact_every=2)(new.where("vec_id % 8 = 0"), 0)
+    AnnIndexSink(path, compact_every=2)(new.where("vec_id % 8 = 4"), 1)
+    assert len(IvfPqIndex(spark, path).segments()) == 1
+
+
+def test_grouped_quantile_wide_parity(spark):
+    """wide=True (two-phase coarse-bucket fold for score-like domains)
+    returns the identical type-1 quantile as the one-phase fold —
+    negatives, heavy tie groups, and tiny domains included — while
+    bounding per-group array sizes (r10 ADVICE on perplexity_buckets)."""
+    import random
+
+    from panoptes_spark.pipeline.stats import grouped_quantile
+
+    random.seed(7)
+    rows = [
+        (f"s{i % 3}", random.randint(-(10**7), 10**7)) for i in range(2000)
+    ]
+    rows += [("s0", 5)] * 40  # tie group straddling a threshold
+    df = spark.createDataFrame(rows, "src string, v long")
+    tiny = spark.createDataFrame(
+        [("a", i % 5) for i in range(100)], "src string, v long"
+    )
+    for frame in (df, tiny):
+        for p in (0.1, 1 / 3, 0.5, 2 / 3, 1.0):
+            a = sorted(
+                map(tuple, grouped_quantile(frame, ["src"], "v", p).collect())
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    grouped_quantile(
+                        frame, ["src"], "v", p, wide=True
+                    ).collect(),
+                )
+            )
+            assert a == b, (p, a, b)
+
+
 def test_dedup_log_refuses_v1_layout(spark, tmp_path):
     """A pre-r10 STATE.json (no bucket membership/count relations) must
     refuse with a rebuild message, not silently misread."""
