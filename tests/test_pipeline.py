@@ -2651,8 +2651,14 @@ def test_near_dedup_stream_commit_time_bounded(spark, tmp_path, sf_dir):
         t0 = _time.time()
         sink(docs.where(F.col("doc_id") % n == i), i)
         secs.append(_time.time() - t0)
-    early = sum(secs[1:3]) / 2  # skip commit 0: JVM/codegen warmup
-    late = sum(secs[-2:]) / 2
+    import statistics as _stats
+
+    # medians, not means (r11): the commit path is ~3x faster than when
+    # this lock landed, so a single 0.5 s scheduler hiccup in a 2-sample
+    # mean now trips the 2x ratio on a loaded box — the median keeps the
+    # bound at full strength while ignoring one outlier per window
+    early = _stats.median(secs[1:4])  # skip commit 0: JVM/codegen warmup
+    late = _stats.median(secs[-3:])
     assert late < 2.0 * early, (
         f"per-commit seconds grew with index size: early={early:.2f}s "
         f"late={late:.2f}s (all={['%.2f' % s for s in secs]})"

@@ -67,11 +67,13 @@ def main():
     )
     base = tempfile.mkdtemp(prefix="dedup_stream_vol_")
     sink = NearDedupIndexSink(base)
+    sink.profile = True  # per-section job-group accounting (r11)
     prev = {}
     mode = "seeded (batch0=90%, rest small)" if seeded else "equal"
     print(f"# {n} batches ({mode}) of documents @ {sf_dir}, base={base}")
-    print("batch     sec  new_bytes  index_bytes  old_design_bytes")
+    print("batch     sec  jobs  new_bytes  index_bytes  old_design_bytes")
     m = max(1, 10 * (n - 1))  # tail batches ~= corpus/10/(n-1) docs each
+    sc = spark.sparkContext
     for i in range(n):
         if seeded:
             part = (
@@ -81,9 +83,13 @@ def main():
             )
         else:
             part = F.col("doc_id") % n == i
+        # job COUNT per commit (r10 verdict: the sinks' fixed latency is
+        # job-count, not data — dozens of small Spark jobs per commit);
+        # counted by the sink's own per-section job groups
         t0 = time.time()
         sink(docs.where(part), i)
         sec = time.time() - t0
+        jobs = sum(j for _s, j in sink.last_profile.values())
         cur = tree_sizes(base)
         new_bytes = sum(s for p, s in cur.items() if p not in prev)
         rewritten = [p for p in prev if cur.get(p) != prev[p]]
@@ -96,9 +102,14 @@ def main():
             s for p, s in cur.items() if p.startswith("docs" + os.sep)
         )
         print(
-            f"{i:>5}  {sec:>6.2f}  {new_bytes:>9}  {total:>11}"
+            f"{i:>5}  {sec:>6.2f}  {jobs:>4}  {new_bytes:>9}  {total:>11}"
             f"  {total - docs_bytes:>16}"
         )
+        breakdown = "  ".join(
+            f"{name}={s:.2f}s/{j}j"
+            for name, (s, j) in sink.last_profile.items()
+        )
+        print(f"       sections: {breakdown}")
         prev = cur
     shutil.rmtree(base, ignore_errors=True)
 
