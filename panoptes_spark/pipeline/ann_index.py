@@ -142,6 +142,9 @@ def build_ivfpq_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "segments": ["index.parquet"],
+        "generation": 0,
+        "centroids_file": "centroids.parquet",
+        "codebooks_file": "codebooks.parquet",
     }
     tmp = os.path.join(path, "MANIFEST.json.tmp")
     with open(tmp, "w") as f:
@@ -166,13 +169,22 @@ class IvfPqIndex:
             )
 
     def centroids(self) -> DataFrame:
+        # manifest-resolved (r11): a retrain_swap repoints these to the
+        # new generation's files in the same atomic commit as the
+        # segment list, so readers can never mix generations
         return self.spark.read.parquet(
-            os.path.join(self.path, "centroids.parquet")
+            os.path.join(
+                self.path,
+                self.meta.get("centroids_file", "centroids.parquet"),
+            )
         )
 
     def codebooks(self) -> DataFrame:
         return self.spark.read.parquet(
-            os.path.join(self.path, "codebooks.parquet")
+            os.path.join(
+                self.path,
+                self.meta.get("codebooks_file", "codebooks.parquet"),
+            )
         )
 
     def segments(self) -> list[str]:
@@ -193,17 +205,28 @@ class IvfPqIndex:
         return out
 
     def _gc_orphan_segments(self) -> list[str]:
-        """Delete ``seg-*`` dirs the manifest does not reference — the
-        leavings of appends that crashed between segment write and
-        manifest commit. Returns the removed names."""
+        """Delete data dirs the manifest does not reference — the
+        leavings of appends/retrains that crashed between stage and
+        manifest commit, or the previous generation's files after a
+        committed ``retrain_swap`` (the one-generation grace: the swap
+        itself never deletes, the NEXT mutating op GCs). Returns the
+        removed names."""
         import shutil
 
         live = set(self.segments())
+        live.add(self.meta.get("centroids_file", "centroids.parquet"))
+        live.add(self.meta.get("codebooks_file", "codebooks.parquet"))
         removed = []
         for name in sorted(os.listdir(self.path)):
             # index.parquet is a data dir too: after a compaction the
-            # manifest stops referencing it and it becomes an orphan
-            is_data = name.startswith("seg-") or name == "index.parquet"
+            # manifest stops referencing it and it becomes an orphan;
+            # centroids-g*/codebooks-g* are per-generation dirs (r11)
+            is_data = (
+                name.startswith("seg-")
+                or name == "index.parquet"
+                or name.startswith("centroids")
+                or name.startswith("codebooks")
+            )
             if is_data and name not in live:
                 shutil.rmtree(
                     os.path.join(self.path, name), ignore_errors=True
@@ -287,6 +310,141 @@ class IvfPqIndex:
             json.dump(self.meta, f, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
         self._gc_orphan_segments()
+        return self
+
+    def retrain_swap(
+        self,
+        corpus: DataFrame,
+        sample_filter=None,
+        train_iters: int | None = None,
+        m: int | None = None,
+        n_codes: int | None = None,
+        n_cells: int | None = None,
+        if_generation: int | None = None,
+    ) -> "IvfPqIndex":
+        """Drift-triggered generation lifecycle (r10 verdict #1): train
+        generation N+1's coarse cells AND PQ codebooks on (a sample of)
+        the CURRENT corpus, re-encode the full corpus, and atomically
+        repoint the manifest — the in-engine answer to the frozen-
+        codebook trade-off ``append``/``AnnIndexSink`` document (FAISS
+        ``add`` semantics drift until you retrain; ``pipeline.drift``
+        detects it, this commits the fix).
+
+        ``corpus`` is the source-of-truth vector table: the index
+        stores only (cell, codes), so retraining — like FAISS's
+        train+add rebuild — needs the original embeddings.
+        ``sample_filter`` (SQL expr/Column) restricts TRAINING input
+        only; encoding always covers the full ``corpus``. Geometry
+        (m/n_codes/n_cells/train_iters) defaults to the built values.
+
+        Torn-write discipline, same as ``append``/``compact``: the new
+        generation's centroids/codebooks/segment stage UNREFERENCED
+        (``centroids-g<g>.parquet`` etc.), then ONE atomic manifest
+        replace flips centroids_file + codebooks_file + segments +
+        generation together — readers can never mix generations. A
+        crash before the swap leaves invisible orphans; after it, the
+        old generation's files are the orphans. Neither is deleted
+        HERE: the next mutating op GCs them (one-generation grace), so
+        a reader holding the old manifest keeps working through the
+        swap. ``last_batch_id``/``lineage`` carry over, so a streaming
+        sink's replay protection survives the retrain.
+
+        ``if_generation`` is compare-and-swap: when the manifest's
+        current generation differs, the call is a NO-OP returning self
+        — a replayed/raced retrain can never double-bump.
+
+        Cost at 100 TB: training reads the sample twice (seeds + one
+        Arrow pass per half), encoding is the same two narrow broadcast
+        passes + one keyed join a fresh build pays — all
+        linear-in-corpus, no index-sized shuffle beyond the
+        cell-partitioned segment write."""
+        g_cur = int(self.meta.get("generation", 0))
+        if if_generation is not None and g_cur != if_generation:
+            return self  # CAS miss: someone already swapped
+        g = g_cur + 1
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        m = int(m or self.meta["m"])
+        n_codes = int(n_codes or self.meta["n_codes"])
+        n_cells = int(n_cells or self.meta["n_cells"])
+        if train_iters is None:
+            train_iters = int(self.meta.get("train_iters", 0))
+        n_rows = corpus.count()
+        if n_rows == 0:
+            raise ValueError("cannot retrain an index on an EMPTY corpus")
+        sample = corpus
+        if sample_filter is not None:
+            sample = corpus.where(sample_filter)
+            if sample.isEmpty():
+                raise ValueError(
+                    "retrain_swap sample_filter selected ZERO rows - "
+                    "nothing to train the new generation on"
+                )
+
+        cents = seed_centroids(sample, n_cells, id_col, vec_col)
+        if train_iters > 0:
+            cents = kmeans_refine(
+                sample, cents, iters=train_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            cbs = _pq.pq_train_kmeans(
+                sample, m, n_codes, iters=train_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            cbs = _pq.pq_train(sample, m, n_codes, id_col, vec_col)
+
+        # stage generation g fully unreferenced
+        self._gc_orphan_segments()  # torn earlier retrain/append, if any
+        cents_file = f"centroids-g{g}.parquet"
+        cbs_file = f"codebooks-g{g}.parquet"
+        seg = f"seg-g{g}"
+        cents_d = cents.select(
+            "cell_id",
+            F.expr("transform(centroid, x -> cast(x as double))").alias(
+                "centroid"
+            ),
+        )
+        cents_d.write.mode("overwrite").parquet(
+            os.path.join(self.path, cents_file)
+        )
+        cbs.write.mode("overwrite").parquet(
+            os.path.join(self.path, cbs_file)
+        )
+        enc = _pq.pq_encode(corpus, cbs, id_col, vec_col)
+        idx = (
+            ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+            .select(id_col, "cell_id")
+            .join(enc, id_col)
+            .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+        )
+        idx.write.mode("overwrite").partitionBy("cell_id").parquet(
+            os.path.join(self.path, seg)
+        )
+        actual = cbs.agg(
+            (F.max("code_id") + 1).alias("nc"),
+            (F.max("subspace") + 1).alias("m"),
+        ).collect()[0]
+
+        self.meta.update(
+            {
+                "format_version": _FORMAT_VERSION,
+                "generation": g,
+                "centroids_file": cents_file,
+                "codebooks_file": cbs_file,
+                "segments": [seg],
+                "m": int(actual["m"]),
+                "n_codes": int(actual["nc"]),
+                "n_cells": n_cells,
+                "n_rows": int(n_rows),
+                "train_iters": int(train_iters),
+            }
+        )
+        tmp = os.path.join(self.path, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "MANIFEST.json"))
+        # GC deliberately deferred: one-generation grace (see docstring)
         return self
 
     def _write_segment(self, new_corpus: DataFrame, seg: str) -> None:

@@ -2800,6 +2800,333 @@ def q_ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
 
 
+# ---------------------------------------------------------------------------
+# ANN generation lifecycle: drift-triggered retrain + atomic swap (r11)
+# ---------------------------------------------------------------------------
+
+#: the drifted quarter of the corpus (affine-shifted in both engines)
+_RETRAIN_DRIFT_PRED = "vec_id % 4 = 0"
+#: frozen variant trains on the UN-drifted 3/4 (identical pre/post drift)
+_RETRAIN_TRAIN_PRED = "vec_id % 4 > 0"
+_RETRAIN_ITERS = 1
+
+
+def _drifted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with a deterministic distribution drift on one quarter
+    (x -> 2x + 1 per component, double arithmetic — exact in both
+    engines); the rest cast to double unchanged."""
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.when(
+            F.expr(_RETRAIN_DRIFT_PRED),
+            F.expr(
+                "transform(embedding, x -> cast(x as double) * 2.0d + 1.0d)"
+            ),
+        )
+        .otherwise(F.expr("transform(embedding, x -> cast(x as double))"))
+        .alias("embedding"),
+    )
+
+
+def q_ann_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IvfPqIndex.retrain_swap`` as a driver gate (r10 verdict #1):
+    one quarter of the corpus drifts (affine shift), the index built +
+    Lloyd-trained on the pre-drift 3/4 keeps FROZEN codebooks through
+    the append (FAISS ``add`` semantics), then a COPY of that artifact
+    retrains generation 2 on the full drifted corpus and atomically
+    swaps. The gate emits per-query recall@k of BOTH variants against
+    the exact brute-force baseline; the DuckDB oracle replays the two
+    trained IVF-PQ rankings (seed cells -> one Lloyd round; seed
+    codebooks -> one per-subspace k-means round; integer ADC) and the
+    brute force over the same drifted corpus. The retrained generation
+    ranks identically to a fresh build over the drifted corpus
+    (``test_retrain_swap_equals_fresh_build``), and its recall beats
+    frozen (``test_retrain_swap_improves_recall``)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .ann_index import IvfPqIndex, build_ivfpq_index
+
+    app = spark.sparkContext.applicationId
+    real = _os.path.realpath(sf_dir)
+    key = (app, real, "retrain")
+    paths = _ANN_IDX_CACHE.get(key)
+    if paths is None:
+        import hashlib as _hashlib
+
+        tag = _hashlib.md5(
+            f"{app}|{real}|retrain|{_PQ_M}|{_PQ_CODES}|{_IVF_CELLS}".encode()
+        ).hexdigest()[:16]
+        base = _os.path.join(_tempfile.gettempdir(), f"panoptes_ann_rt_{tag}")
+        path_f = _os.path.join(base, "frozen")
+        path_r = _os.path.join(base, "retrained")
+        if not _os.path.exists(_os.path.join(path_r, "MANIFEST.json")):
+            _shutil.rmtree(base, ignore_errors=True)
+            _os.makedirs(base)
+            corpus = dedup.materialize_once(
+                _drifted_embeddings(spark, sf_dir)
+            )
+            build_ivfpq_index(
+                corpus.where(_RETRAIN_TRAIN_PRED), path_f, m=_PQ_M,
+                n_codes=_PQ_CODES, n_cells=_IVF_CELLS,
+                train_iters=_RETRAIN_ITERS,
+            )
+            IvfPqIndex(spark, path_f).append(
+                corpus.where(_RETRAIN_DRIFT_PRED)
+            )
+            # temp-name + rename completion marker (the compacted-gate
+            # discipline) so a torn copy is never trusted
+            tmp = path_r + ".staging"
+            _shutil.copytree(path_f, tmp)
+            _os.rename(tmp, path_r)
+            IvfPqIndex(spark, path_r).retrain_swap(
+                corpus, train_iters=_RETRAIN_ITERS, if_generation=0
+            )
+        _ANN_IDX_CACHE[key] = paths = (path_f, path_r)
+
+    path_f, path_r = paths
+    corpus = dedup.materialize_once(_drifted_embeddings(spark, sf_dir))
+    queries = corpus.where(F.col("vec_id") % 25 == 0)
+    bf = dedup.materialize_once(
+        similarity.cosine_topk_bruteforce(corpus, queries, k=_TOPK).select(
+            "query_id", "nbr_id"
+        )
+    )
+    counts = []
+    for label, path in (("frozen", path_f), ("retrained", path_r)):
+        tk = (
+            IvfPqIndex(spark, path)
+            .topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
+            .select("query_id", "nbr_id")
+        )
+        counts.append(
+            bf.join(tk, ["query_id", "nbr_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(f"__n_{label}"))
+        )
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(counts[0], "query_id", "left")
+        .join(counts[1], "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__n_frozen", F.lit(0)).alias("n_match_frozen"),
+            F.round(
+                F.coalesce("__n_frozen", F.lit(0)) / F.lit(float(_TOPK)), 6
+            ).alias("recall_frozen"),
+            F.coalesce("__n_retrained", F.lit(0)).alias("n_match_retrained"),
+            F.round(
+                F.coalesce("__n_retrained", F.lit(0)) / F.lit(float(_TOPK)),
+                6,
+            ).alias("recall_retrained"),
+        )
+    )
+
+
+def _ivfpq_trained_ctes(p: str, train_pred: str) -> str:
+    """Trained IVF-PQ ranking CTE chain over a ``corpus(vec_id,
+    embedding DOUBLE[])`` relation, ending in ``{p}topk(query_id,
+    nbr_id)``: seed cells + ONE Lloyd round (``kmeans_refine``'s
+    decimal-exact per-(cell,pos) means), seed PQ codebooks + ONE
+    per-subspace k-means round (``pq_train_kmeans``), both trained on
+    the ``train_pred`` rows only; full-corpus encode and the tie-safe
+    integer-ADC ranking. Mirrors ``_o_ivfpq_topk``/
+    ``_o_pq_recall_trained`` with the corpus and the training subset
+    parameterized (r11 retrain gate needs two variants side by side)."""
+    m, nc, cells, ds = _PQ_M, _PQ_CODES, _IVF_CELLS, 64 // _PQ_M
+    wh = f" WHERE {train_pred}" if train_pred else ""
+    wh_e = f" WHERE e.{train_pred}" if train_pred else ""
+    cos = (
+        "round(list_dot_product(e.embedding, c.centroid)"
+        " / (sqrt(list_dot_product(e.embedding, e.embedding))"
+        "    * sqrt(list_dot_product(c.centroid, c.centroid))), 6)"
+    )
+
+    def sq(a, off, b):
+        return (
+            f"CAST(floor(list_sum(list_transform(range(1, {ds + 1}),"
+            f" i -> ((({a})[{off} + i]) - ({b})[i])"
+            f" * ((({a})[{off} + i]) - ({b})[i])))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        )
+
+    dist_e = sq("e.embedding", f"c.subspace*{ds}", "c.cv")
+    dist_q = sq("q.embedding", f"c.subspace*{ds}", "c.cv")
+    return f"""
+{p}cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding AS centroid
+  FROM corpus{wh} ORDER BY vec_id LIMIT {cells}
+),
+{p}ka AS (
+  SELECT vec_id, cv, cell_id FROM (
+    SELECT e.vec_id, e.embedding AS cv, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos} DESC, c.cell_id ASC) AS rk
+    FROM corpus e CROSS JOIN {p}cents0 c{wh_e}
+  ) WHERE rk = 1
+),
+{p}km AS (
+  SELECT cell_id, CAST(i AS INT) AS pos,
+    round(CAST(sum(CAST(cv[i+1] AS DECIMAL(30,12))) AS DOUBLE)
+          / count(*), 6) AS mv
+  FROM {p}ka, range(64) t(i) GROUP BY 1, 2
+),
+{p}kn AS (SELECT cell_id, list(mv ORDER BY pos) AS centroid
+          FROM {p}km GROUP BY cell_id),
+{p}cents1 AS (
+  SELECT c.cell_id, COALESCE(nn.centroid, c.centroid) AS centroid
+  FROM {p}cents0 c LEFT JOIN {p}kn nn USING (cell_id)
+),
+{p}seeds AS (
+  SELECT vec_id, embedding AS v FROM corpus{wh}
+  ORDER BY vec_id LIMIT {nc}
+),
+{p}cb0 AS (
+  SELECT subspace,
+         CAST(row_number() OVER (PARTITION BY subspace ORDER BY vec_id) - 1
+              AS INT) AS code_id,
+         v[subspace*{ds}+1 : subspace*{ds}+{ds}] AS cv
+  FROM {p}seeds CROSS JOIN
+       (SELECT CAST(unnest(range({m})) AS INT) AS subspace) s
+),
+{p}dv0 AS (
+  SELECT e.vec_id, c.subspace, c.code_id, {dist_e} AS dint
+  FROM corpus e CROSS JOIN {p}cb0 c{wh_e}
+),
+{p}enc0 AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code_id AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace
+                         ORDER BY dint ASC, code_id ASC) AS rk
+    FROM {p}dv0
+  ) WHERE rk = 1
+),
+{p}cm AS (
+  SELECT en.subspace, en.code AS code_id, CAST(i AS INT) AS pos,
+    round(CAST(sum(CAST(e.embedding[en.subspace*{ds} + i + 1]
+                        AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mval
+  FROM {p}enc0 en JOIN corpus e ON e.vec_id = en.vec_id, range({ds}) t(i)
+  GROUP BY 1, 2, 3
+),
+{p}cb AS (
+  SELECT c.subspace, c.code_id, COALESCE(nn.cv, c.cv) AS cv
+  FROM {p}cb0 c LEFT JOIN (
+    SELECT subspace, code_id, list(mval ORDER BY pos) AS cv
+    FROM {p}cm GROUP BY 1, 2
+  ) nn USING (subspace, code_id)
+),
+{p}dv AS (
+  SELECT e.vec_id, c.subspace, c.code_id, {dist_e} AS dint
+  FROM corpus e CROSS JOIN {p}cb c
+),
+{p}enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, code_id AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace
+                         ORDER BY dint ASC, code_id ASC) AS rk
+    FROM {p}dv
+  ) WHERE rk = 1
+),
+{p}c_assign AS (
+  SELECT nbr_id, cell_id FROM (
+    SELECT e.vec_id AS nbr_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos} DESC, c.cell_id ASC) AS rk
+    FROM corpus e CROSS JOIN {p}cents1 c
+  ) WHERE rk <= 1
+),
+{p}q_assign AS (
+  SELECT query_id, cell_id FROM (
+    SELECT e.vec_id AS query_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos} DESC, c.cell_id ASC) AS rk
+    FROM corpus e CROSS JOIN {p}cents1 c
+    WHERE e.vec_id % 25 = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+{p}qt AS (
+  SELECT q.vec_id AS query_id, c.subspace, c.code_id, {dist_q} AS dint
+  FROM corpus q CROSS JOIN {p}cb c WHERE q.vec_id % 25 = 0
+),
+{p}pairs AS (
+  SELECT q.query_id, ca.nbr_id
+  FROM {p}q_assign q JOIN {p}c_assign ca USING (cell_id)
+  WHERE q.query_id <> ca.nbr_id
+),
+{p}ad AS (
+  SELECT pr.query_id, pr.nbr_id, CAST(sum(qt.dint) AS BIGINT) AS adist
+  FROM {p}pairs pr
+  JOIN {p}enc en ON en.vec_id = pr.nbr_id
+  JOIN {p}qt qt ON qt.query_id = pr.query_id AND qt.subspace = en.subspace
+               AND qt.code_id = en.code
+  GROUP BY pr.query_id, pr.nbr_id
+),
+{p}topk AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist ASC, nbr_id ASC) AS rank
+    FROM {p}ad
+  ) WHERE rank <= {_TOPK}
+)"""
+
+
+def _o_ann_retrain_swap() -> str:
+    cosq = (
+        "round(list_dot_product(q.embedding, e.embedding)"
+        " / (sqrt(list_dot_product(q.embedding, q.embedding))"
+        "    * sqrt(list_dot_product(e.embedding, e.embedding))), 6)"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id,
+    CASE WHEN {_RETRAIN_DRIFT_PRED}
+      THEN list_transform(embedding::DOUBLE[], x -> x * 2.0 + 1.0)
+      ELSE embedding::DOUBLE[] END AS embedding
+  FROM embeddings
+),
+{_ivfpq_trained_ctes('f_', _RETRAIN_TRAIN_PRED).strip()},
+{_ivfpq_trained_ctes('r_', '').strip()},
+bf0 AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id, {cosq} AS cosine
+  FROM corpus q JOIN corpus e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id % 25 = 0
+),
+bf AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, nbr_id) AS rk
+    FROM bf0
+  ) WHERE rk <= {_TOPK}
+),
+fm AS (
+  SELECT query_id, count(*) AS n FROM (
+    SELECT bf.query_id FROM bf
+    SEMI JOIN f_topk t ON bf.query_id = t.query_id AND bf.nbr_id = t.nbr_id
+  ) GROUP BY 1
+),
+rm AS (
+  SELECT query_id, count(*) AS n FROM (
+    SELECT bf.query_id FROM bf
+    SEMI JOIN r_topk t ON bf.query_id = t.query_id AND bf.nbr_id = t.nbr_id
+  ) GROUP BY 1
+),
+spine AS (SELECT vec_id AS query_id FROM corpus WHERE vec_id % 25 = 0)
+SELECT s.query_id,
+  CAST(COALESCE(fm.n, 0) AS BIGINT) AS n_match_frozen,
+  round(COALESCE(fm.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_frozen,
+  CAST(COALESCE(rm.n, 0) AS BIGINT) AS n_match_retrained,
+  round(COALESCE(rm.n, 0) / CAST({_TOPK} AS DOUBLE), 6) AS recall_retrained
+FROM spine s
+LEFT JOIN fm USING (query_id)
+LEFT JOIN rm USING (query_id)
+"""
+
+
 def q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IvfPqIndex.compact() as a driver gate (r10): COPY the committed
     build+append artifact, merge its segments into one through the
@@ -4403,6 +4730,8 @@ QUERIES = {
     "dedup_log_compacted_pairs": q_dedup_log_compacted_pairs,
     "ann_index_compacted_topk": q_ann_index_compacted_topk,
     "ann_stream_topk": q_ann_stream_topk,
+    # r11: generation lifecycle — drift-triggered retrain + atomic swap
+    "ann_retrain_swap": q_ann_retrain_swap,
 }
 
 ORACLES = {
@@ -4505,5 +4834,6 @@ ORACLES = {
     "dedup_log_compacted_pairs": O_DEDUP_MINHASH,
     "ann_index_compacted_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
     "ann_stream_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
+    "ann_retrain_swap": _o_ann_retrain_swap(),
     "dedup_best_representatives": _o_dedup_best_representatives(),
 }

@@ -78,12 +78,41 @@ class AnnIndexSink:
         path: str,
         checkpoint: str | None = None,
         compact_every: int | None = None,
+        retrain_every: int | None = None,
+        corpus_source=None,
+        retrain_sample_filter=None,
+        retrain_train_iters: int | None = None,
     ):
         self.path = path
         self.checkpoint = checkpoint
         if compact_every is not None and compact_every < 1:
             raise ValueError(f"compact_every must be >= 1: {compact_every}")
         self.compact_every = compact_every
+        # generation lifecycle (r11, verdict #1): every `retrain_every`
+        # committed batches, retrain cells+codebooks on (a sample of)
+        # the current corpus and atomically swap the generation
+        # (IvfPqIndex.retrain_swap). The index stores only codes, so
+        # `corpus_source(spark) -> DataFrame` must return the
+        # source-of-truth vector table — the same requirement FAISS's
+        # train+add rebuild has. Cadence is DURABLE (the manifest's
+        # last_retrain_batch), so restarts cannot defer it; the swap is
+        # CAS-guarded on the generation, so a replay cannot double-bump.
+        # For drift-TRIGGERED (rather than cadence) retraining, call
+        # retrain_swap directly when pipeline.drift crosses a threshold.
+        if retrain_every is not None:
+            if retrain_every < 1:
+                raise ValueError(
+                    f"retrain_every must be >= 1: {retrain_every}"
+                )
+            if corpus_source is None:
+                raise ValueError(
+                    "retrain_every needs corpus_source: the index holds "
+                    "only PQ codes, retraining reads original vectors"
+                )
+        self.retrain_every = retrain_every
+        self.corpus_source = corpus_source
+        self.retrain_sample_filter = retrain_sample_filter
+        self.retrain_train_iters = retrain_train_iters
 
     def index(self, spark) -> IvfPqIndex:
         """Fresh read handle over the last COMMITTED manifest."""
@@ -149,6 +178,21 @@ class AnnIndexSink:
             idx = IvfPqIndex(spark, self.path)
             if len(idx.segments()) > self.compact_every:
                 idx.compact()
+
+        if self.retrain_every:
+            idx = IvfPqIndex(spark, self.path)
+            last_rt = int(idx.meta.get("last_retrain_batch", -1))
+            if batch_id - last_rt >= self.retrain_every:
+                # stamped into idx.meta BEFORE the call so the swap
+                # commits the cadence watermark atomically with the
+                # generation; a CAS miss persists nothing
+                idx.meta["last_retrain_batch"] = int(batch_id)
+                idx.retrain_swap(
+                    self.corpus_source(spark),
+                    sample_filter=self.retrain_sample_filter,
+                    train_iters=self.retrain_train_iters,
+                    if_generation=int(idx.meta.get("generation", 0)),
+                )
 
 
 def ann_index_stream(

@@ -1859,6 +1859,199 @@ def test_ann_index_append_matches_combined(spark, tmp_path, sf_dir):
     assert idx.meta["n_rows"] == n_before + new.count()
 
 
+def _drifted(spark, sf_dir):
+    from panoptes_spark.pipeline.gate_queries import _drifted_embeddings
+
+    return _drifted_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def test_retrain_swap_equals_fresh_build(spark, tmp_path, sf_dir):
+    """retrain_swap on the FULL corpus must rank identically to a fresh
+    build over the same corpus and geometry — the swap is a rebuild in
+    place, not an approximation (r11 generation lifecycle)."""
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+
+    corpus = _drifted(spark, sf_dir)
+    path = str(tmp_path / "rt")
+    build_ivfpq_index(
+        corpus.where("vec_id % 4 > 0"), path, m=8, n_codes=16, n_cells=16,
+        train_iters=1,
+    )
+    IvfPqIndex(spark, path).append(corpus.where("vec_id % 4 = 0"))
+    out = IvfPqIndex(spark, path).retrain_swap(corpus, train_iters=1)
+    assert out.meta["generation"] == 1
+    assert out.segments() == ["seg-g1"]
+
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index(
+        corpus, fresh, m=8, n_codes=16, n_cells=16, train_iters=1
+    )
+    queries = corpus.where(F.col("vec_id") % 25 == 0)
+    got = sorted(
+        map(
+            tuple,
+            IvfPqIndex(spark, path).topk(queries, k=10, nprobe=4).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            IvfPqIndex(spark, fresh)
+            .topk(queries, k=10, nprobe=4)
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_retrain_swap_improves_recall(spark, tmp_path, sf_dir):
+    """On a drifted corpus, post-swap recall@k must BEAT the
+    frozen-codebook recall — the property the whole lifecycle exists
+    for (r10 verdict #1 'Done' criterion). Uses the gate's own recall
+    frame so the pytest and the driver oracle measure the same thing."""
+    from panoptes_spark.pipeline.gate_queries import q_ann_retrain_swap
+
+    rows = q_ann_retrain_swap(spark, sf_dir).collect()
+    assert rows
+    frozen = sum(r.n_match_frozen for r in rows)
+    retrained = sum(r.n_match_retrained for r in rows)
+    assert retrained > frozen, (frozen, retrained)
+
+
+def test_retrain_swap_chaos(spark, tmp_path, sf_dir):
+    """Kill-mid-retrain: generation files staged WITHOUT the manifest
+    commit are invisible (reads identical to pre-retrain) and the next
+    mutating op GCs them. Replayed swap: the CAS guard makes a stale
+    if_generation call a no-op. After a committed swap, the OLD
+    generation's files survive until the next mutate (one-generation
+    grace), then GC."""
+    import os
+
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+
+    corpus = _drifted(spark, sf_dir)
+    path = str(tmp_path / "chaos")
+    build_ivfpq_index(
+        corpus.where("vec_id % 4 > 0"), path, m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    IvfPqIndex(spark, path).append(corpus.where("vec_id % 4 = 0"))
+    queries = corpus.where(F.col("vec_id") % 25 == 0)
+    before = sorted(
+        map(
+            tuple,
+            IvfPqIndex(spark, path).topk(queries, k=10, nprobe=4).collect(),
+        )
+    )
+
+    # forge a crash between stage and manifest commit
+    real_replace = os.replace
+
+    def boom(src, dst, *a, **k):
+        if dst.endswith("MANIFEST.json"):
+            raise RuntimeError("crash before manifest swap")
+        return real_replace(src, dst, *a, **k)
+
+    os.replace = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash"):
+            IvfPqIndex(spark, path).retrain_swap(corpus, train_iters=0)
+    finally:
+        os.replace = real_replace
+    # staged generation exists on disk but NO read includes it
+    assert os.path.exists(os.path.join(path, "seg-g1"))
+    idx = IvfPqIndex(spark, path)
+    assert idx.meta.get("generation", 0) == 0
+    after = sorted(
+        map(tuple, idx.topk(queries, k=10, nprobe=4).collect())
+    )
+    assert after == before
+    # next mutating op GCs the orphaned staged generation
+    removed = idx._gc_orphan_segments()
+    assert "seg-g1" in removed and "centroids-g1.parquet" in removed
+
+    # committed swap + CAS replay
+    IvfPqIndex(spark, path).retrain_swap(
+        corpus, train_iters=0, if_generation=0
+    )
+    idx2 = IvfPqIndex(spark, path)
+    assert idx2.meta["generation"] == 1
+    swapped = sorted(
+        map(tuple, idx2.topk(queries, k=10, nprobe=4).collect())
+    )
+    # stale CAS replay is a no-op: same generation, same answers
+    idx2.retrain_swap(corpus, train_iters=0, if_generation=0)
+    idx3 = IvfPqIndex(spark, path)
+    assert idx3.meta["generation"] == 1
+    assert (
+        sorted(map(tuple, idx3.topk(queries, k=10, nprobe=4).collect()))
+        == swapped
+    )
+    # one-generation grace: old gen files still on disk after the swap,
+    # GC'd by the next mutate
+    assert os.path.exists(os.path.join(path, "centroids.parquet"))
+    idx3._gc_orphan_segments()
+    assert not os.path.exists(os.path.join(path, "centroids.parquet"))
+    assert os.path.exists(os.path.join(path, "centroids-g1.parquet"))
+
+
+def test_ann_sink_retrain_every(spark, tmp_path, sf_dir):
+    """AnnIndexSink retrain_every: after the cadence trips, the index is
+    generation 1 trained on the full corpus_source — ranking identical
+    to a fresh build over everything committed so far; the durable
+    last_retrain_batch watermark means a replayed batch cannot
+    double-retrain."""
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+    from panoptes_spark.streaming.ann_stream import AnnIndexSink
+
+    corpus = _drifted(spark, sf_dir)
+    path = str(tmp_path / "sink_rt")
+    build_ivfpq_index(
+        corpus.where("vec_id % 4 > 0"), path, m=8, n_codes=16, n_cells=16,
+        train_iters=0,
+    )
+    new = corpus.where("vec_id % 4 = 0")
+    sink = AnnIndexSink(
+        path,
+        retrain_every=2,
+        corpus_source=lambda s: corpus,
+        retrain_train_iters=0,
+    )
+    sink(new.where("vec_id % 8 = 0"), 0)
+    assert IvfPqIndex(spark, path).meta.get("generation", 0) == 0
+    sink(new.where("vec_id % 8 = 4"), 1)  # batch 1 - (-1) >= 2 -> retrain
+    idx = IvfPqIndex(spark, path)
+    assert idx.meta["generation"] == 1
+    assert idx.meta["last_retrain_batch"] == 1
+
+    fresh = str(tmp_path / "sink_fresh")
+    build_ivfpq_index(
+        corpus, fresh, m=8, n_codes=16, n_cells=16, train_iters=0
+    )
+    queries = corpus.where(F.col("vec_id") % 25 == 0)
+    got = sorted(map(tuple, idx.topk(queries, k=10, nprobe=4).collect()))
+    want = sorted(
+        map(
+            tuple,
+            IvfPqIndex(spark, fresh)
+            .topk(queries, k=10, nprobe=4)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_ann_index_torn_append_invisible(spark, tmp_path, sf_dir):
     """Torn-append chaos (r9, the `test_retired_files_never_orphaned`
     discipline applied to index appends): a crash between segment write
