@@ -3732,16 +3732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: gates produce byte-identical canon — materialize swaps, artifact
 #: sharing — are covered by the full local sweep and rotate normally.)
 _DRIVER_PRIORITY = [
-    # r10 gates (compaction twins + the streaming ANN sink chain)
-    "dedup_log_compacted_pairs",
-    "ann_index_compacted_topk",
-    "ann_stream_topk",
-    # r10 semantics changes: quantile-threshold buckets, salted top-n,
-    # floor-quantized Wilson bounds, rewritten sink commit path
-    "perplexity_buckets",
-    "boilerplate_ngrams",
-    "label_balance",
+    # r11 gates (ANN generation lifecycle + metadata-filtered search)
+    "ann_retrain_swap",
+    "ann_filtered_topk",
+    # r11 semantics/impl changes: rewritten sink commit path (async
+    # writes, union-find relabeling, n_tombs_total), wide-domain
+    # grouped-quantile thresholds
     "dedup_stream_pairs",
+    "dedup_log_compacted_pairs",
+    "perplexity_buckets",
 ]
 
 

