@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import pq as _pq
-from .similarity import ivf_assign, ivf_auto_cells, kmeans_refine, seed_centroids
+from .similarity import ivf_auto_cells, kmeans_refine, seed_centroids
 
 __all__ = ["build_ivfpq_index", "IvfPqIndex"]
 
@@ -112,12 +112,11 @@ def build_ivfpq_index(
     cents_d.write.mode("overwrite").parquet(os.path.join(path, "centroids.parquet"))
     cbs.write.mode("overwrite").parquet(os.path.join(path, "codebooks.parquet"))
 
-    enc = _pq.pq_encode(corpus, cbs, id_col, vec_col)
-    idx = (
-        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-        .select(id_col, "cell_id")
-        .join(enc, id_col)
-        .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+    # fused assign+encode: one narrow corpus pass, no id-keyed re-join
+    # (r11 — the separate-pass composition shuffled the corpus to unite
+    # (cell, codes); see pq.pq_assign_encode)
+    idx = _pq.pq_assign_encode(corpus, cents, cbs, id_col, vec_col).select(
+        F.col(id_col).alias("nbr_id"), "cell_id", "codes"
     )
     (
         idx.write.mode("overwrite")
@@ -411,13 +410,9 @@ class IvfPqIndex:
         cbs.write.mode("overwrite").parquet(
             os.path.join(self.path, cbs_file)
         )
-        enc = _pq.pq_encode(corpus, cbs, id_col, vec_col)
-        idx = (
-            ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-            .select(id_col, "cell_id")
-            .join(enc, id_col)
-            .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
-        )
+        idx = _pq.pq_assign_encode(
+            corpus, cents, cbs, id_col, vec_col
+        ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
         idx.write.mode("overwrite").partitionBy("cell_id").parquet(
             os.path.join(self.path, seg)
         )
@@ -452,15 +447,9 @@ class IvfPqIndex:
         the torn-append chaos test calls this alone to forge a crash)."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
-        enc = _pq.pq_encode(new_corpus, self.codebooks(), id_col, vec_col)
-        idx = (
-            ivf_assign(
-                new_corpus, self.centroids(), id_col, vec_col, nprobe=1
-            )
-            .select(id_col, "cell_id")
-            .join(enc, id_col)
-            .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
-        )
+        idx = _pq.pq_assign_encode(
+            new_corpus, self.centroids(), self.codebooks(), id_col, vec_col
+        ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
         idx.write.mode("overwrite").partitionBy("cell_id").parquet(
             os.path.join(self.path, seg)
         )
@@ -546,43 +535,25 @@ class IvfPqIndex:
         self, qrows, schema, k: int, nprobe: int,
         filter=None, filter_ids: DataFrame | None = None,
     ) -> DataFrame:
-        """Score one byte-budget-sized list of probe rows."""
-        import numpy as np
-        from pyspark.sql import Window
+        """Score one byte-budget-sized list of probe rows.
 
-        id_col = self.meta["id_col"]
-        vec_col = self.meta["vec_col"]
-        m, n_codes = self.meta["m"], self.meta["n_codes"]
-        ds = self.meta["dim"] // m
+        The probe batch is already driver-resident, so its cell
+        assignment and integer ADC tables are computed driver-side and
+        broadcast (``pq._adc_rank_broadcast``); the probed cells' index
+        rows stream through ONE narrow Arrow pass. Previously the
+        probe batch round-tripped through a createDataFrame +
+        ``ivf_assign`` Python stage, a distinct().collect() of the
+        probed cells, and a cogroup EXCHANGE of the index rows — three
+        extra jobs and an index shuffle per batch (r11). Partition
+        pruning is unchanged: the ``cell_id IN (probed)`` filter pushes
+        through the segment union to each cell-partitioned parquet
+        root, and only manifest-referenced segments are read (torn
+        appends invisible)."""
         cb = _pq._codebook_tensor(self.codebooks())
-
-        q_df = self.spark.createDataFrame(list(qrows), schema)
-        q_assigned = ivf_assign(
-            q_df, self.centroids(), id_col, vec_col, nprobe=nprobe
-        ).select(F.col(id_col).alias("query_id"), "cell_id")
-        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-        q_mat = np.array(
-            [r[1] for r in qrows], dtype=np.float64
-        ).reshape(len(qrows), m, ds)
-        tabs = np.floor(
-            ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1)
-            * _pq._DIST_SCALE
-            + 0.5
-        ).astype(np.int64)
-        tab_of = {int(q): i for i, q in enumerate(q_ids)}
-        bc = self.spark.sparkContext.broadcast((tab_of, tabs))
-
-        # partition pruning: only the probed cells' directories scan —
-        # the isin filter pushes through the segment union to each
-        # cell-partitioned parquet root, and only manifest-referenced
-        # segments are read (torn appends invisible)
-        probed = sorted(
-            {int(r.cell_id) for r in q_assigned.select("cell_id").distinct().collect()}
-        )
-        c_idx = self._index_df().where(F.col("cell_id").isin(probed))
+        c_idx = self._index_df()
         # metadata filter lands on the member scan BEFORE scoring —
         # never after rank truncation (the plan-audit test locks the
-        # filter below the cogrouped ADC node)
+        # filter below the Arrow scoring node)
         if filter is not None:
             c_idx = c_idx.where(filter)
         if filter_ids is not None:
@@ -590,48 +561,7 @@ class IvfPqIndex:
                 F.col(filter_ids.columns[0]).alias("nbr_id")
             )
             c_idx = c_idx.join(allowed, "nbr_id", "left_semi")
-
-        def cell_adc(left, right):
-            import pandas as pd
-
-            empty = pd.DataFrame(
-                {"query_id": [], "nbr_id": [], "adist": []}
-            )
-            if len(left) == 0 or len(right) == 0:
-                return empty
-            b_tab_of, b_tabs = bc.value
-            c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
-            codes = np.array(list(right["codes"]), dtype=np.int64)
-            probes = left["query_id"].to_numpy(dtype=np.int64)
-            cell_tabs = b_tabs[[b_tab_of[int(q)] for q in probes]]
-            outs = []
-            for qi, ci, d in _pq._adc_scores_chunked(cell_tabs, codes, k):
-                keep = c_ids[ci] != probes[qi]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": probes[qi][keep],
-                            "nbr_id": c_ids[ci][keep],
-                            "adist": d[keep],
-                        }
-                    )
-                )
-            if not outs:
-                return empty
-            return pd.concat(outs, ignore_index=True)
-
-        scored = (
-            q_assigned.groupBy("cell_id")
-            .cogroup(c_idx.groupBy("cell_id"))
-            .applyInPandas(
-                cell_adc, schema="query_id long, nbr_id long, adist long"
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adist").asc(), F.col("nbr_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .select("query_id", "nbr_id", "adist", "rank")
+        return _pq._adc_rank_broadcast(
+            c_idx, qrows, self.centroids(), cb, k, nprobe,
+            id_col=self.meta["id_col"],
         )

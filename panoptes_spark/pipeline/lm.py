@@ -156,7 +156,7 @@ def perplexity_buckets(
 
     Returns (id, source, avg_neg_logp, bucket ∈ head|middle|tail).
     """
-    from .stats import grouped_quantile
+    from .stats import grouped_quantiles_wide
 
     from .dedup import materialize_once
 
@@ -171,21 +171,24 @@ def perplexity_buckets(
             F.expr("cast(floor(avg_neg_logp * 1e6 + 0.5) as bigint)"),
         )
     )
-    # wide=True (r10 ADVICE): the micro-int score domain is ~1e7
+    # wide path (r10 ADVICE): the micro-int score domain is ~1e7
     # distinct values, so the one-phase fold's per-source collected
     # array approaches min(n_docs, domain) structs on one executor for
     # a dominant source — the two-phase coarse-bucket fold bounds both
     # phases' arrays (|distinct|/65536, then <= 65536) with the same
-    # exact answer
-    t_lo = grouped_quantile(us, [source_col], "__us", p=lo, wide=True).select(
-        source_col, F.col("q").alias("__t_lo")
-    )
-    t_hi = grouped_quantile(us, [source_col], "__us", p=hi, wide=True).select(
-        source_col, F.col("q").alias("__t_hi")
+    # exact answer. BOTH cuts come from ONE histogram pass
+    # (grouped_quantiles_wide): two independent wide calls each rebuilt
+    # the distinct-score histogram from the cached frame twice (two
+    # consumers apiece), which tripled the gate (r11).
+    ts = grouped_quantiles_wide(
+        us, [source_col], "__us", {"lo": lo, "hi": hi}
+    ).select(
+        source_col,
+        F.col("q_lo").alias("__t_lo"),
+        F.col("q_hi").alias("__t_hi"),
     )
     return (
-        us.join(F.broadcast(t_lo), source_col)
-        .join(F.broadcast(t_hi), source_col)
+        us.join(F.broadcast(ts), source_col)
         .select(
             id_col,
             source_col,

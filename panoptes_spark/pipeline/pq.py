@@ -180,7 +180,21 @@ def pq_train_kmeans(
     results are partition-layout-independent. Codewords left empty keep
     their previous value (Lloyd convention). Shuffle volume per round is
     ~corpus·dim rows with map-side combine; iterations fixed and small.
+
+    Each round's codebook is a registered LAZY persist when the corpus
+    scan is WIDE (r11, the ``kmeans_refine`` policy): it is
+    (m · n_codes) rows — a dim table by parameter — but as an
+    unpersisted plan every downstream collect (``pq_encode`` and
+    ``pq_adc_topk`` each do one via ``_codebook_tensor``) re-runs the
+    whole training round from the corpus scan. On a wide corpus each
+    avoided pass is real cluster time; on a narrow one the recompute
+    is cheaper than the persist round trip (see the paired A/B in
+    ``kmeans_refine``), so ``source_is_wide`` keys the persist on the
+    input's own split count.
     """
+    from .dedup import persist_registered, source_is_wide
+
+    wide = source_is_wide(corpus)
     dim = _dims(corpus, vec_col, m)
     ds = dim // m
     cbs = pq_train(corpus, m, n_codes, id_col, vec_col)
@@ -213,7 +227,7 @@ def pq_train_kmeans(
                 lambda s: s.mval,
             ).alias("new_cv")
         )
-        cbs = (
+        nxt = (
             cbs.join(F.broadcast(new_cv), ["subspace", "code_id"], "left")
             .select(
                 "subspace",
@@ -221,6 +235,7 @@ def pq_train_kmeans(
                 F.coalesce("new_cv", "codevec").alias("codevec"),
             )
         )
+        cbs = persist_registered(nxt) if wide else nxt
     return cbs
 
 
@@ -316,6 +331,66 @@ def pq_encode(
 
     return corpus.select(id_col, vec_col).mapInPandas(
         encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_assign_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, codes): coarse-cell assignment AND PQ encoding in
+    ONE narrow Arrow pass — the (cell, codes) index relation every
+    IVF-PQ consumer builds. The previous composition ran two separate
+    mapInPandas passes (``ivf_assign`` + ``pq_encode``) and re-united
+    them with an id-keyed JOIN — a corpus-sized shuffle that exists
+    only because the two kernels were separate; fused, the corpus is
+    read once, never shuffled, and crosses the Python boundary once
+    (r11, guide §2.4/§4). Arithmetic, rounding and tie-breaks are
+    identical to the two-pass form (same centroid lexsort, same
+    integer-scaled argmin), so results are row-for-row equal."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = centroids.select("cell_id", "centroid").collect()
+    c_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
+    c_mat = np.array([r.centroid for r in cents], dtype=np.float64)
+    c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+    cb = _codebook_tensor(codebooks)
+    m, _, ds = cb.shape
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms, cb))
+
+    def fused(batches):
+        import pandas as pd
+
+        b_cids, b_cmat, b_cnorms, cbl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            ccos = np.round(
+                (mat @ b_cmat.T) / np.outer(norms, b_cnorms), 6
+            )
+            order = np.lexsort(
+                (np.broadcast_to(b_cids, ccos.shape), -ccos), axis=1
+            )[:, 0]
+            x = mat.reshape(len(pdf), m, ds)
+            d = ((x[:, :, None, :] - cbl[None]) ** 2).sum(-1)
+            dint = np.floor(d * _DIST_SCALE + 0.5).astype(np.int64)
+            codes = dint.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell_id": b_cids[order].astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        fused, schema=f"{id_col} long, cell_id int, codes array<int>"
     )
 
 
@@ -503,22 +578,9 @@ def ivfpq_topk(
     """
     import numpy as np
 
-    from .similarity import ivf_assign
-
     cb = _codebook_tensor(codebooks)
     m, n_codes, ds = cb.shape
     spark = corpus.sparkSession
-
-    enc = pq_encode(corpus, codebooks, id_col, vec_col)
-    c_idx = (
-        ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
-        .select(id_col, "cell_id")
-        .join(enc, id_col)
-        .select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
-    )
-    q_assigned = ivf_assign(
-        queries, centroids, id_col, vec_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), "cell_id")
 
     qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
     if len(qrows) > max_query_rows:
@@ -527,50 +589,107 @@ def ivfpq_topk(
             "shard the probe set"
         )
     _guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in qrows], dtype=np.float64).reshape(
-        len(qrows), m, ds
+    # (id, cell, codes) in ONE fused narrow pass — the previous
+    # composition (separate assign + encode passes re-united by an
+    # id-keyed join, then a cogroup exchange of the whole index by
+    # cell) shuffled the corpus twice per probe batch; the index
+    # relation now never shuffles at all (r11)
+    c_idx = pq_assign_encode(
+        corpus, centroids, codebooks, id_col, vec_col
+    ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
+    return _adc_rank_broadcast(
+        c_idx, qrows, centroids, cb, k, nprobe, id_col
     )
+
+
+def _adc_rank_broadcast(
+    c_idx: DataFrame,
+    qrows,
+    centroids: DataFrame,
+    cb,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rank an (nbr_id, cell_id, codes) index relation against a
+    driver-resident probe batch: the queries' cell probes and integer
+    ADC distance tables are computed driver-side (identical arithmetic
+    and tie-breaks to ``ivf_assign``/the cogrouped kernel), broadcast,
+    and applied in ONE narrow Arrow pass over the index — each batch
+    groups its rows by cell and scores exactly the queries probing
+    that cell with the tie-safe chunked lookup-sum. The global window
+    prunes the boundary-widened local keep-sets to the exact
+    (adist asc, nbr_id asc) top-k — identical results to the cogroup
+    plan at any partition layout, with no index shuffle and one fewer
+    Python stage."""
+    import numpy as np
+
+    spark = c_idx.sparkSession
+    out_schema = "query_id long, nbr_id long, adist long, rank int"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    m = cb.shape[0]
+    ds = cb.shape[2]
+    cents = centroids.select("cell_id", "centroid").collect()
+    cc_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
+    cc_mat = np.array([r.centroid for r in cents], dtype=np.float64)
+    cc_norms = np.sqrt((cc_mat * cc_mat).sum(axis=1))
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_flat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt((q_flat * q_flat).sum(axis=1))
+    # driver-side probe assignment — same rounding + lexsort tie order
+    # as ivf_assign(nprobe=nprobe)
+    qcos = np.round((q_flat @ cc_mat.T) / np.outer(q_norms, cc_norms), 6)
+    np_k = min(int(nprobe), len(cents))
+    order = np.lexsort(
+        (np.broadcast_to(cc_ids, qcos.shape), -qcos), axis=1
+    )[:, :np_k]
+    probe_of: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for cell in cc_ids[order[qi]]:
+            probe_of.setdefault(int(cell), []).append(qi)
+    probe_idx = {
+        c: np.array(v, dtype=np.int64) for c, v in probe_of.items()
+    }
+    q_mat = q_flat.reshape(len(qrows), m, ds)
     tabs = np.floor(
         ((q_mat[:, :, None, :] - cb[None]) ** 2).sum(-1) * _DIST_SCALE + 0.5
     ).astype(np.int64)
-    tab_of = {int(q): i for i, q in enumerate(q_ids)}
-    bc = spark.sparkContext.broadcast((tab_of, tabs))
+    bc = spark.sparkContext.broadcast((q_ids, tabs, probe_idx))
+    probed = sorted(probe_idx)
 
-    def cell_adc(left, right):
+    def adc(batches):
         import pandas as pd
 
-        empty = pd.DataFrame({"query_id": [], "nbr_id": [], "adist": []})
-        if len(left) == 0 or len(right) == 0:
-            return empty
-        b_tab_of, b_tabs = bc.value
-        c_ids = right["nbr_id"].to_numpy(dtype=np.int64)
-        codes = np.array(list(right["codes"]), dtype=np.int64)
-        probes = left["query_id"].to_numpy(dtype=np.int64)
-        # gather this cell's probe tables once; scoring is then one
-        # vectorized lookup-sum across ALL probes (chunked), not a
-        # python loop per probe
-        cell_tabs = b_tabs[[b_tab_of[int(q)] for q in probes]]
-        outs = []
-        for qi, ci, d in _adc_scores_chunked(cell_tabs, codes, k):
-            keep = c_ids[ci] != probes[qi]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": probes[qi][keep],
-                        "nbr_id": c_ids[ci][keep],
-                        "adist": d[keep],
-                    }
-                )
-            )
-        if not outs:
-            return empty
-        return pd.concat(outs, ignore_index=True)
+        b_qids, b_tabs, b_probe = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell_id"].to_numpy(dtype=np.int64)
+            ids = pdf["nbr_id"].to_numpy(dtype=np.int64)
+            codes_all = np.array(list(pdf["codes"]), dtype=np.int64)
+            for cell in np.unique(cells):
+                qidx = b_probe.get(int(cell))
+                if qidx is None:
+                    continue
+                rows = np.nonzero(cells == cell)[0]
+                c_ids = ids[rows]
+                codes = codes_all[rows]
+                cell_tabs = b_tabs[qidx]
+                for qi, ci, d in _adc_scores_chunked(cell_tabs, codes, k):
+                    keep = c_ids[ci] != b_qids[qidx][qi]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": b_qids[qidx][qi][keep],
+                            "nbr_id": c_ids[ci][keep],
+                            "adist": d[keep],
+                        }
+                    )
 
     scored = (
-        q_assigned.groupBy("cell_id")
-        .cogroup(c_idx.groupBy("cell_id"))
-        .applyInPandas(cell_adc, schema="query_id long, nbr_id long, adist long")
+        c_idx.where(F.col("cell_id").isin(probed))
+        .select("nbr_id", "cell_id", "codes")
+        .mapInPandas(adc, schema="query_id long, nbr_id long, adist long")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("nbr_id").asc()

@@ -274,7 +274,23 @@ def kmeans_refine(
     ~the corpus itself, map-side combine collapses it to |cells|×dim per
     partition. Cells left empty by an iteration keep their previous
     centroid (Lloyd convention).
+
+    Each iteration's result is a registered LAZY persist when the
+    corpus scan is WIDE (r11): the centroid table is dim-sized by
+    construction (|cells| rows), but as an unpersisted plan every
+    downstream ``centroids.collect()`` — and ``ivf_assign`` does one
+    per call — re-runs the whole Lloyd chain from the corpus scan up:
+    ``ivf_topk`` over trained cells pays the full training twice more
+    (its two assignment passes). On a wide corpus each avoided pass is
+    real cluster time; on a narrow one (the bench tables ship one row
+    group) the recompute is cheaper than any materialization round
+    trip (paired A/B at sf0.1: unpersisted 2.39s vs persist 3.26s vs
+    driver-collect 4.74s), so ``source_is_wide`` keys the persist on
+    the input's own split count — the ``spread_for_compute`` signal.
     """
+    from .dedup import persist_registered, source_is_wide
+
+    wide = source_is_wide(corpus)
     cents = centroids
     for _ in range(int(iters)):
         assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
@@ -302,7 +318,7 @@ def kmeans_refine(
                 lambda s: s.m,
             ).alias("new_centroid")
         )
-        cents = (
+        nxt = (
             cents.select(
                 "cell_id",
                 F.transform(
@@ -315,6 +331,7 @@ def kmeans_refine(
                 F.coalesce("new_centroid", "centroid").alias("centroid"),
             )
         )
+        cents = persist_registered(nxt) if wide else nxt
     return cents
 
 
@@ -367,6 +384,26 @@ def ivf_topk(
 
     if filter is not None:
         corpus = corpus.where(filter)
+    # bounded probe sets (the retrieval norm: a query BATCH, not a
+    # corpus) take the broadcast plan — the probe set and its cell
+    # assignment live driver-side, the corpus streams through ONE fused
+    # narrow Arrow pass (assign + per-cell score + tie-safe local
+    # top-k), and the only exchange is the candidate rows feeding the
+    # global rank window (≤ |Q|·nprobe·(k+1+ties)). The cogroup plan
+    # below shuffles the ASSIGNED CORPUS by cell_id every call — at
+    # 100 TB that is a full corpus shuffle per probe batch, at bench SF
+    # it is two extra Python stages and an exchange; it remains the
+    # right plan only when the probe set itself is data-sized (guide
+    # §3.1: broadcast the side that fits).
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(MAX_BROADCAST_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(qrows) <= MAX_BROADCAST_QUERY_ROWS:
+        return _ivf_topk_broadcast(
+            corpus, qrows, centroids, id_col, vec_col, k, nprobe
+        )
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "cell_id"
     )
@@ -413,6 +450,114 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def _ivf_topk_broadcast(
+    corpus: DataFrame,
+    qrows,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The bounded-probe IVF plan: queries and their cell probes are
+    computed driver-side from the collected centroid matrix (identical
+    arithmetic and (cosine desc, cell_id asc) tie-break to
+    ``ivf_assign``), then ONE fused narrow Arrow pass over the corpus
+    assigns each batch row to its cell and scores it against exactly
+    the queries probing that cell, emitting a tie-safe local top-k per
+    (query, batch fragment). The global window prunes to the exact
+    per-query top-k — identical to the cogroup plan at any partition
+    layout (the fragment-local keep-set is boundary-tie-widened, so no
+    row the (cosine desc, nbr_id asc) total order ranks ≤ k can be
+    dropped locally; a corpus vector lives in exactly one cell, so no
+    pair appears twice). No corpus shuffle, no second Python stage."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    out_schema = "query_id long, nbr_id long, cosine double, rank int"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    cents = centroids.select("cell_id", "centroid").collect()
+    c_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
+    c_mat = np.array([r.centroid for r in cents], dtype=np.float64)
+    c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+    # driver-side query probes — same rounding + lexsort tie order as
+    # ivf_assign(nprobe=nprobe)
+    qcos = np.round((q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 6)
+    np_k = min(int(nprobe), len(cents))
+    order = np.lexsort(
+        (np.broadcast_to(c_ids, qcos.shape), -qcos), axis=1
+    )[:, :np_k]
+    probe_of: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for cell in c_ids[order[qi]]:
+            probe_of.setdefault(int(cell), []).append(qi)
+    probe_idx = {
+        c: np.array(v, dtype=np.int64) for c, v in probe_of.items()
+    }
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, probe_idx, c_ids, c_mat, c_norms)
+    )
+
+    def fused(batches):
+        import pandas as pd
+
+        b_qids, b_qmat, b_qnorms, b_probe, b_cids, b_cmat, b_cnorms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            ccos = np.round(
+                (mat @ b_cmat.T) / np.outer(norms, b_cnorms), 6
+            )
+            a_order = np.lexsort(
+                (np.broadcast_to(b_cids, ccos.shape), -ccos), axis=1
+            )[:, 0]
+            cell_of = b_cids[a_order]
+            for cell in np.unique(cell_of):
+                qidx = b_probe.get(int(cell))
+                if qidx is None:
+                    continue
+                rows = np.nonzero(cell_of == cell)[0]
+                s_ids = ids[rows]
+                s_mat = mat[rows]
+                s_norms = norms[rows]
+                cos = np.round(
+                    (b_qmat[qidx] @ s_mat.T)
+                    / np.outer(b_qnorms[qidx], s_norms),
+                    6,
+                )
+                top = min(k + 1, cos.shape[1])
+                bound = -np.partition(-cos, top - 1, axis=1)[:, top - 1]
+                mask = cos >= bound[:, None]
+                mask &= s_ids[None, :] != b_qids[qidx][:, None]
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qidx][r],
+                        "nbr_id": s_ids[c],
+                        "cosine": cos[r, c],
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        fused, schema="query_id long, nbr_id long, cosine double"
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

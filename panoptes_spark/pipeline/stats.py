@@ -202,16 +202,55 @@ def _grouped_quantile_wide(
     df: DataFrame, key_cols: list[str], value_col: str, p: float
 ) -> DataFrame:
     """Two-phase exact type-1 quantile for wide (score-like) integer
-    domains — see ``grouped_quantile(wide=True)``. Both folds use the
-    same cumulative-count rule as the one-phase path, so the answer is
-    identical; only the per-group array bounds change."""
-    if not 0 < p <= 1:
-        raise ValueError(f"quantile must lie in (0, 1]: {p}")
-    hist = df.groupBy(
-        *key_cols, F.col(value_col).cast("bigint").alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    # arithmetic right shift = floor division by 2^16 for negatives too
-    hist = hist.withColumn("__cb", F.shiftright(F.col("__v"), 16))
+    domains — see ``grouped_quantile(wide=True)``. Single-p facade over
+    :func:`grouped_quantiles_wide` (one shared implementation; the
+    multi-p form exists because callers like ``perplexity_buckets``
+    need two cuts of the SAME distribution and paying the histogram
+    pass per cut doubled the gate, r11)."""
+    out = grouped_quantiles_wide(df, key_cols, value_col, {"q": p})
+    return out.select(*key_cols, F.col("q_q").alias("q"), "n")
+
+
+def grouped_quantiles_wide(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Several exact per-group type-1 quantiles of a wide integer
+    domain in ONE histogram pass — the multi-p twin of
+    ``grouped_quantile(wide=True)``, with identical per-p answers.
+
+    The distinct-value histogram (the only data-sized relation) is
+    built once and ``materialize_once``'d: it feeds the coarse-bucket
+    fold AND the fine per-bucket fold, and without the persist each
+    consumer would replay the full upstream (for LM scores that is the
+    whole corpus-scoring pass — the r11 regression this function
+    removes). All requested quantiles fold over the same coarse array
+    in one projection, are unpivoted with ``stack``, and share one
+    broadcast join back onto the histogram.
+
+    Per-group array bounds match the single-p path: |distinct|/65536
+    structs in phase 1, ≤ 65536 in phase 2.
+
+    Returns key cols + one ``q_<label>`` bigint column per ``ps`` entry
+    + ``n``. Labels must be SQL-identifier-safe."""
+    from .dedup import materialize_once
+
+    if not key_cols:
+        raise ValueError("grouped_quantiles_wide requires key columns")
+    if not ps:
+        raise ValueError("grouped_quantiles_wide requires quantiles")
+    for label, p in ps.items():
+        if not 0 < p <= 1:
+            raise ValueError(f"quantile must lie in (0, 1]: {p}")
+    labels = sorted(ps)
+    hist = materialize_once(
+        df.groupBy(*key_cols, F.col(value_col).cast("bigint").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # arithmetic right shift = floor division by 2^16 for negatives
+        .withColumn("__cb", F.shiftright(F.col("__v"), 16))
+    )
     cb_one = (
         hist.groupBy(*key_cols, "__cb")
         .agg(F.sum("__c").alias("__c"))
@@ -223,48 +262,81 @@ def _grouped_quantile_wide(
             F.sum("__c").alias("n"),
         )
     )
-    tgt = f"cast(ceil({p!r} * n) as bigint)"
-    # fold to (bucket containing the target rank, cumulative count
-    # strictly below that bucket)
-    fold1 = (
-        "aggregate(__h,"
-        " struct(cast(0 as bigint) as cum,"
-        "        cast(null as bigint) as cb,"
-        "        cast(0 as bigint) as before),"
-        " (a, x) -> struct(a.cum + x.__c,"
-        f"   coalesce(a.cb, if(a.cum + x.__c >= {tgt}, x.__cb,"
-        "     cast(null as bigint))),"
-        f"   if(a.cb is null and a.cum + x.__c >= {tgt}, a.cum,"
-        "     a.before)),"
-        " a -> struct(a.cb as cb, a.before as before))"
-    )
-    picked = cb_one.select(
+
+    def fold1(p: float) -> str:
+        # fold to (bucket containing the target rank, cumulative count
+        # strictly below that bucket)
+        tgt = f"cast(ceil({p!r} * n) as bigint)"
+        return (
+            "aggregate(__h,"
+            " struct(cast(0 as bigint) as cum,"
+            "        cast(null as bigint) as cb,"
+            "        cast(0 as bigint) as before),"
+            " (a, x) -> struct(a.cum + x.__c,"
+            f"   coalesce(a.cb, if(a.cum + x.__c >= {tgt}, x.__cb,"
+            "     cast(null as bigint))),"
+            f"   if(a.cb is null and a.cum + x.__c >= {tgt}, a.cum,"
+            "     a.before)),"
+            " a -> struct(a.cb as cb, a.before as before))"
+        )
+
+    # every quantile's coarse fold in ONE projection over one cb_one
+    # evaluation, then stack-unpivoted to (label, p, pick) rows
+    one = cb_one.select(
         *key_cols,
-        F.expr(fold1).alias("__pick"),
+        *[F.expr(fold1(ps[lb])).alias(f"__pick_{lb}") for lb in labels],
+        "n",
+    )
+    stack = ", ".join(f"'{lb}', __pick_{lb}" for lb in labels)
+    picked = one.selectExpr(
+        *key_cols,
+        f"stack({len(labels)}, {stack}) AS (__pl, __pick)",
         "n",
     ).select(
         *key_cols,
+        "__pl",
         F.col("__pick.cb").alias("__cb"),
         F.col("__pick.before").alias("__before"),
         "n",
     )
     # group-count-sized dim: broadcast back onto the distinct-value
-    # histogram, keeping ONLY the chosen bucket's values per group
+    # histogram, keeping ONLY the chosen buckets' values per (group, p)
     fine = hist.join(F.broadcast(picked), [*key_cols, "__cb"])
-    fine_one = fine.groupBy(*key_cols).agg(
+    fine_one = fine.groupBy(*key_cols, "__pl").agg(
         F.sort_array(F.collect_list(F.struct("__v", "__c"))).alias("__h"),
         F.max("__before").alias("__before"),
         F.max("n").alias("n"),
+    )
+    # same cumulative rule with the residual rank; the target rank
+    # re-embeds each label's LITERAL p (decimal arithmetic, the exact
+    # expression text the single-p fold uses) rather than carrying p as
+    # a double column, so ceil() rounding is bit-identical per label
+    tgt_c = (
+        "(CASE __pl "
+        + " ".join(
+            f"WHEN '{lb}' THEN cast(ceil({ps[lb]!r} * n) as bigint)"
+            for lb in labels
+        )
+        + " END)"
     )
     fold2 = (
         "aggregate(__h,"
         " struct(cast(0 as bigint) as cum, cast(null as bigint) as ans),"
         " (a, x) -> struct(a.cum + x.__c,"
-        f"   coalesce(a.ans, if(a.cum + x.__c >= {tgt} - __before, x.__v,"
+        f"   coalesce(a.ans, if(a.cum + x.__c >= {tgt_c} - __before, x.__v,"
         "     cast(null as bigint)))),"
         " a -> a.ans)"
     )
-    return fine_one.select(*key_cols, F.expr(fold2).alias("q"), "n")
+    qs = fine_one.select(
+        *key_cols, "__pl", F.expr(fold2).alias("q"), "n"
+    )
+    return qs.groupBy(*key_cols).agg(
+        *[
+            F.max(F.when(F.col("__pl") == lb, F.col("q"))).alias(f"q_{lb}")
+            for lb in labels
+        ],
+        F.max("n").alias("n"),
+    )
 
 
 def length_outliers(

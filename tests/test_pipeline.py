@@ -2053,10 +2053,14 @@ def test_ann_sink_retrain_every(spark, tmp_path, sf_dir):
 
 
 def test_filtered_topk_plan(spark, tmp_path, sf_dir):
-    """The metadata filter must land BELOW the cogrouped ADC scoring in
+    """The metadata filter must land BELOW the Arrow ADC/scoring node in
     the optimized plan (filter-before-scoring, never a post-truncation
     filter) — in a plan tree parents print above children, so the
-    cogroup node string must precede the filter predicate (r11)."""
+    Python scoring node string must precede the filter predicate.
+    (r11 narrow rewrite: the scoring node is a MapInPandas over the
+    pruned index scan, no longer a FlatMapCoGroupsInPandas — the
+    index relation is not shuffled at all; the filter now sits
+    directly on the parquet relation.)"""
     from panoptes_spark.pipeline import similarity
     from panoptes_spark.pipeline.ann_index import build_ivfpq_index
 
@@ -2068,22 +2072,22 @@ def test_filtered_topk_plan(spark, tmp_path, sf_dir):
     queries = emb.where(F.col("vec_id") % 25 == 0)
     import re
 
-    def _filter_below_cogroup(df, col):
+    def _filter_below_scoring(df, col):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         # optimizer renders the predicate with expression ids:
         # "(nbr_id#63L % 2) = 0"
         m = re.search(rf"{col}#\d+L? % 2", plan)
-        assert "FlatMapCoGroupsInPandas" in plan and m, plan
-        assert plan.index("FlatMapCoGroupsInPandas") < m.start(), plan
+        assert "MapInPandas" in plan and m, plan
+        assert plan.index("MapInPandas") < m.start(), plan
 
     df = idx.topk(queries, k=5, nprobe=2, filter="nbr_id % 2 = 0")
-    _filter_below_cogroup(df, "nbr_id")
+    _filter_below_scoring(df, "nbr_id")
 
     cents = similarity.seed_centroids(emb, n_cells=16)
     df2 = similarity.ivf_topk(
         emb, queries, cents, k=5, nprobe=2, filter="vec_id % 2 = 0"
     )
-    _filter_below_cogroup(df2, "vec_id")
+    _filter_below_scoring(df2, "vec_id")
 
 
 def test_filtered_topk_ids_equivalence(spark, tmp_path, sf_dir):
