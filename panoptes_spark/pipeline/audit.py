@@ -187,9 +187,22 @@ def profile_columns(
     erroring.
 
     One scan, one aggregate row, unpivoted via ``stack``.
+
+    The scan is spread before the aggregate (``spread_for_compute``,
+    skipped on well-split input): each exact ``count_distinct`` adds an
+    Expand projection — ``len(columns)+1`` copies of every row feed the
+    partial aggregate — and on a one-row-group parquet input that
+    multi-million-row expansion ran in a SINGLE task (r11: the sf0.1
+    gate spent 2.2s in a 3-task stage on a 32-core box). The
+    round-robin exchange moves raw rows once; the expanded rows then
+    partial-aggregate in parallel and only per-partition partials
+    shuffle.
     """
+    from .dedup import spread_for_compute
+
     if not columns:
         raise ValueError("profile_columns() needs at least one column")
+    df = spread_for_compute(df.select(*columns))
     dcount = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:

@@ -125,11 +125,14 @@ def embedding_drift(
     (the ``kmeans_refine`` recipe), so the cosine of two mean vectors
     is a sum of 64 reproducible doubles, rounded at 6 dp.
 
-    Scale: ONE assignment pass per side (materialized — counts and
-    per-(cell, pos) means both derive from it, so the broadcast-matmul
-    scan never repeats; r8 ADVICE) + one (cell, pos)-keyed partial-agg
-    shuffle per side (the MapReduce-mean shape, ~corpus sized once) +
-    cell-count-sized joins after. Count frames also materialize before
+    Scale (r11 single-pass shape — the oracle's own CTE structure):
+    the two snapshots UNION with an ``__is_old`` tag and assign in ONE
+    broadcast-matmul pass (``ivf_assign(keep_cols=...)``); one
+    cell-keyed conditional aggregate yields both populations, one
+    (cell, pos)-keyed conditional aggregate yields both mean vectors —
+    the previous per-side subtrees ran two assignment passes, four
+    eager materializations, and two mean shuffles for the same answer.
+    The count frame (cell-count-sized) still materializes before
     fanning into the total/fraction subtrees (the crossJoin-broadcast
     recompute rule)."""
     from pyspark.sql import functions as F
@@ -138,61 +141,60 @@ def embedding_drift(
     from .similarity import ivf_assign, seed_centroids
 
     cents = seed_centroids(old, n_cells, id_col, vec_col)
+    both = old.select(
+        id_col, vec_col, F.lit(True).alias("__is_old")
+    ).unionByName(new.select(id_col, vec_col, F.lit(False).alias("__is_old")))
+    asg = ivf_assign(
+        both, cents, id_col, vec_col, nprobe=1, keep_cols=["__is_old"]
+    ).select("cell_id", "__is_old", vec_col)
 
-    def _assigned(df):
-        return materialize_once(
-            ivf_assign(df, cents, id_col, vec_col, nprobe=1).select(
-                "cell_id", vec_col
-            )
-        )
-
-    a_old, a_new = _assigned(old), _assigned(new)
-
-    def _counts(asg):
-        return materialize_once(
-            asg.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    def _means(asg, mcol):
-        return (
-            asg.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
-            .groupBy("cell_id", "pos")
-            .agg(
-                F.round(
-                    F.sum(
-                        F.col("comp").cast("double").cast("decimal(30,12)")
-                    ).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias(mcol)
-            )
-        )
-
-    c_old, c_new = _counts(a_old), _counts(a_new)
-    t_old = c_old.agg(F.sum("n").alias("t_old"))
-    t_new = c_new.agg(F.sum("n").alias("t_new"))
-    shift = (
-        _means(a_old, "ma")
-        .join(_means(a_new, "mb"), ["cell_id", "pos"])
-        .groupBy("cell_id")
-        .agg(
-            F.round(
-                1.0
-                - F.sum(F.col("ma") * F.col("mb"))
-                / F.sqrt(
-                    F.sum(F.col("ma") * F.col("ma"))
-                    * F.sum(F.col("mb") * F.col("mb"))
-                ),
-                6,
-            ).alias("centroid_shift")
+    counts = materialize_once(
+        asg.groupBy("cell_id").agg(
+            F.count_if(F.col("__is_old")).alias("n_old"),
+            F.count_if(~F.col("__is_old")).alias("n_new"),
         )
     )
+    totals = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+
+    def _mean(flag):
+        # per-(cell, pos) component mean of ONE side out of the shared
+        # aggregate: decimal-exact sum over that side's rows / its
+        # count — identical arithmetic to the per-side relations
+        comp_dec = F.col("comp").cast("double").cast("decimal(30,12)")
+        side_sum = F.sum(F.when(flag, comp_dec)).cast("double")
+        side_n = F.count_if(flag)
+        return F.round(side_sum / side_n, 6)
+
+    m = (
+        asg.select(
+            "cell_id",
+            "__is_old",
+            F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+        )
+        .groupBy("cell_id", "pos")
+        .agg(
+            _mean(F.col("__is_old")).alias("ma"),
+            _mean(~F.col("__is_old")).alias("mb"),
+        )
+    )
+    # a side absent from a cell leaves its mean NULL at every pos, so
+    # the sums below go NULL and centroid_shift is NULL — the same
+    # semantics the per-side inner join + left join produced
+    shift = m.groupBy("cell_id").agg(
+        F.round(
+            1.0
+            - F.sum(F.col("ma") * F.col("mb"))
+            / F.sqrt(
+                F.sum(F.col("ma") * F.col("ma"))
+                * F.sum(F.col("mb") * F.col("mb"))
+            ),
+            6,
+        ).alias("centroid_shift")
+    )
     return (
-        c_old.withColumnRenamed("n", "n_old")
-        .join(c_new.withColumnRenamed("n", "n_new"), "cell_id", "full_outer")
-        .na.fill({"n_old": 0, "n_new": 0})
-        .crossJoin(F.broadcast(t_old))
-        .crossJoin(F.broadcast(t_new))
+        counts.crossJoin(F.broadcast(totals))
         .withColumn(
             "pop_shift",
             F.round(

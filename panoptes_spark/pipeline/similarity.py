@@ -129,6 +129,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells
     (by cosine). centroids: (cell_id, centroid array<float>) — dim-table
@@ -140,9 +141,14 @@ def ivf_assign(
     Ties break (cosine desc, cell_id asc) via lexsort, matching the
     row_number ordering the DuckDB oracle uses. Rounding (6dp) matches
     the brute-force path, whose oracle equality is gate-proven.
+
+    ``keep_cols`` pass extra input columns through unchanged (r11) —
+    callers tagging rows (e.g. drift's old/new snapshot flag) can then
+    assign a UNION in one pass instead of one pass per tag.
     """
     import numpy as np
 
+    keep = list(keep_cols or [])
     spark = df.sparkSession
     cents = centroids.select("cell_id", "centroid").collect()
     c_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
@@ -166,21 +172,25 @@ def ivf_assign(
             top = order[:, :k]
             rows = np.repeat(np.arange(len(pdf)), k)
             cells = top.ravel()
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[rows],
-                    vec_col: pdf[vec_col].to_numpy()[rows],
-                    "cell_id": b_ids[cells].astype(np.int32),
-                    "cell_cos": cos[rows, cells],
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy()[rows],
+                vec_col: pdf[vec_col].to_numpy()[rows],
+                "cell_id": b_ids[cells].astype(np.int32),
+                "cell_cos": cos[rows, cells],
+            }
+            for kc in keep:
+                out[kc] = pdf[kc].to_numpy()[rows]
+            yield pd.DataFrame(out)
 
     vec_type = df.schema[vec_col].dataType.simpleString()
-    return df.select(id_col, vec_col).mapInPandas(
+    keep_schema = "".join(
+        f", {kc} {df.schema[kc].dataType.simpleString()}" for kc in keep
+    )
+    return df.select(id_col, vec_col, *keep).mapInPandas(
         assign,
         schema=(
             f"{id_col} long, {vec_col} {vec_type},"
-            " cell_id int, cell_cos double"
+            f" cell_id int, cell_cos double{keep_schema}"
         ),
     )
 

@@ -110,6 +110,7 @@ def bpe_train(
     """
     vocab = encode_words(word_counts(df, text_col)).cache()
     merges: list[Row] = []
+    pending = None  # parent cache awaiting the child's first fill
     try:
         for r in range(n_merges):
             top = (
@@ -118,6 +119,15 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # that argmax was the first action over ``vocab`` and
+            # filled its cache; the previous round's parent (kept
+            # cached so the fill never recomputed) can go now. LAZY
+            # handoff (r11): the previous eager count() per round
+            # existed only to order this same fill — n_merges extra
+            # jobs for nothing.
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if not top:
                 break
             pa, pb, cnt = top[0]["pa"], top[0]["pb"], top[0]["cnt"]
@@ -145,9 +155,7 @@ def bpe_train(
                 ).alias("enc"),
                 "freq",
             ).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            vocab.unpersist()
-            vocab = nxt
+            pending, vocab = vocab, nxt
             merges.append(
                 Row(
                     merge_round=r,
@@ -158,6 +166,8 @@ def bpe_train(
             )
     finally:
         vocab.unpersist()
+        if pending is not None:
+            pending.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_round int, left_sym string, right_sym string, pair_count bigint",
