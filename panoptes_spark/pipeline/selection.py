@@ -107,15 +107,24 @@ def dsir_logweights(
     :func:`dsir_select`. Both count tables and the totals are broadcast
     (≤ ``buckets`` rows / 1 row); the only data-sized shuffle is the
     per-doc sum's partial-aggregated groupBy."""
-    # materialize the bucket-bounded count tables: without this each of
-    # tn/rn/tc/rc is an independent plan subtree and Spark re-runs the
-    # full corpus gram explode per subtree (raw 3×, target 2× — measured
-    # in the sf3 spot soak); cached, the totals fold ≤ `buckets` rows
+    # gram-hash RAW exactly once (r11): the per-occurrence (id, bucket)
+    # relation is materialized and serves BOTH the raw count model and
+    # the per-doc weight sum — previously those were independent plan
+    # subtrees, each replaying the full tokenize + md5 explode over the
+    # corpus (the most expensive work here). The cached relation is two
+    # ints per gram occurrence, far cheaper than a second hashing pass
+    # at any scale. The target model still hashes its own (sub)corpus
+    # once; its bucket-bounded counts materialize as before (each of
+    # tn/tc otherwise re-runs the target explode — sf3 spot soak).
+    grams = spark_materialize(
+        doc_gram_buckets(raw, id_col, text_col, buckets)
+    )
     tc = spark_materialize(fit_bucket_counts(target, id_col, text_col, buckets))
-    rc = spark_materialize(fit_bucket_counts(raw, id_col, text_col, buckets))
+    rc = spark_materialize(
+        grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     tn = tc.agg(F.sum("cnt").alias("t_total"))
     rn = rc.agg(F.sum("cnt").alias("r_total"))
-    grams = doc_gram_buckets(raw, id_col, text_col, buckets)
     term = (
         f"ln((coalesce(ct, 0) + {DSIR_SMOOTH}) / (t_total + {buckets}))"
         f" - ln((coalesce(cr, 0) + {DSIR_SMOOTH}) / (r_total + {buckets}))"

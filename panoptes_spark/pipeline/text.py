@@ -29,10 +29,13 @@ def tokens_col(text_col: str = "text") -> F.Column:
 
 def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``n_tokens_ws`` (whitespace) and ``n_tokens_bpe`` (regex BPE-ish)."""
-    return df.withColumn(
-        "n_tokens_ws", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    ).withColumn(
-        "n_tokens_bpe", F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+            "n_tokens_bpe": F.regexp_count(
+                F.col(text_col), F.lit(BPE_TOKEN_PATTERN)
+            ),
+        }
     )
 
 
@@ -49,9 +52,12 @@ def lang_score_col(text_col: str, words: list[str]) -> F.Column:
 def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``lang_pred`` = argmax stopword-hit count (ties -> language name
     order; 'und' when no stopwords hit at all)."""
-    out = df
-    for lang, words in LANG_STOPWORDS.items():
-        out = out.withColumn(f"__sc_{lang}", lang_score_col(text_col, words))
+    out = df.withColumns(
+        {
+            f"__sc_{lang}": lang_score_col(text_col, words)
+            for lang, words in LANG_STOPWORDS.items()
+        }
+    )
     best = None
     best_score = None
     for lang in sorted(LANG_STOPWORDS):
@@ -105,13 +111,19 @@ def add_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
     )
-    return (
-        df.withColumn("n_chars_calc", n_chars.cast("long"))
-        .withColumn("n_tokens_ws", n_tok.cast("long"))
-        .withColumn("mean_word_len", mean_wl)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("quality_score", score.cast("double"))
+    # one withColumns call, not a chain: every withColumn copies and
+    # re-analyzes the whole logical plan, and these feature stacks are
+    # the deepest plans in the engine (r11 — plan-construction time was
+    # a measurable slice of the composed curation gate)
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens_ws": n_tok.cast("long"),
+            "mean_word_len": mean_wl,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score.cast("double"),
+        }
     )
 
 
@@ -260,10 +272,11 @@ def add_url_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     the first URL, NULL when none). Map-only regex expressions — feeds
     domain blocklist filtering and URL-keyed routing at scan speed."""
     first = F.regexp_extract(F.col(text_col), URL_DOMAIN_PATTERN, 1)
-    return df.withColumn(
-        "n_urls", F.regexp_count(F.col(text_col), F.lit(URL_PATTERN))
-    ).withColumn(
-        "first_domain", F.when(first != "", first)
+    return df.withColumns(
+        {
+            "n_urls": F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)),
+            "first_domain": F.when(first != "", first),
+        }
     )
 
 
@@ -322,8 +335,10 @@ def filter_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     reason = F.lit(None).cast("string")
     for name, cond in reversed(QUALITY_FILTER_RULES):
         reason = F.when(F.expr(cond), F.lit(name)).otherwise(reason)
-    return out.withColumn("reject_reason", reason).withColumn(
-        "keep", F.col("reject_reason").isNull()
+    # keep's expression references reject_reason, so it cannot share one
+    # withColumns with it; inline the same expression instead
+    return out.withColumns(
+        {"reject_reason": reason, "keep": reason.isNull()}
     )
 
 
@@ -349,11 +364,12 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     a second pass.
     """
     cur = F.col(text_col)
-    out = df
+    cols = {}
     for name, pat, repl in PII_RULES:
-        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cols[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, repl)
-    return out.withColumn(f"{text_col}_scrubbed", cur)
+    cols[f"{text_col}_scrubbed"] = cur
+    return df.withColumns(cols)
 
 
 def corpus_stats(
@@ -439,29 +455,22 @@ def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "   'best', greatest(acc.best, 1)) END,"
         " acc -> acc.best)"
     )
-    return (
-        df.withColumn(
-            "dup_word_frac",
-            F.expr(
+    return df.withColumns(
+        {
+            "dup_word_frac": F.expr(
                 f"CASE WHEN {n} = 0 THEN 0.0D ELSE"
                 f" 1.0D - cast(size(array_distinct({words})) as double) / {n} END"
             ),
-        )
-        .withColumn(
-            "dup_2gram_frac",
-            F.expr(
+            "dup_2gram_frac": F.expr(
                 f"CASE WHEN {n} < 2 THEN 0.0D ELSE"
                 f" 1.0D - cast(size(array_distinct({grams})) as double)"
                 f" / ({n} - 1) END"
             ),
-        )
-        .withColumn(
-            "top_word_frac",
-            F.expr(
+            "top_word_frac": F.expr(
                 f"CASE WHEN {n} = 0 THEN 0.0D ELSE"
                 f" cast({top} as double) / {n} END"
             ),
-        )
+        }
     )
 
 
@@ -501,11 +510,13 @@ def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(words)).cast("double") / n_words.cast("double"),
         6,
     )
-    return (
-        df.withColumn("n_sentences", n_sent)
-        .withColumn("n_syllables", n_syll.cast("long"))
-        .withColumn("flesch", flesch)
-        .withColumn("ttr", ttr)
+    return df.withColumns(
+        {
+            "n_sentences": n_sent,
+            "n_syllables": n_syll.cast("long"),
+            "flesch": flesch,
+            "ttr": ttr,
+        }
     )
 
 
