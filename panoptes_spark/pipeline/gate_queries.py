@@ -1676,11 +1676,11 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline.splits import assign_shard, assign_split
     from panoptes_spark.pipeline.text import filter_quality
 
-    # the chain's first stage runs EVERY quality/repetition regex plus
-    # the dedup-key normalization before its first exchange — on the
-    # one-row-group bench corpus that is a single task (r11); spread
-    # first (identity on well-split input)
-    docs = dedup.spread_for_compute(fx.read_table(spark, sf_dir, "documents"))
+    # NOT spread (r11): a paired A/B measured the round-robin exchange
+    # of the full text payload ~0.3s worse than the single-task feature
+    # scan it parallelizes — the window dedup's exchange is the
+    # pipeline's natural spread point and it needs the text anyway
+    docs = fx.read_table(spark, sf_dir, "documents")
     kept = filter_quality(docs).where("keep").select("doc_id", "text", "lang")
     deduped = dedup.exact_dedup(
         kept.withColumn("norm", dedup.normalize_text_col("text")),

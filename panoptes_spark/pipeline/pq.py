@@ -181,20 +181,20 @@ def pq_train_kmeans(
     their previous value (Lloyd convention). Shuffle volume per round is
     ~corpus·dim rows with map-side combine; iterations fixed and small.
 
-    Each round's codebook is a registered LAZY persist when the corpus
-    scan is WIDE (r11, the ``kmeans_refine`` policy): it is
+    Each round's codebook is a registered LAZY persist (r11): it is
     (m · n_codes) rows — a dim table by parameter — but as an
     unpersisted plan every downstream collect (``pq_encode`` and
     ``pq_adc_topk`` each do one via ``_codebook_tensor``) re-runs the
-    whole training round from the corpus scan. On a wide corpus each
-    avoided pass is real cluster time; on a narrow one the recompute
-    is cheaper than the persist round trip (see the paired A/B in
-    ``kmeans_refine``), so ``source_is_wide`` keys the persist on the
-    input's own split count.
+    whole training round from the corpus scan. Unlike
+    ``kmeans_refine`` (whose trained centroids are collected ONCE by
+    the broadcast top-k path, making recompute-vs-persist a wash at
+    bench SF), trained codebooks always have ≥ 2 collecting consumers,
+    and the paired A/B inside ``pq_recall_trained`` measured the
+    persist 1.0 s faster even on the one-row-group sf0.1 corpus
+    (4.42 → 3.44 s median) — so it is unconditional here.
     """
-    from .dedup import persist_registered, source_is_wide
+    from .dedup import persist_registered
 
-    wide = source_is_wide(corpus)
     dim = _dims(corpus, vec_col, m)
     ds = dim // m
     cbs = pq_train(corpus, m, n_codes, id_col, vec_col)
@@ -235,7 +235,7 @@ def pq_train_kmeans(
                 F.coalesce("new_cv", "codevec").alias("codevec"),
             )
         )
-        cbs = persist_registered(nxt) if wide else nxt
+        cbs = persist_registered(nxt)
     return cbs
 
 
