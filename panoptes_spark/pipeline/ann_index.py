@@ -25,9 +25,10 @@ Layout under ``path``::
     use, applied to index appends. The next append garbage-collects
     unreferenced ``seg-*`` dirs before staging its own.
 
-Build cost: the two narrow Arrow passes + one keyed join ``ivfpq_topk``
-already pays, once. Query cost: partition-pruned scan of the probed
-cells + the cogrouped integer-ADC kernel — identical results to
+Build cost: ONE fused narrow Arrow pass (``pq.pq_assign_encode`` —
+assignment + encoding, no id-keyed re-join), once. Query cost:
+partition-pruned scan of the probed cells + the broadcast narrow
+integer-ADC kernel (no index shuffle) — identical results to
 ``ivfpq_topk`` over the same corpus (asserted in
 ``tests/test_pipeline.py::test_ann_index_roundtrip``), because both
 share codebooks, centroids, tie-safe pruning, and the
@@ -465,9 +466,10 @@ class IvfPqIndex:
     ) -> DataFrame:
         """(query_id, nbr_id, adist, rank) — same ranking as
         ``pq.ivfpq_topk`` over the indexed corpus: the probed cells are
-        read back partition-pruned, scored with the cogrouped tie-safe
-        integer-ADC kernel, and window-ranked in the
-        (adist asc, nbr_id asc) total order.
+        read back partition-pruned, scored in ONE narrow Arrow pass
+        with the broadcast tie-safe integer-ADC kernel
+        (``pq._adc_rank_broadcast`` — the index rows never shuffle),
+        and window-ranked in the (adist asc, nbr_id asc) total order.
 
         Metadata-filtered search (r11, verdict #3 — "top-k WHERE
         lang='en' AND split='train'"): ``filter`` is a SQL expr/Column

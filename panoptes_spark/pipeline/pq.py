@@ -560,13 +560,15 @@ def ivfpq_topk(
     for the vectors inside each cell, and scoring is pure integer table
     lookups (ADC). Returns (query_id, nbr_id, adist, rank).
 
-    Scale shape: the corpus is touched by exactly two narrow Arrow
-    passes (cell assignment, PQ encode) and ONE keyed join uniting them
-    into the (cell, nbr, codes) index — the production artifact a real
-    deployment materializes once and reuses per query batch. Per probe
-    batch, the only work is a cogrouped per-cell lookup-sum over the
-    broadcast integer distance tables, vectorized across ALL probes of
-    the cell; candidate rows leaving Python are
+    Scale shape (r11): the corpus is touched by exactly ONE fused
+    narrow Arrow pass (``pq_assign_encode`` — cell assignment AND PQ
+    encoding, no id-keyed re-join) producing the (cell, nbr, codes)
+    index — the production artifact a real deployment materializes
+    once and reuses per query batch. Per probe batch, the only work is
+    a narrow per-cell lookup-sum over the broadcast integer distance
+    tables (``_adc_rank_broadcast`` — the index never shuffles),
+    vectorized across ALL probes of the cell; candidate rows leaving
+    Python are
     ≤ |queries|·nprobe·(k+1+ties). Exactness of the local prune: a
     corpus vector lives in exactly one cell, the local keep-set is
     boundary-tie-widened (every candidate at or below the k-th best

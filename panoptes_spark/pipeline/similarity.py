@@ -368,16 +368,18 @@ def ivf_topk(
     filter empties probed cells — raise ``nprobe`` as selectivity
     drops.
 
-    Scale shape (round 6): the two assignment passes are narrow
-    broadcast matmuls; the only shuffle keys BOTH sides by cell_id for a
-    cogrouped per-cell BLAS matmul that emits each query's LOCAL top-k
-    within the cell (plus boundary ties). Candidate rows leaving Python
-    are therefore ≤ |queries|·nprobe·(k+1+ties) — NOT the
-    |queries|·|cell| pair relation the previous plan materialized
-    through Arrow (the sf1 soak measured that pair stream at 10× the
-    data as the gate's whole cost). The global window then prunes to k
-    per query. Exactness of the prune: a query's global top-k ⊆ union
-    of its per-cell boundary-widened top-k (the local keep-set contains
+    Scale shape (r11): probe sets within the broadcast guard (the
+    retrieval norm — a query batch, not a corpus) take the
+    `_ivf_topk_broadcast` plan: query cell-probes computed driver-side,
+    ONE fused narrow Arrow pass over the corpus (assign + per-cell
+    score + tie-safe local top-k), no corpus shuffle at all; only
+    candidate rows (≤ |queries|·nprobe·(k+1+ties)) reach the global
+    rank window. Probe sets PAST the guard fall back to the cogroup
+    plan: two narrow assignment passes, one shuffle keying both sides
+    by cell_id for a cogrouped per-cell BLAS matmul emitting each
+    query's local top-k within the cell (plus boundary ties).
+    Exactness of either prune: a query's global top-k ⊆ union of its
+    fragment-local boundary-widened top-k (the local keep-set contains
     every candidate tied-or-above its k-th best score, so no row the
     global (cosine desc, nbr_id asc) order would rank ≤ k can be
     dropped locally) — results are identical to all-pair scoring at any
