@@ -292,8 +292,10 @@ def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from panoptes_spark.pipeline import selection
 
     docs = fx.read_table(spark, sf_dir, "documents")
-    target = docs.where(F.expr(_DSIR_TARGET_PRED))
-    return selection.dsir_logweights(docs, target)
+    # target = a source predicate over the SAME corpus: the predicate
+    # form folds the target model out of the one materialized hashing
+    # pass instead of re-hashing the target subset (r11)
+    return selection.dsir_logweights(docs, target_pred=_DSIR_TARGET_PRED)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,13 +64,17 @@ def doc_gram_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, bucket) — one row per gram OCCURRENCE (not distinct): the
-    bag-of-ngrams multiplicity is part of the model."""
+    """(id, bucket, *keep_cols) — one row per gram OCCURRENCE (not
+    distinct): the bag-of-ngrams multiplicity is part of the model.
+    ``keep_cols`` ride through the explode unchanged (narrow doc-level
+    flags a downstream fold needs without a join back onto the docs)."""
     df = spread_for_compute(df)
     return df.select(
         F.col(id_col),
         F.explode(F.expr(gram_buckets_col(text_col, buckets))).alias("bucket"),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 
@@ -91,10 +95,11 @@ def fit_bucket_counts(
 
 def dsir_logweights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
+    target_pred: str | None = None,
 ) -> DataFrame:
     """(id, n_grams, log_weight) for every raw document.
 
@@ -106,20 +111,53 @@ def dsir_logweights(
     Documents matching the target distribution score high; selection is
     :func:`dsir_select`. Both count tables and the totals are broadcast
     (≤ ``buckets`` rows / 1 row); the only data-sized shuffle is the
-    per-doc sum's partial-aggregated groupBy."""
+    per-doc sum's partial-aggregated groupBy.
+
+    ``target_pred`` (r11, mutually exclusive with ``target``): when the
+    target corpus is a PREDICATE over ``raw``'s own rows (the common
+    "target = trusted sources of the same corpus" setup), pass the SQL
+    predicate instead of a filtered frame — the per-document truth
+    value is evaluated once before the gram explode and rides along the
+    materialized occurrence relation as one boolean, so the target
+    model folds from the SAME single hashing pass instead of re-
+    tokenizing and re-hashing the target subset."""
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_logweights needs exactly one of target / target_pred"
+        )
     # gram-hash RAW exactly once (r11): the per-occurrence (id, bucket)
     # relation is materialized and serves BOTH the raw count model and
     # the per-doc weight sum — previously those were independent plan
     # subtrees, each replaying the full tokenize + md5 explode over the
     # corpus (the most expensive work here). The cached relation is two
     # ints per gram occurrence, far cheaper than a second hashing pass
-    # at any scale. The target model still hashes its own (sub)corpus
-    # once; its bucket-bounded counts materialize as before (each of
-    # tn/tc otherwise re-runs the target explode — sf3 spot soak).
-    grams = spark_materialize(
-        doc_gram_buckets(raw, id_col, text_col, buckets)
-    )
-    tc = spark_materialize(fit_bucket_counts(target, id_col, text_col, buckets))
+    # at any scale. With ``target_pred`` the target counts fold from
+    # this same relation; with a ``target`` frame, the target hashes
+    # its own (sub)corpus once and its bucket-bounded counts
+    # materialize as before (each of tn/tc otherwise re-runs the
+    # target explode — sf3 spot soak).
+    if target_pred is not None:
+        grams = spark_materialize(
+            doc_gram_buckets(
+                raw.withColumn("__is_target", F.expr(target_pred)),
+                id_col,
+                text_col,
+                buckets,
+                keep_cols=["__is_target"],
+            )
+        )
+        tc = spark_materialize(
+            grams.where("__is_target")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    else:
+        grams = spark_materialize(
+            doc_gram_buckets(raw, id_col, text_col, buckets)
+        )
+        tc = spark_materialize(
+            fit_bucket_counts(target, id_col, text_col, buckets)
+        )
     rc = spark_materialize(
         grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -121,3 +121,47 @@ def test_grouped_quantiles_wide_multi_matches_single(spark):
         for src, (q, n) in single.items():
             assert multi[src][f"q_{label}"] == q, (label, src)
             assert multi[src]["n"] == n
+
+
+def test_lm_vocab_from_bigrams_matches_union(spark, sf_dir):
+    """train_bigram_lm's wide-input vocab (distinct prev∪cur of the
+    bigram PAIR table) must equal the narrow-input union-arm count over
+    instances — same value, one fewer corpus pass."""
+    from panoptes_spark.pipeline.lm import train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sc = spark.sparkContext
+    wide = docs.repartition(sc.defaultParallelism)
+    narrow = docs.coalesce(1)
+    v_wide = train_bigram_lm(wide)[2].collect()[0][0]
+    v_narrow = train_bigram_lm(narrow)[2].collect()[0][0]
+    assert v_wide == v_narrow and v_wide > 0
+
+
+def test_dsir_target_pred_equals_target_frame(spark, sf_dir):
+    """dsir_logweights(target_pred=...) — the single-hashing-pass form —
+    must return exactly the rows of the filtered-frame form."""
+    from panoptes_spark.pipeline import selection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = "source IN ('src0', 'src1')"
+    a = sorted(
+        map(
+            tuple,
+            selection.dsir_logweights(docs, docs.where(pred)).collect(),
+        )
+    )
+    b = sorted(
+        map(tuple, selection.dsir_logweights(docs, target_pred=pred).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_dsir_logweights_rejects_both_and_neither(spark, sf_dir):
+    from panoptes_spark.pipeline import selection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        selection.dsir_logweights(docs)
+    with pytest.raises(ValueError):
+        selection.dsir_logweights(docs, docs, target_pred="source = 'src0'")
