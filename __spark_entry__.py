@@ -3746,15 +3746,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: gates produce byte-identical canon — materialize swaps, artifact
 #: sharing — are covered by the full local sweep and rotate normally.)
 _DRIVER_PRIORITY = [
-    # r11 gates (ANN generation lifecycle + metadata-filtered search)
-    "ann_retrain_swap",
-    "ann_filtered_topk",
-    # r11 semantics/impl changes: rewritten sink commit path (async
-    # writes, union-find relabeling, n_tombs_total), wide-domain
-    # grouped-quantile thresholds
-    "dedup_stream_pairs",
-    "dedup_log_compacted_pairs",
-    "perplexity_buckets",
+    # r11's riskiest plan rewrites all rotated OUT of the r11 driver
+    # sample (they were sampled in r10, so staleness ordering put them
+    # last); the driver's oracle has not yet signed off on them. Head
+    # the r12 sample with exactly those six (r11 verdict item #4):
+    "a20_sole_late_supplier",  # self-join -> window over join clustering
+    "ann_index_topk",          # broadcast IVF plan (+ r12 probe rework)
+    "ann_ivfpq_topk",          # fused assign+encode, ADC broadcast
+    "embedding_drift",         # single-pass tagged-union shape
+    "dsir_weights",            # single hashing pass + target_pred fold
+    "lm_perplexity",           # wide-input vocab from the bigram table
 ]
 
 

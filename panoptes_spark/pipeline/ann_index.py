@@ -505,9 +505,7 @@ class IvfPqIndex:
                 [], "query_id long, nbr_id long, adist long, rank int"
             )
         if len(head) <= shard:
-            return self._topk_batch(
-                head, qsel.schema, k, nprobe, filter, filter_ids
-            )
+            return self._topk_batch(head, k, nprobe, filter, filter_ids)
         nq = qsel.count()
         n_batches = -(-nq // shard)
         parts = []
@@ -515,9 +513,7 @@ class IvfPqIndex:
 
         def flush():
             parts.append(
-                self._topk_batch(
-                    buf, qsel.schema, k, nprobe, filter, filter_ids
-                )
+                self._topk_batch(buf, k, nprobe, filter, filter_ids)
                 .localCheckpoint(eager=True)
             )
             buf.clear()
@@ -534,7 +530,7 @@ class IvfPqIndex:
         return out
 
     def _topk_batch(
-        self, qrows, schema, k: int, nprobe: int,
+        self, qrows, k: int, nprobe: int,
         filter=None, filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Score one byte-budget-sized list of probe rows.
@@ -564,6 +560,5 @@ class IvfPqIndex:
             )
             c_idx = c_idx.join(allowed, "nbr_id", "left_semi")
         return _pq._adc_rank_broadcast(
-            c_idx, qrows, self.centroids(), cb, k, nprobe,
-            id_col=self.meta["id_col"],
+            c_idx, qrows, self.centroids(), cb, k, nprobe
         )

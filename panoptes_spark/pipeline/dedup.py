@@ -119,6 +119,15 @@ def source_is_wide(source: DataFrame) -> bool:
         return False
     sc = source.sparkSession.sparkContext
     try:
+        # Shuffle-bearing (derived) frames: with AQE, converting to an
+        # RDD materializes upstream query stages — the probe would
+        # itself run jobs. A derived lineage containing an exchange is
+        # expensive to recompute by definition, so answer True without
+        # touching the RDD; only scan-shaped plans (no exchange, where
+        # .rdd is a pure planning call) fall through to the split count.
+        plan = source._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "ShuffleQueryStage" in plan:
+            return True
         return source.rdd.getNumPartitions() >= sc.defaultParallelism
     except Exception:
         return True

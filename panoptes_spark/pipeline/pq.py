@@ -599,9 +599,7 @@ def ivfpq_topk(
     c_idx = pq_assign_encode(
         corpus, centroids, codebooks, id_col, vec_col
     ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
-    return _adc_rank_broadcast(
-        c_idx, qrows, centroids, cb, k, nprobe, id_col
-    )
+    return _adc_rank_broadcast(c_idx, qrows, centroids, cb, k, nprobe)
 
 
 def _adc_rank_broadcast(
@@ -611,7 +609,6 @@ def _adc_rank_broadcast(
     cb,
     k: int,
     nprobe: int,
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Rank an (nbr_id, cell_id, codes) index relation against a
     driver-resident probe batch: the queries' cell probes and integer

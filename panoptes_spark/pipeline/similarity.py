@@ -40,6 +40,16 @@ def cosine_expr(a: str, b: str) -> str:
 #: query sets past this bound and point the caller at ivf_topk instead.
 MAX_BROADCAST_QUERY_ROWS = 1_000_000
 
+#: ivf_topk's broadcast fast path is additionally BYTE-bounded: the row
+#: cap alone admits multi-GB driver collects at realistic dims (1M rows
+#: × dim 512 × 8B = 4 GB). The probe collect pulls at most
+#: PROBE_CHUNK_ROWS full rows first (covers every retrieval-norm batch
+#: in one job); only if that cap is hit is the row width known and the
+#: byte budget applied, so the data-sized fallback never collects more
+#: than max(PROBE_CHUNK_ROWS rows, MAX_BROADCAST_QUERY_BYTES).
+MAX_BROADCAST_QUERY_BYTES = 1 << 28
+PROBE_CHUNK_ROWS = 65_536
+
 
 def cosine_topk_bruteforce(
     corpus: DataFrame,
@@ -407,15 +417,25 @@ def ivf_topk(
     # it is two extra Python stages and an exchange; it remains the
     # right plan only when the probe set itself is data-sized (guide
     # §3.1: broadcast the side that fits).
-    qrows = (
-        queries.select(id_col, vec_col)
-        .limit(MAX_BROADCAST_QUERY_ROWS + 1)
-        .collect()
-    )
-    if len(qrows) <= MAX_BROADCAST_QUERY_ROWS:
+    # Probe in two byte-bounded steps rather than collecting up to the
+    # full row cap blind: a data-sized probe set must not pull GBs of
+    # embeddings to the driver just to learn it is data-sized.
+    q_proj = queries.select(id_col, vec_col)
+    probe_cap = min(MAX_BROADCAST_QUERY_ROWS, PROBE_CHUNK_ROWS)
+    qrows = q_proj.limit(probe_cap + 1).collect()
+    if len(qrows) <= probe_cap:
         return _ivf_topk_broadcast(
             corpus, qrows, centroids, id_col, vec_col, k, nprobe
         )
+    dim = max(1, len(qrows[0][1] or ()))
+    cap = min(MAX_BROADCAST_QUERY_ROWS, MAX_BROADCAST_QUERY_BYTES // (dim * 8))
+    if cap > probe_cap:
+        qrows = q_proj.limit(cap + 1).collect()
+        if len(qrows) <= cap:
+            return _ivf_topk_broadcast(
+                corpus, qrows, centroids, id_col, vec_col, k, nprobe
+            )
+    del qrows
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("cv"), "cell_id"
     )

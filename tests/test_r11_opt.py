@@ -19,7 +19,7 @@ def sf_dir():
     return "/root/testdata/sf0.001"
 
 
-def test_ivf_topk_broadcast_equals_cogroup(spark, sf_dir):
+def test_ivf_topk_broadcast_equals_cogroup(spark, sf_dir, monkeypatch):
     """The bounded-probe broadcast plan (no corpus shuffle) must return
     the identical ranking to the cogroup plan — forced here by dropping
     the broadcast guard to zero rows."""
@@ -31,17 +31,13 @@ def test_ivf_topk_broadcast_equals_cogroup(spark, sf_dir):
     fast = sorted(
         map(tuple, similarity.ivf_topk(emb, q, cents, k=5, nprobe=2).collect())
     )
-    orig = similarity.MAX_BROADCAST_QUERY_ROWS
-    similarity.MAX_BROADCAST_QUERY_ROWS = 0
-    try:
-        slow = sorted(
-            map(
-                tuple,
-                similarity.ivf_topk(emb, q, cents, k=5, nprobe=2).collect(),
-            )
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_QUERY_ROWS", 0)
+    slow = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(emb, q, cents, k=5, nprobe=2).collect(),
         )
-    finally:
-        similarity.MAX_BROADCAST_QUERY_ROWS = orig
+    )
     assert fast == slow and len(fast) > 0
 
 
