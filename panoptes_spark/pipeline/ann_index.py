@@ -167,6 +167,28 @@ class IvfPqIndex:
                 f"index at {path} has format_version={ver}, newer than "
                 f"this reader ({_FORMAT_VERSION}); rebuild or upgrade"
             )
+        # collected dim tables, cached per (handle, manifest file name):
+        # every probe batch and segment write needs them driver-side, and
+        # each redundant collect is a fixed-latency Spark job (r12). The
+        # cache key is the manifest-resolved FILE name, so a mutating op
+        # on this handle (retrain_swap repoints the files) can never
+        # serve a stale generation; per-generation files are immutable
+        # once referenced, so no content staleness is possible.
+        self._dim_cache: dict = {}
+
+    def _cents_rows(self):
+        key = ("cents", self.meta.get("centroids_file", "centroids.parquet"))
+        if key not in self._dim_cache:
+            self._dim_cache[key] = self.centroids().select(
+                "cell_id", "centroid"
+            ).collect()
+        return self._dim_cache[key]
+
+    def _cb_tensor(self):
+        key = ("cb", self.meta.get("codebooks_file", "codebooks.parquet"))
+        if key not in self._dim_cache:
+            self._dim_cache[key] = _pq._codebook_tensor(self.codebooks())
+        return self._dim_cache[key]
 
     def centroids(self) -> DataFrame:
         # manifest-resolved (r11): a retrain_swap repoints these to the
@@ -449,7 +471,8 @@ class IvfPqIndex:
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         idx = _pq.pq_assign_encode(
-            new_corpus, self.centroids(), self.codebooks(), id_col, vec_col
+            new_corpus, self.centroids(), self.codebooks(), id_col, vec_col,
+            cents_rows=self._cents_rows(), cb=self._cb_tensor(),
         ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
         idx.write.mode("overwrite").partitionBy("cell_id").parquet(
             os.path.join(self.path, seg)
@@ -547,7 +570,7 @@ class IvfPqIndex:
         through the segment union to each cell-partitioned parquet
         root, and only manifest-referenced segments are read (torn
         appends invisible)."""
-        cb = _pq._codebook_tensor(self.codebooks())
+        cb = self._cb_tensor()
         c_idx = self._index_df()
         # metadata filter lands on the member scan BEFORE scoring —
         # never after rank truncation (the plan-audit test locks the
@@ -560,5 +583,5 @@ class IvfPqIndex:
             )
             c_idx = c_idx.join(allowed, "nbr_id", "left_semi")
         return _pq._adc_rank_broadcast(
-            c_idx, qrows, self.centroids(), cb, k, nprobe
+            c_idx, qrows, self._cents_rows(), cb, k, nprobe
         )

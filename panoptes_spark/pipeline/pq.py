@@ -340,6 +340,8 @@ def pq_assign_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_rows=None,
+    cb=None,
 ) -> DataFrame:
     """(id, cell_id, codes): coarse-cell assignment AND PQ encoding in
     ONE narrow Arrow pass — the (cell, codes) index relation every
@@ -350,15 +352,27 @@ def pq_assign_encode(
     read once, never shuffled, and crosses the Python boundary once
     (r11, guide §2.4/§4). Arithmetic, rounding and tie-breaks are
     identical to the two-pass form (same centroid lexsort, same
-    integer-scaled argmin), so results are row-for-row equal."""
+    integer-scaled argmin), so results are row-for-row equal.
+
+    ``cents_rows``/``cb``: callers that already hold the collected
+    centroid rows / codebook tensor (``ivfpq_topk``, the index handle)
+    pass them through so the dim tables are collected ONCE per call —
+    each redundant collect is a Spark job, and when the centroid frame
+    is an unpersisted trained chain it replays the whole Lloyd lineage
+    (r12)."""
     import numpy as np
 
     spark = corpus.sparkSession
-    cents = centroids.select("cell_id", "centroid").collect()
+    cents = (
+        cents_rows
+        if cents_rows is not None
+        else centroids.select("cell_id", "centroid").collect()
+    )
     c_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
     c_mat = np.array([r.centroid for r in cents], dtype=np.float64)
     c_norms = np.sqrt((c_mat * c_mat).sum(axis=1))
-    cb = _codebook_tensor(codebooks)
+    if cb is None:
+        cb = _codebook_tensor(codebooks)
     m, _, ds = cb.shape
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms, cb))
 
@@ -591,15 +605,20 @@ def ivfpq_topk(
             "shard the probe set"
         )
     _guard_adc_broadcast(len(qrows), m, n_codes, max_table_bytes)
+    # centroid rows collected ONCE for both consumers below — a second
+    # collect is a Spark job, and on a trained (unpersisted) centroid
+    # chain it replays the whole Lloyd lineage (r12)
+    cents_rows = centroids.select("cell_id", "centroid").collect()
     # (id, cell, codes) in ONE fused narrow pass — the previous
     # composition (separate assign + encode passes re-united by an
     # id-keyed join, then a cogroup exchange of the whole index by
     # cell) shuffled the corpus twice per probe batch; the index
     # relation now never shuffles at all (r11)
     c_idx = pq_assign_encode(
-        corpus, centroids, codebooks, id_col, vec_col
+        corpus, centroids, codebooks, id_col, vec_col,
+        cents_rows=cents_rows, cb=cb,
     ).select(F.col(id_col).alias("nbr_id"), "cell_id", "codes")
-    return _adc_rank_broadcast(c_idx, qrows, centroids, cb, k, nprobe)
+    return _adc_rank_broadcast(c_idx, qrows, cents_rows, cb, k, nprobe)
 
 
 def _adc_rank_broadcast(
@@ -620,7 +639,11 @@ def _adc_rank_broadcast(
     prunes the boundary-widened local keep-sets to the exact
     (adist asc, nbr_id asc) top-k — identical results to the cogroup
     plan at any partition layout, with no index shuffle and one fewer
-    Python stage."""
+    Python stage.
+
+    ``centroids`` may be the centroid DataFrame or its already-collected
+    rows — callers holding the rows pass them through so the dim table
+    is collected once per top-k call (r12)."""
     import numpy as np
 
     spark = c_idx.sparkSession
@@ -629,7 +652,11 @@ def _adc_rank_broadcast(
         return spark.createDataFrame([], out_schema)
     m = cb.shape[0]
     ds = cb.shape[2]
-    cents = centroids.select("cell_id", "centroid").collect()
+    cents = (
+        centroids
+        if isinstance(centroids, list)
+        else centroids.select("cell_id", "centroid").collect()
+    )
     cc_ids = np.array([r.cell_id for r in cents], dtype=np.int64)
     cc_mat = np.array([r.centroid for r in cents], dtype=np.float64)
     cc_norms = np.sqrt((cc_mat * cc_mat).sum(axis=1))

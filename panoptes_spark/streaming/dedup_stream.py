@@ -728,22 +728,44 @@ class NearDedupIndexSink:
                         )
                     )
                 else:
-                    touched_b = new_counts.select("band", "bucket")
-                    old_n = (
+                    # ONE aggregation instead of (old agg) LEFT JOIN
+                    # (new agg): union the semi-pruned stored counts with
+                    # the batch's banded rows (n=1 each — b_new is
+                    # checkpointed, and duplicates are harmless in the
+                    # semi probe) and fold both sides in a single
+                    # conditional agg — two exchanges fewer per commit
+                    # (r12; the commit cost is job-count, not data)
+                    old_part = (
                         log.bucket_counts()
-                        .join(touched_b, ["band", "bucket"], "left_semi")
-                        .groupBy("band", "bucket")
-                        .agg(F.sum("n").alias("__old_n"))
+                        .join(
+                            b_new.select("band", "bucket"),
+                            ["band", "bucket"],
+                            "left_semi",
+                        )
+                        .select(
+                            "band", "bucket", "n",
+                            F.lit(False).alias("__new"),
+                        )
+                    )
+                    new_part = b_new.select(
+                        "band",
+                        "bucket",
+                        F.lit(1).cast("bigint").alias("n"),
+                        F.lit(True).alias("__new"),
                     )
                     merged = _m(
-                        new_counts.join(old_n, ["band", "bucket"], "left")
-                        .select(
-                            "band",
-                            "bucket",
-                            F.coalesce("__old_n", F.lit(0))
+                        old_part.unionByName(new_part)
+                        .groupBy("band", "bucket")
+                        .agg(
+                            F.coalesce(
+                                F.sum(F.when(~F.col("__new"), F.col("n"))),
+                                F.lit(0),
+                            )
                             .cast("bigint")
                             .alias("__old_n"),
-                            F.col("n").alias("__new_n"),
+                            F.sum(F.when(F.col("__new"), F.col("n")))
+                            .cast("bigint")
+                            .alias("__new_n"),
                         )
                     )
             elig_b = merged.where(
@@ -799,6 +821,14 @@ class NearDedupIndexSink:
                 # members only (semi-join prunes the retained-doc scan)
                 sh_all = sig_new.select(idc, "shingles")
                 if not first:
+                    # cand feeds the verify join AND (via cand_ids) the
+                    # old-doc shingle scan; sh_all streams through BOTH
+                    # sides of the pair join below, and a broadcast pair
+                    # join has no exchange ReusedExchange could dedup —
+                    # unmaterialized, the retained-doc scan + re-shingle
+                    # ran twice per commit (r12). Both frames are
+                    # candidate-sized, so the checkpoints are tiny.
+                    cand = _m(cand)
                     # no distinct: only a left_semi probe side (r11)
                     cand_ids = cand.select(
                         F.col("a").alias(idc)
@@ -812,7 +842,7 @@ class NearDedupIndexSink:
                             "shingles"
                         ),
                     )
-                    sh_all = sh_all.unionByName(sh_old)
+                    sh_all = _m(sh_all.unionByName(sh_old))
                 # ONE materialization serves the relation write, the
                 # tombstone diff, the touched-component marking, and the
                 # live-edge union (r10 wrote then read back)
@@ -1010,22 +1040,32 @@ class NearDedupIndexSink:
                             "left_semi",
                         )
 
-                    # fast path: ONE action for the node spine, one for
-                    # the edges — limit probes double as the size guard
-                    # (len == cap+1 means truncated -> distributed)
-                    npdf = sub_nodes_df.limit(cap + 1).toPandas()
-                    epdf = None
-                    if len(npdf) <= cap:
-                        nodes_local = F.broadcast(
-                            spark.createDataFrame(npdf, f"node {idt}")
-                        )
-                        epdf = (
-                            _live_edges(nodes_local)
-                            .select("a", "b")
-                            .limit(4 * cap + 1)
-                            .toPandas()
-                        )
-                    if epdf is not None and len(epdf) <= 4 * cap:
+                    # fast path: node spine AND edges in ONE action —
+                    # per-leg limit probes double as the size guard
+                    # (len == cap+1 means truncated -> distributed).
+                    # The edges leg prunes against the sub_nodes_df DAG
+                    # itself, so the accumulated-label shuffle it embeds
+                    # is shared with the nodes leg via ReusedExchange
+                    # inside the single job, where the previous
+                    # two-action shape (collect nodes -> broadcast back
+                    # -> collect edges) re-planned it and paid a second
+                    # round of query-stage jobs per commit (r12).
+                    nodes_leg = sub_nodes_df.select(
+                        F.lit(0).alias("__t"),
+                        F.col("node").alias("a"),
+                        F.col("node").alias("b"),
+                    ).limit(cap + 1)
+                    edges_leg = (
+                        _live_edges(sub_nodes_df)
+                        .select(F.lit(1).alias("__t"), "a", "b")
+                        .limit(4 * cap + 1)
+                    )
+                    both = nodes_leg.unionByName(edges_leg).toPandas()
+                    npdf = both[both["__t"] == 0][["a"]].rename(
+                        columns={"a": "node"}
+                    )
+                    epdf = both[both["__t"] == 1][["a", "b"]]
+                    if len(npdf) <= cap and len(epdf) <= 4 * cap:
                         # exact driver-side union-find over the
                         # churn-sized subgraph: the propagation loop's
                         # 2-jobs-per-round fixed cost was the largest
