@@ -180,14 +180,41 @@ _DSL_PROGRAM = {
 }
 
 
-def _dsl_metric_program(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
+#: compiled-program plan memo, keyed per (session, sf_dir, program tag).
+#: MetricDSLCompiler.compile() is PURE plan construction (no driver
+#: action anywhere in the compiler — nothing data-derived is embedded),
+#: but it builds hundreds of tiny frames and re-analyzes deep trees:
+#: ~0.5 s of driver latency per compile at ANY scale (r11 "not yet
+#: optimized" #2). A program compiles once per session; every action on
+#: the memoized plan still computes from the parquet inputs.
+_DSL_COMPILED: dict = {}
 
-    # persist: three oid tables filter this one derivation — without it the
-    # lineitem scan+groupBy runs once per table
-    tables = fx.oid_tables_from_lineitem(spark, sf_dir).persist()
-    comp = MetricDSLCompiler(spark, _DSL_PROGRAM, tables, interval_sec=60)
-    return flatten_groups(comp.compile())
+
+def _compiled_dsl_program(
+    spark: SparkSession, sf_dir: str, tag: str, program: dict
+) -> DataFrame:
+    import os as _os
+
+    from panoptes_spark.dsl.metric_compiler import (
+        MetricDSLCompiler,
+        flatten_groups,
+    )
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir), tag)
+    df = _DSL_COMPILED.get(key)
+    if df is None:
+        # persist: three oid tables filter this one derivation — without
+        # it the lineitem scan+groupBy runs once per table (the bench
+        # releases caches between queries; recompute refills lazily)
+        tables = fx.oid_tables_from_lineitem(spark, sf_dir).persist()
+        comp = MetricDSLCompiler(spark, program, tables, interval_sec=60)
+        df = flatten_groups(comp.compile())
+        _DSL_COMPILED[key] = df
+    return df
+
+
+def _dsl_metric_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _compiled_dsl_program(spark, sf_dir, "dsl_metric", _DSL_PROGRAM)
 
 
 _DSL_METRIC_ORACLE = f"""
@@ -1039,11 +1066,7 @@ _P7_PROGRAM = {
 
 
 def _p7_empty_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from panoptes_spark.dsl.metric_compiler import MetricDSLCompiler, flatten_groups
-
-    tables = fx.oid_tables_from_lineitem(spark, sf_dir).persist()
-    comp = MetricDSLCompiler(spark, _P7_PROGRAM, tables, interval_sec=60)
-    return flatten_groups(comp.compile())
+    return _compiled_dsl_program(spark, sf_dir, "p7_empty_dims", _P7_PROGRAM)
 
 
 _P7_ORACLE = f"""

@@ -153,6 +153,15 @@ def build_ivfpq_index(
     return IvfPqIndex(spark, path)
 
 
+#: collected dim tables (centroid rows / codebook tensors), memoized per
+#: (file identity, mtime) — every probe batch and segment write needs
+#: them driver-side, and each redundant collect is a fixed-latency Spark
+#: job (r12). Keyed on the manifest-resolved file's identity, never on
+#: the input data directory, and process-local: a cold driver re-reads
+#: everything from the index files themselves.
+_DIM_MEMO: dict = {}
+
+
 class IvfPqIndex:
     """Handle over a built index directory; ``topk`` runs probe batches."""
 
@@ -167,28 +176,36 @@ class IvfPqIndex:
                 f"index at {path} has format_version={ver}, newer than "
                 f"this reader ({_FORMAT_VERSION}); rebuild or upgrade"
             )
-        # collected dim tables, cached per (handle, manifest file name):
-        # every probe batch and segment write needs them driver-side, and
-        # each redundant collect is a fixed-latency Spark job (r12). The
-        # cache key is the manifest-resolved FILE name, so a mutating op
-        # on this handle (retrain_swap repoints the files) can never
-        # serve a stale generation; per-generation files are immutable
-        # once referenced, so no content staleness is possible.
-        self._dim_cache: dict = {}
+    def _dim_key(self, fname: str):
+        """Identity of a dim-table parquet dir: path + name + dir mtime.
+        Per-generation files are immutable once manifest-referenced;
+        the only rewrite path (a rebuild at the same path) replaces the
+        directory, which bumps its mtime — so the memo can never serve
+        stale content, and a fresh driver process always re-reads."""
+        d = os.path.join(self.path, fname)
+        try:
+            mt = os.stat(d).st_mtime_ns
+        except OSError:
+            mt = None
+        return (os.path.realpath(d), mt)
 
     def _cents_rows(self):
-        key = ("cents", self.meta.get("centroids_file", "centroids.parquet"))
-        if key not in self._dim_cache:
-            self._dim_cache[key] = self.centroids().select(
+        key = ("cents",) + self._dim_key(
+            self.meta.get("centroids_file", "centroids.parquet")
+        )
+        if key not in _DIM_MEMO:
+            _DIM_MEMO[key] = self.centroids().select(
                 "cell_id", "centroid"
             ).collect()
-        return self._dim_cache[key]
+        return _DIM_MEMO[key]
 
     def _cb_tensor(self):
-        key = ("cb", self.meta.get("codebooks_file", "codebooks.parquet"))
-        if key not in self._dim_cache:
-            self._dim_cache[key] = _pq._codebook_tensor(self.codebooks())
-        return self._dim_cache[key]
+        key = ("cb",) + self._dim_key(
+            self.meta.get("codebooks_file", "codebooks.parquet")
+        )
+        if key not in _DIM_MEMO:
+            _DIM_MEMO[key] = _pq._codebook_tensor(self.codebooks())
+        return _DIM_MEMO[key]
 
     def centroids(self) -> DataFrame:
         # manifest-resolved (r11): a retrain_swap repoints these to the

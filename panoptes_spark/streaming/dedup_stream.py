@@ -46,6 +46,14 @@ def dedup_exact_stream(
 #: every per-batch relation in the log layout (compaction GC walks these)
 _RELATIONS = ("docs", "sigs", "buckets", "bcounts", "pairs", "tombs", "comps")
 
+#: label-log size above which the sink resolves touched components by
+#: PRUNED per-node aggregation (three broadcast-pruned scans) instead of
+#: one full latest-wins shuffle of the log per commit. Below it the
+#: shuffle is tiny and the extra scans cost more fixed job latency than
+#: they save (measured at sf0.1: pruned = comps 9 -> 13-16 jobs,
+#: 2 -> 5-9 s) — a data-derived policy, not a core-count constant.
+_PRUNE_COMPS_MIN_BYTES = 256 << 20
+
 
 class DedupIndexLog:
     """Read API over the append-only batch log :class:`NearDedupIndexSink`
@@ -143,13 +151,18 @@ class DedupIndexLog:
             return raw
         return raw.join(self.tombstones(), ["a", "b"], "left_anti")
 
-    def components(self) -> DataFrame:
+    def components_raw(self) -> DataFrame:
+        """The UN-resolved per-batch label rows (node, component, __b) —
+        ``__b`` is the POSITION in the committed-batches list, not the
+        id itself: commit order is what latest-wins means, and a
+        compacted generation's id is a string tag (r10). Exposed so the
+        sink can resolve latest-wins for a PRUNED node set (semi-join
+        below the per-node max_by is exact — resolution is per-node
+        independent) instead of shuffling the whole label log per
+        commit (r12)."""
         import os
 
         parts = []
-        # resolution key = POSITION in the committed-batches list, not
-        # the id itself: commit order is what latest-wins means, and a
-        # compacted generation's id is a string tag (r10)
         for pos, b in enumerate(self.state["batches"]):
             parts.append(
                 self.spark.read.schema(
@@ -161,9 +174,33 @@ class DedupIndexLog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.groupBy("node").agg(
-            F.max_by("component", "__b").alias("component")
+        return out
+
+    def components(self) -> DataFrame:
+        return (
+            self.components_raw()
+            .groupBy("node")
+            .agg(F.max_by("component", "__b").alias("component"))
         )
+
+    def rel_bytes(self, rel: str) -> int:
+        """On-disk bytes of a relation's COMMITTED batch dirs — a
+        zero-job, driver-side size signal (the sink keys its
+        touched-component resolution strategy on it, r12)."""
+        import os
+
+        total = 0
+        for b in self.state["batches"]:
+            d = os.path.join(self.base, rel, f"batch={b}")
+            if not os.path.isdir(d):
+                continue
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
 
     # -- compaction ---------------------------------------------------------
     def _gc_unreferenced(self) -> list[str]:
@@ -777,14 +814,14 @@ class NearDedupIndexSink:
             # old docs are never re-banded, their membership is read
             with _sec("members"):
                 new_mem = b_new.join(elig_b, ["band", "bucket"])
+                old_mem = None
                 if first:
                     members = new_mem
                 else:
-                    members = new_mem.unionByName(
-                        log.bucket_membership().join(
-                            elig_b, ["band", "bucket"]
-                        )
+                    old_mem = log.bucket_membership().join(
+                        elig_b, ["band", "bucket"]
                     )
+                    members = new_mem.unionByName(old_mem)
 
             with _sec("verify"):
                 # candidate pairs with >= 1 member from THIS batch
@@ -817,24 +854,18 @@ class NearDedupIndexSink:
                     .distinct()
                 )
                 # shingle sets for verification: new docs carry theirs in
-                # sig_new; older docs re-shingle ON DEMAND for candidate
-                # members only (semi-join prunes the retained-doc scan)
+                # sig_new; older docs re-shingle ON DEMAND. The old-side
+                # id set is the stored members of the eligible TOUCHED
+                # buckets (old_mem) — every touched bucket has a new
+                # member by construction, so this is EXACTLY the set of
+                # old candidate endpoints; probing with old_mem instead
+                # of cand's endpoints keeps cand out of sh_all's lineage
+                # (one fewer deep subtree to materialize per commit, r12)
                 sh_all = sig_new.select(idc, "shingles")
                 if not first:
-                    # cand feeds the verify join AND (via cand_ids) the
-                    # old-doc shingle scan; sh_all streams through BOTH
-                    # sides of the pair join below, and a broadcast pair
-                    # join has no exchange ReusedExchange could dedup —
-                    # unmaterialized, the retained-doc scan + re-shingle
-                    # ran twice per commit (r12). Both frames are
-                    # candidate-sized, so the checkpoints are tiny.
-                    cand = _m(cand)
                     # no distinct: only a left_semi probe side (r11)
-                    cand_ids = cand.select(
-                        F.col("a").alias(idc)
-                    ).unionByName(cand.select(F.col("b").alias(idc)))
                     old_cand_docs = log.docs().join(
-                        cand_ids, idc, "left_semi"
+                        old_mem.select(idc), idc, "left_semi"
                     )
                     sh_old = old_cand_docs.select(
                         F.col(idc),
@@ -842,6 +873,12 @@ class NearDedupIndexSink:
                             "shingles"
                         ),
                     )
+                    # sh_all streams through BOTH sides of the pair join
+                    # below, and a broadcast pair join has no exchange
+                    # ReusedExchange could dedup — unmaterialized, the
+                    # retained-doc scan + re-shingle ran twice per
+                    # commit (r12). Candidate-sized, so the checkpoint
+                    # is tiny.
                     sh_all = _m(sh_all.unionByName(sh_old))
                 # ONE materialization serves the relation write, the
                 # tombstone diff, the touched-component marking, and the
@@ -1006,15 +1043,68 @@ class NearDedupIndexSink:
                         # no distinct: touched only feeds a left_semi
                         # probe side, where duplicates are harmless —
                         # the dedup shuffle was a whole stage wave (r11)
-                        old_comps = log.components()
-                        touched_comps = (
-                            old_comps.join(touched, "node", "left_semi")
-                            .select("component")
-                            .distinct()
-                        )
-                        sub_old = old_comps.join(
-                            touched_comps, "component", "left_semi"
-                        ).select("node")
+                        raw = log.components_raw()
+                        if log.rel_bytes("comps") > _PRUNE_COMPS_MIN_BYTES:
+                            # WIDE label log (real deployment): resolve
+                            # latest-wins only for the nodes that
+                            # matter. Resolution is PER-NODE independent
+                            # (max_by over each node's own rows), so a
+                            # semi join below the per-node aggregate is
+                            # exact: (1) resolve the touched endpoints,
+                            # (2) candidates = any node that EVER wore a
+                            # touched component label (a node's latest
+                            # row is one of its raw rows — complete
+                            # superset), (3) re-resolve candidates and
+                            # keep those whose LATEST label is touched —
+                            # exactly the touched components'
+                            # membership, so the closure argument in the
+                            # class docstring is unchanged. Three
+                            # broadcast-pruned scans of the log instead
+                            # of ONE corpus-sized label shuffle per
+                            # commit (r12). On a narrow (bench-layout)
+                            # log the extra scans cost more jobs than
+                            # the one tiny shuffle they avoid (measured:
+                            # comps 9 -> 13-16 jobs, 2 -> 5-9 s), so
+                            # the classic shape is kept there — the
+                            # same data-derived policy as the Lloyd
+                            # trainer persists.
+                            touched_comps = (
+                                raw.join(touched, "node", "left_semi")
+                                .groupBy("node")
+                                .agg(
+                                    F.max_by("component", "__b").alias(
+                                        "component"
+                                    )
+                                )
+                                .select("component")
+                                .distinct()
+                            )
+                            cand_nodes = raw.join(
+                                touched_comps, "component", "left_semi"
+                            ).select("node")
+                            sub_old = (
+                                raw.join(cand_nodes, "node", "left_semi")
+                                .groupBy("node")
+                                .agg(
+                                    F.max_by("component", "__b").alias(
+                                        "component"
+                                    )
+                                )
+                                .join(
+                                    touched_comps, "component", "left_semi"
+                                )
+                                .select("node")
+                            )
+                        else:
+                            old_comps = log.components()
+                            touched_comps = (
+                                old_comps.join(touched, "node", "left_semi")
+                                .select("component")
+                                .distinct()
+                            )
+                            sub_old = old_comps.join(
+                                touched_comps, "component", "left_semi"
+                            ).select("node")
                         # no distinct: sub_old (resolved labels, one
                         # row per node) and the batch's ids are each
                         # unique, and the log assumes ids are unique
@@ -1040,32 +1130,27 @@ class NearDedupIndexSink:
                             "left_semi",
                         )
 
-                    # fast path: node spine AND edges in ONE action —
-                    # per-leg limit probes double as the size guard
-                    # (len == cap+1 means truncated -> distributed).
-                    # The edges leg prunes against the sub_nodes_df DAG
-                    # itself, so the accumulated-label shuffle it embeds
-                    # is shared with the nodes leg via ReusedExchange
-                    # inside the single job, where the previous
-                    # two-action shape (collect nodes -> broadcast back
-                    # -> collect edges) re-planned it and paid a second
-                    # round of query-stage jobs per commit (r12).
-                    nodes_leg = sub_nodes_df.select(
-                        F.lit(0).alias("__t"),
-                        F.col("node").alias("a"),
-                        F.col("node").alias("b"),
-                    ).limit(cap + 1)
-                    edges_leg = (
-                        _live_edges(sub_nodes_df)
-                        .select(F.lit(1).alias("__t"), "a", "b")
-                        .limit(4 * cap + 1)
-                    )
-                    both = nodes_leg.unionByName(edges_leg).toPandas()
-                    npdf = both[both["__t"] == 0][["a"]].rename(
-                        columns={"a": "node"}
-                    )
-                    epdf = both[both["__t"] == 1][["a", "b"]]
-                    if len(npdf) <= cap and len(epdf) <= 4 * cap:
+                    # fast path: ONE action for the node spine, one for
+                    # the edges — limit probes double as the size guard
+                    # (len == cap+1 means truncated -> distributed). A
+                    # single tagged-union action was tried (r12) and
+                    # measured WORSE (comps 9 -> 10 jobs: the per-leg
+                    # limits plan their own collect stages and nothing
+                    # is actually shared), so the two-action shape
+                    # stays.
+                    npdf = sub_nodes_df.limit(cap + 1).toPandas()
+                    epdf = None
+                    if len(npdf) <= cap:
+                        nodes_local = F.broadcast(
+                            spark.createDataFrame(npdf, f"node {idt}")
+                        )
+                        epdf = (
+                            _live_edges(nodes_local)
+                            .select("a", "b")
+                            .limit(4 * cap + 1)
+                            .toPandas()
+                        )
+                    if epdf is not None and len(epdf) <= 4 * cap:
                         # exact driver-side union-find over the
                         # churn-sized subgraph: the propagation loop's
                         # 2-jobs-per-round fixed cost was the largest

@@ -70,3 +70,47 @@ def test_source_is_wide_true_for_derived_frames(spark, sf_dir):
     # plain narrow scan still answers by split count (bench layout: one
     # row group -> narrow)
     assert source_is_wide(docs.coalesce(1)) is False
+
+
+@pytest.mark.parametrize("strategy", ["classic", "pruned"])
+def test_near_dedup_stream_split_matches_rebuild(
+    spark, tmp_path, monkeypatch, strategy
+):
+    """Tombstone churn through BOTH touched-component resolution
+    strategies (r12): a later batch pushes a clone cluster over the
+    bucket cap, its pairs retract and the component SPLITS, while an
+    untouched cluster keeps its earlier labels — final pairs/components
+    must equal a one-shot rebuild over the combined corpus. The pruned
+    strategy (big-label-log path) is forced by zeroing the size gate."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from panoptes_spark.pipeline.dedup_index import build_dedup_index
+    from panoptes_spark.streaming import dedup_stream
+
+    if strategy == "pruned":
+        monkeypatch.setattr(dedup_stream, "_PRUNE_COMPS_MIN_BYTES", 0)
+
+    tpl_a = "identical template document body with enough words to shingle"
+    tpl_b = "another shared boilerplate passage that also repeats verbatim"
+    uniq = "totally different content number {} talking about other things"
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, tpl_a), (2, tpl_a), (30, tpl_b), (31, tpl_b), (50, uniq.format(0))],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(3, tpl_a), (4, tpl_a), (51, uniq.format(1))], schema
+    )
+    base = str(tmp_path / "split_log")
+    sink = dedup_stream.NearDedupIndexSink(base, max_bucket_size=3)
+    sink(b0, 0)
+    sink(b1, 1)
+    log = sink.index(spark)
+    assert log.tombstones().count() > 0, "cap crossing must retract pairs"
+
+    full = build_dedup_index(
+        b0.unionByName(b1), str(tmp_path / "split_full"), max_bucket_size=3
+    )
+    canon = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert canon(log.pairs()) == canon(full.pairs())
+    assert canon(log.components()) == canon(full.components())
