@@ -102,6 +102,7 @@ def _points_from_groups(groups):
     )
 
 
+@pytest.mark.slow
 def test_four_subsystem_composed_with_restart(spark, tmp_path):
     paths = {
         n: str(tmp_path / n)
@@ -273,6 +274,7 @@ PTS1 = [("dev-a", "ifc", 60_000, 1000.0), ("dev-b", "ifc", 60_000, 500.0)]
 PTS2 = [("dev-a", "ifc", 120_000, 7000.0), ("dev-b", "ifc", 120_000, 800.0)]
 
 
+@pytest.mark.slow
 def test_streaming_end_state_matches_batch_plan(spark, tmp_path):
     """r7 directive 8: the composed STREAMING run's end state equals the
     ``telemetry_e2e`` BATCH plan's result on the same input — both sides

@@ -2,6 +2,8 @@
 records -> validate -> flatten -> stateful rate -> line-protocol sink.
 """
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -51,6 +53,7 @@ def _wire_record(rid, ts, counter_value):
     ).encode()
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(spark, tmp_path):
     # 1) kafka-shaped batch: 3 in-order samples per series + 1 junk record
     records = [

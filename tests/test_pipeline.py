@@ -1,5 +1,7 @@
 """Unit tests for the training-data pipeline operators."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from panoptes_spark.pipeline import dedup, multimodal, similarity, text
@@ -2003,6 +2005,7 @@ def test_retrain_swap_chaos(spark, tmp_path, sf_dir):
     assert os.path.exists(os.path.join(path, "centroids-g1.parquet"))
 
 
+@pytest.mark.slow
 def test_ann_sink_retrain_every(spark, tmp_path, sf_dir):
     """AnnIndexSink retrain_every: after the cadence trips, the index is
     generation 1 trained on the full corpus_source — ranking identical
@@ -2172,6 +2175,7 @@ def test_ann_index_torn_append_invisible(spark, tmp_path, sf_dir):
     assert got != before  # appended vectors now rank
 
 
+@pytest.mark.slow
 def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
     """IvfPqIndex.compact() merges all segments into one: identical
     topk before/after, single-segment manifest, appends keep working
@@ -2246,6 +2250,7 @@ def test_ann_index_compaction_preserves_ranks(spark, tmp_path, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dedup_sink_compact_every(spark, tmp_path, sf_dir):
     """compact_every on the dedup sink (AnnIndexSink parity): the log
     folds to one generation every N commits, later commits keep
@@ -2294,6 +2299,7 @@ def test_dedup_sink_empty_first_batch_is_v2(spark, tmp_path, sf_dir):
     assert log.pairs().count() >= 0  # readable through the compacted gen
 
 
+@pytest.mark.slow
 def test_compaction_cadence_survives_restart(spark, tmp_path, sf_dir):
     """compact_every derives from DURABLE state (batch list / manifest
     segments), not a process-local counter: a fresh sink instance per
@@ -2390,6 +2396,7 @@ def test_dedup_log_refuses_v1_layout(spark, tmp_path):
         DedupIndexLog(spark, base)
 
 
+@pytest.mark.slow
 def test_ann_stream_matches_combined_with_restart(spark, tmp_path, sf_dir):
     """Streaming ANN maintenance == batch append == combined build:
     vectors arrive in micro-batches across TWO queries (a restart
@@ -2474,6 +2481,7 @@ def test_ann_stream_matches_combined_with_restart(spark, tmp_path, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_ann_stream_lineage_guard_and_compact_every(spark, tmp_path, sf_dir):
     """Recreated-checkpoint lineages fail loudly (both the
     stored-lineage mismatch and the batch-calls-first cases), and
@@ -2543,6 +2551,7 @@ def test_ann_stream_lineage_guard_and_compact_every(spark, tmp_path, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_dedup_log_compaction_preserves_answers(spark, tmp_path, sf_dir):
     """DedupIndexLog.compact() folds the batch log into one resolved
     generation: pairs/components/signatures identical, tombstones
@@ -2892,6 +2901,7 @@ def test_near_dedup_stream_commit_never_reads_signatures(
     assert sink.index(spark).pairs().count() > 0
 
 
+@pytest.mark.slow
 def test_near_dedup_stream_commit_time_bounded(spark, tmp_path, sf_dir):
     """Coarse flat-seconds lock (r9 verdict directive 7, the
     test-suite twin of tools/spotbench_dedup_stream.py): at fixed batch

@@ -362,6 +362,7 @@ edge_sets = st.lists(
 
 @given(edge_sets)
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_leakage_safe_splits_never_cross(spark, edges):
     """On random near-dup graphs: both endpoints of EVERY edge land in
     the same split, and component labels equal a union-find ground

@@ -7,6 +7,8 @@ interval_join vs a brute-force double loop, chunk_documents vs the
 textbook stride loop.
 """
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from panoptes_spark.operators.temporal import asof_join, interval_join
@@ -67,6 +69,7 @@ def test_asof_matches_pandas_merge_asof(spark, case):
         max_size=8,
     ),
 )
+@pytest.mark.slow
 def test_interval_join_matches_bruteforce(spark, pts, ivs):
     pdf = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(pts)],

@@ -33,6 +33,7 @@ def sample_points(spark):
     return spark.createDataFrame(rows, POINTS_SCHEMA)
 
 
+@pytest.mark.slow
 def test_stream_matches_batch(spark, sample_points, tmp_path):
     src = str(tmp_path / "pts")
     sample_points.coalesce(1).write.parquet(src)
@@ -256,6 +257,7 @@ def test_influx_batch_writer_degrade(spark, tmp_path):
     assert len(flat) == 2 and all(len(c) == 1 for c in sent)
 
 
+@pytest.mark.slow
 def test_influx_batch_writer_partition_batching(spark, tmp_path):
     """Happy path: each partition emits its lines in batch_size chunks,
     with no driver-side collect in the sink path."""
@@ -270,6 +272,7 @@ def test_influx_batch_writer_partition_batching(spark, tmp_path):
     assert len([l for c in sent for l in c]) == 5
 
 
+@pytest.mark.slow
 def test_rate_stream_cross_batch_out_of_order(spark, tmp_path):
     """An older sample arriving in a LATER micro-batch must be skipped
     (state holds the newer timestamp; the reference's dt<0 guard)."""
@@ -390,6 +393,7 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_stream_time_bounded_join(spark, tmp_path):
     """Stream-stream inner join with an event-time range constraint —
     the streaming interval join: each click matches purchases by the
@@ -446,6 +450,7 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     assert got == {(1, 101)}
 
 
+@pytest.mark.slow
 def test_rate_stream_state_survives_restart(spark, tmp_path):
     """Kill the query, append new data, restart with the SAME
     checkpoint: the stateful rate must compute batch-2 rates against

@@ -1,5 +1,7 @@
 """Unit tests for BPE tokenizer training and duplicated n-gram spans."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from panoptes_spark.pipeline.substrings import duplicated_ngram_spans
@@ -36,6 +38,7 @@ def _reference_bpe(word_freqs, n_merges):
     return merges
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference_algorithm(spark):
     texts = [
         "low lower lowest low low",
@@ -237,6 +240,7 @@ def test_pagerank_dangling_and_isolated_sources(spark):
     assert len(got) == 3
 
 
+@pytest.mark.slow
 def test_bpe_encode_applies_merges_in_order(spark):
     """Encoding with the learned table must reproduce the textbook
     apply-BPE result (greedy left-to-right per merge, training order)."""

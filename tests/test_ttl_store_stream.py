@@ -8,6 +8,8 @@ changelog lifecycle (live row, then tombstone) per key. Tests use small
 TTLs to keep that bounded.
 """
 
+import pytest
+
 import pandas as pd
 
 from panoptes_spark.streaming.ttl_store_stream import (
@@ -49,6 +51,7 @@ def _run(spark, src, name, want_tombstones=0, timeout=90):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+@pytest.mark.slow
 def test_ttl_store_stream_changelog_lifecycle(spark, tmp_path):
     src = str(tmp_path / "upd")
     rows = [
@@ -71,6 +74,7 @@ def test_ttl_store_stream_changelog_lifecycle(spark, tmp_path):
     assert dead["b"].value == "b1"
 
 
+@pytest.mark.slow
 def test_ttl_store_stream_stale_replay_suppressed(spark, tmp_path):
     src = str(tmp_path / "upd")
     spark.createDataFrame(
@@ -99,6 +103,7 @@ def test_latest_update_total_order():
     assert _latest_update(iter([b, a])) == (5, "y", 2)
 
 
+@pytest.mark.slow
 def test_stale_replay_does_not_cancel_expiry(spark, tmp_path):
     """A stale replay processed as its OWN micro-batch
     (maxFilesPerTrigger=1) must not cancel the pending expiry: the
@@ -178,6 +183,7 @@ def _run_event(spark, src, name, ckpt=None, out_path=None):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+@pytest.mark.slow
 def test_event_time_ttl_parity_with_batch_fold(spark, tmp_path):
     """Row parity against the batch upsert_with_ttl + expire fold over
     the same updates, evaluated at the final watermark: identical live
@@ -237,6 +243,7 @@ def test_event_time_ttl_parity_with_batch_fold(spark, tmp_path):
     assert tombstoned - batch_dead <= {("a", "a1", 4000)}
 
 
+@pytest.mark.slow
 def test_event_time_tombstones_independent_of_batching(spark, tmp_path):
     """The live-STORE view (rows minus tombstones) is identical whether
     all updates land in one micro-batch or one file per batch; the
@@ -296,6 +303,7 @@ def test_event_time_tombstones_independent_of_batching(spark, tmp_path):
                                    ("a", "a1", 4000, True)})
 
 
+@pytest.mark.slow
 def test_event_time_ttl_checkpoint_restart(spark, tmp_path):
     """Kill the query, append new data, restart from the SAME checkpoint:
     no batch-1 re-emission, and the combined changelog equals a fresh
@@ -338,6 +346,7 @@ def test_event_time_ttl_checkpoint_restart(spark, tmp_path):
     assert {(r.key, r.value, r.expires_at_ms, r.expired) for r in fresh} == got2
 
 
+@pytest.mark.slow
 def test_event_time_changelog_materializes_through_exactly_once_sink(
     spark, tmp_path
 ):
@@ -392,6 +401,7 @@ def test_event_time_changelog_materializes_through_exactly_once_sink(
     assert got == want == {("b", "b1"), ("w", "adv")}
 
 
+@pytest.mark.slow
 def test_ttl_materialization_restart_chaos(spark, tmp_path):
     """r7 directive 8 'done' gate: the composed changelog->store stream
     (``materialize_ttl_store``) is killed between a bucket write and the

@@ -80,6 +80,7 @@ ASR_ROWS = [
 ]
 
 
+@pytest.mark.slow
 def test_asr_device_metrics_full_device(spark):
     devices = spark.createDataFrame([("asr1",), ("asr2",)],
                                     "device_id string")
